@@ -1,0 +1,208 @@
+"""MeshArrays — the static, padded, SoA device mesh.
+
+This is the TPU-first re-founding of the reference's single most important
+architectural idea (SURVEY.md intro): RapidCFD's cell-parallel *gather*
+addressing (ownerStartAddr/losortAddr CSR over LDU faces, reference:
+src/OpenFOAM/matrices/lduMatrix/lduAddressing/lduAddressing.H:243-252) taken
+one step further into a fully regular padded ELL layout:
+
+- every cell owns up to K face slots (K = max faces/cell over the mesh);
+- each slot knows its global face, its sign (+1 owner / -1 neighbour), its
+  neighbouring cell, and where the matching LDU coefficient lives in a
+  concatenated [upper | lower | 0] array;
+- all finite-volume gathers become dense (nCells, K) indexed loads + masked
+  reductions — no scatter, no dynamic shapes, XLA-tileable.
+
+Faces of `empty` patches (2D cases) are excluded from the ELL, matching the
+reference's empty fvPatchField contributing nothing to assembly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .geometry import (cell_centres_and_vols, cuthill_mckee,
+                       face_centres_and_areas, interpolation_coeffs,
+                       renumber_mesh)
+from .polymesh import PolyMesh
+
+
+@dataclass(frozen=True)
+class Patch:
+    """Static boundary-patch metadata (name/type/face range)."""
+    name: str
+    type: str
+    start: int      # global face index of first patch face
+    size: int
+    bstart: int     # index into boundary-face-indexed arrays (start-nInternal)
+
+    @property
+    def is_empty(self) -> bool:
+        return self.type == "empty"
+
+    @property
+    def is_coupled(self) -> bool:
+        return self.type in ("processor", "cyclic", "processorCyclic")
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class MeshArrays:
+    # face-indexed geometry/topology
+    owner: jax.Array          # (nFaces,) i32
+    neighbour: jax.Array      # (nInternal,) i32
+    Sf: jax.Array             # (nFaces, 3)
+    mag_sf: jax.Array         # (nFaces,)
+    Cf: jax.Array             # (nFaces, 3)
+    # cell-indexed geometry
+    C: jax.Array              # (nCells, 3)
+    V: jax.Array              # (nCells,)
+    # interpolation coefficients (internal faces)
+    weights: jax.Array        # (nInternal,) owner weight
+    delta_coeffs: jax.Array   # (nInternal,)
+    nonorth_delta_coeffs: jax.Array
+    corr_vecs: jax.Array      # (nInternal, 3)
+    # boundary-face-indexed (size nFaces - nInternal)
+    b_delta_coeffs: jax.Array
+    b_nonorth_delta_coeffs: jax.Array
+    # ELL connectivity
+    cell_faces: jax.Array     # (nCells, K) i32, pad=0
+    cell_sign: jax.Array      # (nCells, K) +1/-1/0
+    cell_nbr: jax.Array       # (nCells, K) i32, pad=self
+    ell_coeff_idx: jax.Array  # (nCells, K) i32 into [upper|lower|0]
+    internal_mask: jax.Array  # (nCells, K) 1.0 where slot is internal face
+    # static metadata
+    n_cells: int = dataclasses.field(metadata=dict(static=True))
+    n_faces: int = dataclasses.field(metadata=dict(static=True))
+    n_internal: int = dataclasses.field(metadata=dict(static=True))
+    K: int = dataclasses.field(metadata=dict(static=True))
+    patches: tuple[Patch, ...] = dataclasses.field(metadata=dict(static=True))
+
+    # -- helpers -----------------------------------------------------------
+    @property
+    def n_boundary(self) -> int:
+        return self.n_faces - self.n_internal
+
+    def patch_face_cells(self, p: Patch) -> jax.Array:
+        return self.owner[p.start:p.start + p.size]
+
+    def patch_mag_sf(self, p: Patch) -> jax.Array:
+        return self.mag_sf[p.start:p.start + p.size]
+
+    def patch_sf(self, p: Patch) -> jax.Array:
+        return self.Sf[p.start:p.start + p.size]
+
+    def patch_cf(self, p: Patch) -> jax.Array:
+        return self.Cf[p.start:p.start + p.size]
+
+    def patch_delta_coeffs(self, p: Patch) -> jax.Array:
+        return self.b_delta_coeffs[p.bstart:p.bstart + p.size]
+
+    def patch_nonorth_delta_coeffs(self, p: Patch) -> jax.Array:
+        return self.b_nonorth_delta_coeffs[p.bstart:p.bstart + p.size]
+
+    def patch_normals(self, p: Patch) -> jax.Array:
+        sf = self.patch_sf(p)
+        return sf / jnp.maximum(self.patch_mag_sf(p), 1e-300)[:, None]
+
+
+def default_dtype():
+    """fp64 when x64 is enabled (CPU validation), else fp32 (TPU runs)."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def build_mesh_arrays(mesh: PolyMesh, *, renumber: bool = True,
+                      dtype=None) -> tuple[MeshArrays, PolyMesh]:
+    """Host preprocessing pipeline: renumber -> geometry -> ELL -> device.
+
+    Returns the device MeshArrays and the (possibly renumbered) PolyMesh the
+    field IO must use for cell ordering.
+    """
+    if dtype is None:
+        dtype = default_dtype()
+    if renumber and mesh.n_internal_faces > 0:
+        perm = cuthill_mckee(mesh)
+        mesh = renumber_mesh(mesh, perm)
+
+    Cf, Sf = face_centres_and_areas(mesh)
+    C, V = cell_centres_and_vols(mesh, Cf, Sf)
+    coeffs = interpolation_coeffs(mesh, C, Cf, Sf)
+
+    nc, nf, n_int = mesh.n_cells, mesh.n_faces, mesh.n_internal_faces
+    own, nei = mesh.owner, mesh.neighbour
+
+    # patch metadata
+    patches = []
+    for p in mesh.patches:
+        patches.append(Patch(p.name, p.type, p.start_face, p.n_faces,
+                             p.start_face - n_int))
+
+    # which faces participate in the ELL (exclude empty-patch faces)
+    active = np.ones(nf, dtype=bool)
+    for p in patches:
+        if p.is_empty:
+            active[p.start:p.start + p.size] = False
+
+    # (cell, face, sign) incidence triples
+    act_f = np.nonzero(active)[0]
+    int_f = np.arange(n_int)
+    cells = np.concatenate([own[act_f], nei])
+    faces = np.concatenate([act_f, int_f])
+    signs = np.concatenate([np.ones(act_f.size), -np.ones(n_int)])
+    order = np.argsort(cells, kind="stable")
+    cells, faces, signs = cells[order], faces[order], signs[order]
+
+    counts = np.bincount(cells, minlength=nc)
+    K = int(counts.max()) if counts.size else 0
+    starts = np.zeros(nc + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    slots = np.arange(cells.size) - starts[cells]
+
+    cell_faces = np.zeros((nc, K), dtype=np.int64)
+    cell_sign = np.zeros((nc, K))
+    cell_nbr = np.tile(np.arange(nc)[:, None], (1, K))
+    ell_idx = np.full((nc, K), 2 * n_int, dtype=np.int64)
+    internal_mask = np.zeros((nc, K))
+
+    cell_faces[cells, slots] = faces
+    cell_sign[cells, slots] = signs
+    is_int = faces < n_int
+    safe_f = np.minimum(faces, max(n_int - 1, 0))
+    # owner-side slot of an internal face sees nei[f]; neighbour-side sees own[f]
+    other = np.where(signs > 0, nei[safe_f] if n_int else cells, own[faces])
+    cell_nbr[cells, slots] = np.where(is_int, other, cells)
+    ell_idx[cells, slots] = np.where(
+        is_int, np.where(signs > 0, faces, n_int + faces), 2 * n_int)
+    internal_mask[cells, slots] = is_int.astype(float)
+
+    idt = jnp.int32
+    ma = MeshArrays(
+        owner=jnp.asarray(own, idt),
+        neighbour=jnp.asarray(nei, idt),
+        Sf=jnp.asarray(Sf, dtype),
+        mag_sf=jnp.asarray(np.linalg.norm(Sf, axis=1), dtype),
+        Cf=jnp.asarray(Cf, dtype),
+        C=jnp.asarray(C, dtype),
+        V=jnp.asarray(V, dtype),
+        weights=jnp.asarray(coeffs["weights"], dtype),
+        delta_coeffs=jnp.asarray(coeffs["delta_coeffs"], dtype),
+        nonorth_delta_coeffs=jnp.asarray(coeffs["nonorth_delta_coeffs"],
+                                         dtype),
+        corr_vecs=jnp.asarray(coeffs["corr_vecs"], dtype),
+        b_delta_coeffs=jnp.asarray(coeffs["b_delta_coeffs"], dtype),
+        b_nonorth_delta_coeffs=jnp.asarray(coeffs["b_nonorth_delta_coeffs"],
+                                           dtype),
+        cell_faces=jnp.asarray(cell_faces, idt),
+        cell_sign=jnp.asarray(cell_sign, dtype),
+        cell_nbr=jnp.asarray(cell_nbr, idt),
+        ell_coeff_idx=jnp.asarray(ell_idx, idt),
+        internal_mask=jnp.asarray(internal_mask, dtype),
+        n_cells=nc, n_faces=nf, n_internal=n_int, K=K,
+        patches=tuple(patches),
+    )
+    return ma, mesh

@@ -1,0 +1,225 @@
+"""polyMesh reader: constant/polyMesh/{points,faces,owner,neighbour,boundary}.
+
+Reads the reference's on-disk mesh contract (reference:
+src/OpenFOAM/meshes/polyMesh/polyMesh.H:75 and the owner-sorted face-list
+invariant). ASCII format with numpy fast-path parsing; this is host-side,
+run-once preprocessing, ahead of the static MeshArrays build.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..utils.dictionary import Dictionary, parse_dictionary
+
+
+def _read_text(path: str) -> str:
+    if os.path.isfile(path + ".gz"):
+        with gzip.open(path + ".gz", "rt") as f:
+            return f.read()
+    with open(path) as f:
+        return f.read()
+
+
+def _strip_header(text: str) -> tuple[Dictionary, str]:
+    """Split off the FoamFile header dict, return (header, body_text)."""
+    m = re.search(r"FoamFile\s*\{", text)
+    if not m:
+        return Dictionary(), text
+    depth = 1
+    i = m.end()
+    while depth and i < len(text):
+        if text[i] == "{":
+            depth += 1
+        elif text[i] == "}":
+            depth -= 1
+        i += 1
+    header = parse_dictionary(text[m.start():i].replace("FoamFile", "", 1)
+                              .strip().strip("{}").join(["{", "}"]))
+    return header, text[i:]
+
+
+_COMMENT_RE = re.compile(r"//[^\n]*|/\*.*?\*/", re.S)
+
+
+def _strip_comments(text: str) -> str:
+    return _COMMENT_RE.sub(" ", text)
+
+
+def _parse_scalar_list(body: str, ncols: int) -> np.ndarray:
+    """Parse `N ( (x y z) ... )` or `N ( v ... )` into an (N,ncols) array."""
+    body = _strip_comments(body)
+    m = re.search(r"(\d+)\s*\(", body)
+    if not m:
+        raise ValueError("cannot find list count")
+    n = int(m.group(1))
+    start = m.end()
+    end = body.rfind(")")
+    data = body[start:end]
+    arr = np.fromstring(data.replace("(", " ").replace(")", " "), sep=" ")
+    if ncols > 1:
+        arr = arr.reshape(n, ncols)
+    else:
+        arr = arr[:n]
+    if arr.shape[0] != n:
+        raise ValueError(f"expected {n} entries, got {arr.shape[0]}")
+    return arr
+
+
+def _parse_label_list(body: str) -> np.ndarray:
+    body = _strip_comments(body)
+    m = re.search(r"(\d+)\s*\(", body)
+    n = int(m.group(1))
+    start, end = m.end(), body.rfind(")")
+    arr = np.fromstring(body[start:end], sep=" ").astype(np.int64)
+    if arr.shape[0] != n:
+        raise ValueError(f"expected {n} labels, got {arr.shape[0]}")
+    return arr
+
+
+_FACE_RE = re.compile(r"(\d+)\s*\(([^)]*)\)")
+
+
+def _parse_face_list(body: str) -> tuple[np.ndarray, np.ndarray]:
+    """Parse faces `N ( 4(a b c d) ... )` -> (flat_points, offsets)."""
+    body = _strip_comments(body)
+    m = re.search(r"(\d+)\s*\(", body)
+    n = int(m.group(1))
+    chunk = body[m.end():body.rfind(")")]
+    sizes = np.empty(n, dtype=np.int64)
+    flats = []
+    for i, fm in enumerate(_FACE_RE.finditer(chunk)):
+        sizes[i] = int(fm.group(1))
+        flats.append(fm.group(2))
+    if len(flats) != n:
+        raise ValueError(f"expected {n} faces, parsed {len(flats)}")
+    flat = np.fromstring(" ".join(flats), sep=" ").astype(np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+    if flat.shape[0] != offsets[-1]:
+        raise ValueError("face point count mismatch")
+    return flat, offsets
+
+
+@dataclass
+class BoundaryPatch:
+    name: str
+    type: str
+    start_face: int
+    n_faces: int
+    extra: Dictionary = field(default_factory=Dictionary)
+
+
+@dataclass
+class PolyMesh:
+    """Raw mesh topology as read from disk (host, numpy)."""
+    points: np.ndarray          # (nPoints, 3) float64
+    face_points: np.ndarray     # flat point labels
+    face_offsets: np.ndarray    # (nFaces+1,)
+    owner: np.ndarray           # (nFaces,)
+    neighbour: np.ndarray       # (nInternalFaces,)
+    patches: list[BoundaryPatch]
+
+    @property
+    def n_points(self):
+        return self.points.shape[0]
+
+    @property
+    def n_faces(self):
+        return self.face_offsets.shape[0] - 1
+
+    @property
+    def n_internal_faces(self):
+        return self.neighbour.shape[0]
+
+    @property
+    def n_cells(self):
+        return int(self.owner.max()) + 1 if self.owner.size else 0
+
+    def face(self, i: int) -> np.ndarray:
+        return self.face_points[self.face_offsets[i]:self.face_offsets[i + 1]]
+
+
+def read_polymesh(case_dir: str, region: str = "") -> PolyMesh:
+    d = os.path.join(case_dir, "constant", region, "polyMesh")
+    _, pts_body = _strip_header(_read_text(os.path.join(d, "points")))
+    points = _parse_scalar_list(pts_body, 3)
+    _, faces_body = _strip_header(_read_text(os.path.join(d, "faces")))
+    face_points, face_offsets = _parse_face_list(faces_body)
+    _, own_body = _strip_header(_read_text(os.path.join(d, "owner")))
+    owner = _parse_label_list(own_body)
+    _, nei_body = _strip_header(_read_text(os.path.join(d, "neighbour")))
+    neighbour = _parse_label_list(nei_body)
+
+    btext = _read_text(os.path.join(d, "boundary"))
+    _, bbody = _strip_header(btext)
+    patches = _parse_boundary(bbody)
+    return PolyMesh(points, face_points, face_offsets, owner, neighbour,
+                    patches)
+
+
+def _parse_boundary(body: str) -> list[BoundaryPatch]:
+    body = _strip_comments(body)
+    m = re.search(r"(\d+)\s*\(", body)
+    n = int(m.group(1))
+    inner = body[m.end():body.rfind(")")]
+    d = parse_dictionary(inner)
+    patches = []
+    for name, sub in d.items():
+        if not isinstance(sub, Dictionary):
+            continue
+        patches.append(BoundaryPatch(
+            name=str(name),
+            type=sub.word("type"),
+            start_face=int(sub.scalar("startFace")),
+            n_faces=int(sub.scalar("nFaces")),
+            extra=sub,
+        ))
+    if len(patches) != n:
+        raise ValueError(f"boundary: expected {n} patches, got {len(patches)}")
+    return patches
+
+
+# ---------------------------------------------------------------------------
+# Writing (casegen / decomposition output)
+# ---------------------------------------------------------------------------
+
+def write_polymesh(mesh: PolyMesh, case_dir: str, region: str = ""):
+    from ..utils.dictionary import foamfile_header
+    d = os.path.join(case_dir, "constant", region, "polyMesh")
+    os.makedirs(d, exist_ok=True)
+
+    def wr(name, cls, body):
+        with open(os.path.join(d, name), "w") as f:
+            f.write(foamfile_header(cls, name, f"constant/{region}/polyMesh"
+                                    if region else "constant/polyMesh"))
+            f.write(body)
+
+    pts = "\n".join(f"({p[0]:.12g} {p[1]:.12g} {p[2]:.12g})"
+                    for p in mesh.points)
+    wr("points", "vectorField", f"\n{mesh.n_points}\n(\n{pts}\n)\n")
+
+    lines = []
+    for i in range(mesh.n_faces):
+        fp = mesh.face(i)
+        lines.append(f"{len(fp)}({' '.join(map(str, fp))})")
+    wr("faces", "faceList", f"\n{mesh.n_faces}\n(\n" + "\n".join(lines)
+       + "\n)\n")
+
+    wr("owner", "labelList", f"\n{mesh.n_faces}\n(\n"
+       + "\n".join(map(str, mesh.owner)) + "\n)\n")
+    wr("neighbour", "labelList", f"\n{mesh.n_internal_faces}\n(\n"
+       + "\n".join(map(str, mesh.neighbour)) + "\n)\n")
+
+    pb = [f"\n{len(mesh.patches)}\n("]
+    for p in mesh.patches:
+        pb.append(f"    {p.name}\n    {{\n        type            {p.type};\n"
+                  f"        nFaces          {p.n_faces};\n"
+                  f"        startFace       {p.start_face};\n    }}")
+    pb.append(")\n")
+    wr("boundary", "polyBoundaryMesh", "\n".join(pb))
