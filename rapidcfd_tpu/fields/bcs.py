@@ -1,0 +1,295 @@
+"""Boundary conditions as pure per-patch coefficient functions.
+
+The reference's fvPatchField contract (reference:
+src/finiteVolume/fields/fvPatchFields/fvPatchField/fvPatchField.H:80) is
+four hooks consumed by assembly: valueInternalCoeffs / valueBoundaryCoeffs
+(convection) and gradientInternalCoeffs / gradientBoundaryCoeffs
+(diffusion). Here each BC type provides:
+
+- ``evaluate``       -> boundary face values
+- ``value_internal_coeff``    (vic):  faceVal = vic * psi_c + vbc
+- ``gradient_internal_coeff`` (gic):  snGrad  = gic * psi_c + gbc
+
+with vbc/gbc derived *generically* as ``evaluate - vic*psi_c`` and
+``snGrad(evaluate) - gic*psi_c`` — the same consistency trick the
+reference uses for transform patches, which makes tensor-valued BCs
+(symmetry/slip) work in segregated solves with diagonal implicit coeffs.
+
+BC descriptors are static frozen dataclasses (pytree-static); their array
+parameters live in the field's ``bcdata`` tuple so they flow through jit.
+Environment fields BCs read from the registry in the reference (e.g. phi
+for inletOutlet) are passed via ``env``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+
+from ..utils.registry import lookup, register
+
+
+@dataclass(frozen=True)
+class BC:
+    patch: int
+    #: survives field arithmetic (else result degrades to calculated)
+    preserves_type = False
+    #: participates in matrix assembly (empty does not)
+    assembles = True
+
+    # -- default hook implementations ---------------------------------------
+    def evaluate(self, mesh, patch, field, bd, env=None):
+        raise NotImplementedError
+
+    def value_internal_coeff(self, mesh, patch, field, bd, env=None):
+        raise NotImplementedError
+
+    def gradient_internal_coeff(self, mesh, patch, field, bd, env=None):
+        raise NotImplementedError
+
+    # -- generic derived coefficients ----------------------------------------
+    def value_coeffs(self, mesh, patch, field, bd, env=None):
+        vic = self.value_internal_coeff(mesh, patch, field, bd, env)
+        psi_c = field.patch_internal(mesh, patch)
+        vbc = self.evaluate(mesh, patch, field, bd, env) - vic * psi_c
+        return vic, vbc
+
+    def gradient_coeffs(self, mesh, patch, field, bd, env=None):
+        gic = self.gradient_internal_coeff(mesh, patch, field, bd, env)
+        psi_c = field.patch_internal(mesh, patch)
+        dc = _bcast(mesh.patch_delta_coeffs(patch), psi_c)
+        sngrad = (self.evaluate(mesh, patch, field, bd, env) - psi_c) * dc
+        gbc = sngrad - gic * psi_c
+        return gic, gbc
+
+    def snGrad(self, mesh, patch, field, bd, env=None):
+        psi_c = field.patch_internal(mesh, patch)
+        dc = _bcast(mesh.patch_delta_coeffs(patch), psi_c)
+        return (self.evaluate(mesh, patch, field, bd, env) - psi_c) * dc
+
+
+def _bcast(coef, like):
+    """Broadcast a per-face scalar coefficient against a (n,...) field."""
+    return coef.reshape(coef.shape + (1,) * (like.ndim - 1))
+
+
+def _zeros_like_patch(field, mesh, patch):
+    psi_c = field.patch_internal(mesh, patch)
+    return jnp.zeros_like(psi_c)
+
+
+# ---------------------------------------------------------------------------
+# basic
+# ---------------------------------------------------------------------------
+
+@register("fvPatchField", "calculated")
+@dataclass(frozen=True)
+class Calculated(BC):
+    """Explicitly-stored values; not usable as implicit coefficients
+    (reference: basic/calculated errors in assembly the same way)."""
+    preserves_type = False
+
+    def evaluate(self, mesh, patch, field, bd, env=None):
+        return field.patch_values(mesh, patch)
+
+    def value_internal_coeff(self, mesh, patch, field, bd, env=None):
+        raise TypeError(
+            f"patch '{patch.name}': calculated BC on field "
+            f"'{field.name}' cannot provide matrix coefficients")
+
+    gradient_internal_coeff = value_internal_coeff
+
+
+@register("fvPatchField", "fixedValue")
+@dataclass(frozen=True)
+class FixedValue(BC):
+    preserves_type = True
+
+    def evaluate(self, mesh, patch, field, bd, env=None):
+        return jnp.broadcast_to(bd["value"],
+                                field.patch_internal(mesh, patch).shape)
+
+    def value_internal_coeff(self, mesh, patch, field, bd, env=None):
+        return jnp.zeros(patch.size)[:, None] \
+            if field.data.ndim > 1 else jnp.zeros(patch.size)
+
+    def gradient_internal_coeff(self, mesh, patch, field, bd, env=None):
+        gic = -mesh.patch_delta_coeffs(patch)
+        return gic[:, None] if field.data.ndim > 1 else gic
+
+
+@register("fvPatchField", "zeroGradient")
+@dataclass(frozen=True)
+class ZeroGradient(BC):
+    preserves_type = True
+
+    def evaluate(self, mesh, patch, field, bd, env=None):
+        return field.patch_internal(mesh, patch)
+
+    def value_internal_coeff(self, mesh, patch, field, bd, env=None):
+        return jnp.ones(patch.size)[:, None] \
+            if field.data.ndim > 1 else jnp.ones(patch.size)
+
+    def gradient_internal_coeff(self, mesh, patch, field, bd, env=None):
+        return jnp.zeros(patch.size)[:, None] \
+            if field.data.ndim > 1 else jnp.zeros(patch.size)
+
+
+@register("fvPatchField", "empty")
+@dataclass(frozen=True)
+class Empty(BC):
+    """2D constraint patch: contributes nothing to assembly."""
+    preserves_type = True
+    assembles = False
+
+    def evaluate(self, mesh, patch, field, bd, env=None):
+        return _zeros_like_patch(field, mesh, patch)
+
+    def value_internal_coeff(self, mesh, patch, field, bd, env=None):
+        return jnp.zeros(patch.size)
+
+    def gradient_internal_coeff(self, mesh, patch, field, bd, env=None):
+        return jnp.zeros(patch.size)
+
+
+@register("fvPatchField", "fixedGradient")
+@dataclass(frozen=True)
+class FixedGradient(BC):
+    preserves_type = True
+
+    def evaluate(self, mesh, patch, field, bd, env=None):
+        psi_c = field.patch_internal(mesh, patch)
+        dc = _bcast(mesh.patch_delta_coeffs(patch), psi_c)
+        return psi_c + jnp.broadcast_to(bd["gradient"], psi_c.shape) / dc
+
+    def value_internal_coeff(self, mesh, patch, field, bd, env=None):
+        return jnp.ones(patch.size)[:, None] \
+            if field.data.ndim > 1 else jnp.ones(patch.size)
+
+    def gradient_internal_coeff(self, mesh, patch, field, bd, env=None):
+        return jnp.zeros(patch.size)[:, None] \
+            if field.data.ndim > 1 else jnp.zeros(patch.size)
+
+
+@register("fvPatchField", "mixed")
+@dataclass(frozen=True)
+class Mixed(BC):
+    """f*fixedValue + (1-f)*fixedGradient (reference: basic/mixed)."""
+    preserves_type = True
+
+    def _f(self, bd, psi_c):
+        return jnp.broadcast_to(bd["valueFraction"], psi_c.shape)
+
+    def evaluate(self, mesh, patch, field, bd, env=None):
+        psi_c = field.patch_internal(mesh, patch)
+        dc = _bcast(mesh.patch_delta_coeffs(patch), psi_c)
+        f = self._f(bd, psi_c)
+        ref_v = jnp.broadcast_to(bd["refValue"], psi_c.shape)
+        ref_g = jnp.broadcast_to(bd["refGradient"], psi_c.shape)
+        return f * ref_v + (1.0 - f) * (psi_c + ref_g / dc)
+
+    def value_internal_coeff(self, mesh, patch, field, bd, env=None):
+        psi_c = field.patch_internal(mesh, patch)
+        return 1.0 - self._f(bd, psi_c)
+
+    def gradient_internal_coeff(self, mesh, patch, field, bd, env=None):
+        psi_c = field.patch_internal(mesh, patch)
+        dc = _bcast(mesh.patch_delta_coeffs(patch), psi_c)
+        return -self._f(bd, psi_c) * dc
+
+
+# ---------------------------------------------------------------------------
+# constraint
+# ---------------------------------------------------------------------------
+
+@register("fvPatchField", "symmetryPlane", "symmetry")
+@dataclass(frozen=True)
+class Symmetry(BC):
+    """Mirror condition: scalars zeroGradient, vectors tangential-projected
+    with diagonal implicit coeffs (reference: basicSymmetry/transform)."""
+    preserves_type = True
+
+    def evaluate(self, mesh, patch, field, bd, env=None):
+        psi_c = field.patch_internal(mesh, patch)
+        if psi_c.ndim == 1:
+            return psi_c
+        n = mesh.patch_normals(patch)
+        return psi_c - (psi_c * n).sum(-1, keepdims=True) * n
+
+    def value_internal_coeff(self, mesh, patch, field, bd, env=None):
+        psi_c = field.patch_internal(mesh, patch)
+        if psi_c.ndim == 1:
+            return jnp.ones(patch.size)
+        n = mesh.patch_normals(patch)
+        return 1.0 - n * n
+
+    def gradient_internal_coeff(self, mesh, patch, field, bd, env=None):
+        psi_c = field.patch_internal(mesh, patch)
+        if psi_c.ndim == 1:
+            return jnp.zeros(patch.size)
+        n = mesh.patch_normals(patch)
+        dc = mesh.patch_delta_coeffs(patch)[:, None]
+        return -(n * n) * dc
+
+
+@register("fvPatchField", "slip")
+@dataclass(frozen=True)
+class Slip(Symmetry):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# derived
+# ---------------------------------------------------------------------------
+
+@register("fvPatchField", "noSlip")
+@dataclass(frozen=True)
+class NoSlip(FixedValue):
+    def evaluate(self, mesh, patch, field, bd, env=None):
+        return _zeros_like_patch(field, mesh, patch)
+
+
+@register("fvPatchField", "inletOutlet")
+@dataclass(frozen=True)
+class InletOutlet(Mixed):
+    """zeroGradient on outflow, fixed inletValue on inflow, switched by the
+    face flux (reference: derived/inletOutlet). env must carry 'phi'."""
+    preserves_type = True
+
+    def _patch_phi(self, mesh, patch, env):
+        if env is None or "phi" not in env:
+            raise KeyError("inletOutlet BC requires env={'phi': ...}")
+        phi = env["phi"]
+        data = phi.data if hasattr(phi, "data") else phi
+        return data[patch.start:patch.start + patch.size]
+
+    def _mixed_bd(self, bd, mesh, patch, env, psi_c):
+        phi_p = self._patch_phi(mesh, patch, env)
+        f = 1.0 - (phi_p >= 0.0).astype(psi_c.dtype)
+        f = _bcast(f, psi_c) * jnp.ones_like(psi_c)
+        return dict(refValue=jnp.broadcast_to(bd["inletValue"], psi_c.shape),
+                    refGradient=jnp.zeros_like(psi_c), valueFraction=f)
+
+    def evaluate(self, mesh, patch, field, bd, env=None):
+        psi_c = field.patch_internal(mesh, patch)
+        return Mixed.evaluate(self, mesh, patch, field,
+                              self._mixed_bd(bd, mesh, patch, env, psi_c),
+                              env)
+
+    def value_internal_coeff(self, mesh, patch, field, bd, env=None):
+        psi_c = field.patch_internal(mesh, patch)
+        return Mixed.value_internal_coeff(
+            self, mesh, patch, field,
+            self._mixed_bd(bd, mesh, patch, env, psi_c), env)
+
+    def gradient_internal_coeff(self, mesh, patch, field, bd, env=None):
+        psi_c = field.patch_internal(mesh, patch)
+        return Mixed.gradient_internal_coeff(
+            self, mesh, patch, field,
+            self._mixed_bd(bd, mesh, patch, env, psi_c), env)
+
+
+def make_bc(type_word: str, patch_idx: int) -> BC:
+    cls = lookup("fvPatchField", type_word)
+    return cls(patch_idx)

@@ -1,0 +1,218 @@
+"""Geometric fields: cell- and face-registered device arrays.
+
+TPU re-founding of the reference's GeometricField stack (reference:
+src/OpenFOAM/fields/GeometricFields/GeometricField/GeometricField.H:81):
+
+- `VolField` = internal (nCells, ...) array + *materialized* boundary face
+  values (nBoundaryFaces, ...) + a static tuple of boundary-condition
+  descriptors + old-time levels. All arrays device-resident; the whole
+  thing is a frozen pytree so fields flow through jit/scan/while_loop.
+- `SurfaceField` = one (nFaces, ...) array covering internal AND boundary
+  faces (simpler than the reference's split storage).
+- Dimension checking (reference checks at every op) happens at *trace
+  time* via static DimensionSet metadata — zero runtime cost.
+
+Arithmetic on VolFields combines internal and boundary values alike and
+yields `calculated`-BC results, mirroring GeometricField operator
+semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.dimensions import DimensionSet, dimless
+
+
+@dataclass(frozen=True)
+class Dimensioned:
+    """A named, dimensioned scalar/vector constant (dimensionedScalar)."""
+    name: str
+    dims: DimensionSet
+    value: Any
+
+    @staticmethod
+    def from_entry(entry, name=""):
+        """Parse `nu [0 2 -1 0 0 0 0] 0.01`-style dictionary entries."""
+        if isinstance(entry, (int, float)):
+            return Dimensioned(name, dimless, float(entry))
+        items = list(entry) if isinstance(entry, tuple) else [entry]
+        nm, dims, val = name, dimless, None
+        for it in items:
+            if isinstance(it, DimensionSet):
+                dims = it
+            elif isinstance(it, str):
+                nm = it
+            elif isinstance(it, list):
+                val = jnp.asarray(it, dtype=float)
+            else:
+                val = float(it)
+        return Dimensioned(nm, dims, val)
+
+
+def _rank_shape(data) -> tuple:
+    return tuple(data.shape[1:])
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SurfaceField:
+    data: jax.Array  # (nFaces, ...) internal + boundary
+    dims: DimensionSet = dataclasses.field(metadata=dict(static=True))
+    name: str = dataclasses.field(default="", metadata=dict(static=True))
+
+    def _binop(self, other, f, dims):
+        return SurfaceField(f(self.data, _argdata(other)), dims, self.name)
+
+    def __add__(self, o):
+        return self._binop(o, jnp.add, self.dims.check_same(_argdims(o), "+"))
+
+    def __sub__(self, o):
+        return self._binop(o, jnp.subtract,
+                           self.dims.check_same(_argdims(o), "-"))
+
+    def __mul__(self, o):
+        return self._binop(o, jnp.multiply, self.dims * _argdims(o))
+
+    def __rmul__(self, o):
+        return self.__mul__(o)
+
+    def __truediv__(self, o):
+        return self._binop(o, jnp.divide, self.dims / _argdims(o))
+
+    def __neg__(self):
+        return SurfaceField(-self.data, self.dims, self.name)
+
+
+def _argdims(o) -> DimensionSet:
+    if isinstance(o, (VolField, SurfaceField, Dimensioned)):
+        return o.dims
+    return dimless
+
+
+def _argdata(o):
+    if isinstance(o, (VolField, SurfaceField)):
+        return o.data
+    if isinstance(o, Dimensioned):
+        return o.value
+    return o
+
+
+def _argb(o, like_b):
+    if isinstance(o, VolField):
+        return o.bvalues
+    if isinstance(o, SurfaceField):
+        raise TypeError("cannot combine VolField with SurfaceField directly")
+    if isinstance(o, Dimensioned):
+        return o.value
+    return o
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class VolField:
+    data: jax.Array            # (nCells, ...) internal values
+    bvalues: jax.Array         # (nBoundaryFaces, ...) boundary face values
+    bcs: tuple = dataclasses.field(metadata=dict(static=True))
+    dims: DimensionSet = dataclasses.field(metadata=dict(static=True))
+    name: str = dataclasses.field(default="", metadata=dict(static=True))
+    bcdata: tuple = ()         # per-patch pytrees of BC parameter arrays
+    old: Optional["VolField"] = None
+
+    # -- structure helpers ---------------------------------------------------
+    def replace(self, **kw) -> "VolField":
+        return dataclasses.replace(self, **kw)
+
+    def with_calculated_bcs(self, data, bvalues, dims,
+                            name="") -> "VolField":
+        from .bcs import Calculated
+        bcs = tuple(
+            bc if bc.preserves_type else Calculated(bc.patch)
+            for bc in self.bcs)
+        return VolField(data, bvalues, bcs, dims, name or self.name,
+                        tuple(() if not b.preserves_type else d
+                              for b, d in zip(self.bcs, self.bcdata)),
+                        None)
+
+    def store_old(self) -> "VolField":
+        """Shift current values into the old-time slot (keep 2 levels)."""
+        prev = self.old.replace(old=None) if self.old is not None else None
+        old = VolField(self.data, self.bvalues, self.bcs, self.dims,
+                       self.name, self.bcdata, prev)
+        return self.replace(old=old)
+
+    @property
+    def rank_shape(self):
+        return _rank_shape(self.data)
+
+    # -- arithmetic -----------------------------------------------------------
+    def _binop(self, other, f, dims, name=""):
+        return self.with_calculated_bcs(
+            f(self.data, _argdata(other)),
+            f(self.bvalues, _argb(other, self.bvalues)), dims, name)
+
+    def __add__(self, o):
+        return self._binop(o, jnp.add, self.dims.check_same(_argdims(o), "+"))
+
+    def __sub__(self, o):
+        return self._binop(o, jnp.subtract,
+                           self.dims.check_same(_argdims(o), "-"))
+
+    def __mul__(self, o):
+        return self._binop(o, jnp.multiply, self.dims * _argdims(o))
+
+    def __rmul__(self, o):
+        return self.__mul__(o)
+
+    def __truediv__(self, o):
+        return self._binop(o, jnp.divide, self.dims / _argdims(o))
+
+    def __neg__(self):
+        return self.with_calculated_bcs(-self.data, -self.bvalues, self.dims)
+
+    def component(self, c: int) -> "VolField":
+        return self.with_calculated_bcs(self.data[..., c],
+                                        self.bvalues[..., c], self.dims,
+                                        f"{self.name}{'xyz'[c]}")
+
+    # -- boundary -------------------------------------------------------------
+    def correct_boundary_conditions(self, mesh, env=None) -> "VolField":
+        """Re-evaluate every patch's face values from its BC (reference:
+        GeometricField::correctBoundaryConditions). env carries registry
+        fields some BCs read (e.g. phi for inletOutlet)."""
+        new_b = self.bvalues
+        for bc, bd in zip(self.bcs, self.bcdata):
+            patch = mesh.patches[bc.patch]
+            if patch.is_empty:
+                continue
+            vals = bc.evaluate(mesh, patch, self, bd, env)
+            new_b = new_b.at[patch.bstart:patch.bstart + patch.size].set(vals)
+        return self.replace(bvalues=new_b)
+
+    def patch_internal(self, mesh, patch) -> jax.Array:
+        """Internal-cell values adjacent to a patch (patchInternalField)."""
+        return self.data[mesh.patch_face_cells(patch)]
+
+    def patch_values(self, mesh, patch) -> jax.Array:
+        return self.bvalues[patch.bstart:patch.bstart + patch.size]
+
+
+def mag(x):
+    """Field magnitude (reference: mag())."""
+    if isinstance(x, VolField):
+        if x.rank_shape == ():
+            return x.with_calculated_bcs(jnp.abs(x.data), jnp.abs(x.bvalues),
+                                         x.dims, f"mag({x.name})")
+        return x.with_calculated_bcs(
+            jnp.linalg.norm(x.data, axis=-1),
+            jnp.linalg.norm(x.bvalues, axis=-1), x.dims, f"mag({x.name})")
+    if isinstance(x, SurfaceField):
+        d = jnp.abs(x.data) if x.data.ndim == 1 else \
+            jnp.linalg.norm(x.data, axis=-1)
+        return SurfaceField(d, x.dims, f"mag({x.name})")
+    return jnp.abs(x)

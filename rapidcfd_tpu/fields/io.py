@@ -1,0 +1,152 @@
+"""Field file IO: read/write `<time>/<field>` in OpenFOAM format.
+
+Keeps the reference's on-disk checkpoint contract (SURVEY.md §5.4: the
+time directory IS the checkpoint; reference: GeometricField IO via
+gpuListIO.C round-trips device<->host<->token-stream) so ParaView,
+foamLog and stock tooling work on our cases. Handles the renumbering
+permutation between file order and device order.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh.mesharrays import MeshArrays, MeshMaps
+from ..utils.dictionary import foamfile_header, parse_file
+from ..utils.dimensions import DimensionSet
+from .bcs import Calculated, make_bc
+from .field import VolField
+
+_BC_DATA_KEYS = ("value", "gradient", "refValue", "refGradient",
+                 "valueFraction", "inletValue", "outletValue")
+
+
+def _parse_value(entry, n: int, dtype):
+    """Parse `uniform v`, `uniform (x y z)`, `nonuniform List<T> N (...)`."""
+    if isinstance(entry, (int, float)):
+        return jnp.full((n,), float(entry), dtype)
+    if isinstance(entry, tuple):
+        items = list(entry)
+        if items[0] == "uniform":
+            v = items[1]
+            if isinstance(v, list):
+                return jnp.broadcast_to(
+                    jnp.asarray(v, dtype), (n, len(v))).copy()
+            return jnp.full((n,), float(v), dtype)
+        if items[0] == "nonuniform":
+            payload = items[-1]
+            if isinstance(payload, int):  # `nonuniform List<scalar> 0 ()`
+                payload = []
+            arr = np.asarray(payload, dtype=float)
+            if arr.ndim == 0:
+                arr = arr.reshape(0)
+            if arr.shape[0] != n:
+                raise ValueError(
+                    f"nonuniform field has {arr.shape[0]} entries, "
+                    f"expected {n}")
+            return jnp.asarray(arr, dtype)
+    if isinstance(entry, list):
+        return jnp.broadcast_to(jnp.asarray(entry, dtype),
+                                (n, len(entry))).copy()
+    raise ValueError(f"cannot parse field value: {entry!r}")
+
+
+def read_vol_field(case_dir: str, time: str, name: str, mesh: MeshArrays,
+                   maps: MeshMaps, dtype=None) -> VolField:
+    if dtype is None:
+        from ..mesh.mesharrays import default_dtype
+        dtype = default_dtype()
+    d = parse_file(os.path.join(case_dir, time, name))
+    dims = d.lookup("dimensions", required=True)
+    assert isinstance(dims, DimensionSet)
+    data = _parse_value(d.lookup("internalField", required=True),
+                        mesh.n_cells, dtype)
+    # file order -> device (renumbered) order
+    data = jnp.asarray(np.asarray(data)[maps.cell_perm])
+
+    bfield = d.subdict("boundaryField")
+    bcs, bcdata = [], []
+    rank_shape = data.shape[1:]
+    bvalues = jnp.zeros((mesh.n_boundary,) + rank_shape, dtype)
+    for i, patch in enumerate(mesh.patches):
+        pd = bfield.lookup(patch.name)
+        if pd is None:
+            raise KeyError(f"field {name}: no boundaryField entry for "
+                           f"patch '{patch.name}'")
+        bc_type = pd.word("type")
+        bc = make_bc(bc_type, i)
+        bd = {}
+        for key in _BC_DATA_KEYS:
+            if pd.lookup(key) is not None:
+                v = _parse_value(pd.lookup(key), patch.size, dtype)
+                bd[key] = v
+        bcs.append(bc)
+        bcdata.append(bd)
+        if "value" in bd:
+            bvalues = bvalues.at[
+                patch.bstart:patch.bstart + patch.size].set(bd["value"])
+
+    f = VolField(data, bvalues, tuple(bcs), dims, name, tuple(bcdata))
+    return f.correct_boundary_conditions(mesh)
+
+
+def _fmt_scalar(v: float, prec: int = 8) -> str:
+    return f"{v:.{prec}g}"
+
+
+def _body_value(arr: np.ndarray, prec: int = 8) -> str:
+    if arr.ndim == 1:
+        if np.all(arr == arr[0] if arr.size else True) and arr.size:
+            return f"uniform {_fmt_scalar(float(arr[0]), prec)}"
+        body = "\n".join(_fmt_scalar(float(v), prec) for v in arr)
+        return (f"nonuniform List<scalar>\n{arr.shape[0]}\n(\n{body}\n)")
+    comp = "vector" if arr.shape[1] == 3 else f"Type{arr.shape[1]}"
+    if arr.size and np.all(arr == arr[0]):
+        return ("uniform ("
+                + " ".join(_fmt_scalar(float(v), prec) for v in arr[0]) + ")")
+    rows = "\n".join(
+        "(" + " ".join(_fmt_scalar(float(v), prec) for v in row) + ")"
+        for row in arr)
+    return f"nonuniform List<{comp}>\n{arr.shape[0]}\n(\n{rows}\n)"
+
+
+def _dims_str(dims: DimensionSet) -> str:
+    return "[" + " ".join(str(int(e)) if e.denominator == 1 else str(float(e))
+                          for e in dims.as_tuple()) + "]"
+
+
+def write_vol_field(field: VolField, case_dir: str, time: str,
+                    mesh: MeshArrays, maps: MeshMaps, prec: int = 8):
+    from ..utils.registry import _TABLES
+    cls = ("volScalarField" if field.data.ndim == 1 else "volVectorField")
+    data = maps.cells_to_file(np.asarray(field.data))
+    lines = [f"\ndimensions      {_dims_str(field.dims)};\n\n",
+             f"internalField   {_body_value(data, prec)};\n\n",
+             "boundaryField\n{\n"]
+    # reverse lookup BC class -> dictionary word
+    word_of = {}
+    for w, c in _TABLES.get("fvPatchField", {}).items():
+        word_of.setdefault(c, w)
+    bvals = np.asarray(field.bvalues)
+    for bc, bd in zip(field.bcs, field.bcdata):
+        patch = mesh.patches[bc.patch]
+        w = word_of.get(type(bc), "calculated")
+        lines.append(f"    {patch.name}\n    {{\n"
+                     f"        type            {w};\n")
+        pb = bvals[patch.bstart:patch.bstart + patch.size]
+        if isinstance(bc, Calculated) or "value" in bd:
+            lines.append(f"        value           {_body_value(pb, prec)};\n")
+        for key in _BC_DATA_KEYS:
+            if key == "value" or key not in bd:
+                continue
+            lines.append(f"        {key}          "
+                         f" {_body_value(np.asarray(bd[key]), prec)};\n")
+        lines.append("    }\n")
+    lines.append("}\n")
+    path = os.path.join(case_dir, time, field.name)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(foamfile_header(cls, field.name, time) + "".join(lines))

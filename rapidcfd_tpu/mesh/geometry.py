@@ -169,10 +169,12 @@ def cuthill_mckee(mesh: PolyMesh, reverse: bool = True) -> np.ndarray:
     return np.asarray(perm, dtype=np.int64)
 
 
-def renumber_mesh(mesh: PolyMesh, perm: np.ndarray) -> PolyMesh:
+def renumber_mesh(mesh: PolyMesh, perm: np.ndarray,
+                  return_face_order: bool = False):
     """Apply a cell permutation (perm[new] = old) and restore the
     owner-sorted upper-triangular face ordering the reference's formats
-    guarantee (polyMesh face invariant)."""
+    guarantee (polyMesh face invariant). With return_face_order, also
+    return face_perm with face_perm[new] = old (boundary faces identity)."""
     nc = mesh.n_cells
     n_int = mesh.n_internal_faces
     inv = np.empty(nc, dtype=np.int64)
@@ -206,5 +208,10 @@ def renumber_mesh(mesh: PolyMesh, perm: np.ndarray) -> PolyMesh:
 
     final_own = np.concatenate([new_own[:n_int][order], new_own[n_int:]])
     final_nei = new_nei[order]
-    return PolyMesh(mesh.points, new_fp, new_off, final_own, final_nei,
-                    mesh.patches)
+    out = PolyMesh(mesh.points, new_fp, new_off, final_own, final_nei,
+                   mesh.patches)
+    if return_face_order:
+        face_perm = np.concatenate(
+            [order, np.arange(n_int, mesh.n_faces)]).astype(np.int64)
+        return out, face_perm
+    return out

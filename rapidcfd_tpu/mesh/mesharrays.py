@@ -111,23 +111,51 @@ class MeshArrays:
         return sf / jnp.maximum(self.patch_mag_sf(p), 1e-300)[:, None]
 
 
+@dataclass(frozen=True)
+class MeshMaps:
+    """Orderings between on-disk and device layouts (perm[new] = old)."""
+    cell_perm: np.ndarray
+    face_perm: np.ndarray
+
+    def cells_to_device(self, file_order: np.ndarray) -> np.ndarray:
+        return file_order[self.cell_perm]
+
+    def cells_to_file(self, dev_order: np.ndarray) -> np.ndarray:
+        out = np.empty_like(dev_order)
+        out[self.cell_perm] = dev_order
+        return out
+
+    def faces_to_device(self, file_order: np.ndarray) -> np.ndarray:
+        return file_order[self.face_perm]
+
+    def faces_to_file(self, dev_order: np.ndarray) -> np.ndarray:
+        out = np.empty_like(dev_order)
+        out[self.face_perm] = dev_order
+        return out
+
+
 def default_dtype():
     """fp64 when x64 is enabled (CPU validation), else fp32 (TPU runs)."""
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
 def build_mesh_arrays(mesh: PolyMesh, *, renumber: bool = True,
-                      dtype=None) -> tuple[MeshArrays, PolyMesh]:
+                      dtype=None
+                      ) -> tuple[MeshArrays, PolyMesh, "MeshMaps"]:
     """Host preprocessing pipeline: renumber -> geometry -> ELL -> device.
 
-    Returns the device MeshArrays and the (possibly renumbered) PolyMesh the
-    field IO must use for cell ordering.
+    Returns (MeshArrays, renumbered PolyMesh, MeshMaps). MeshMaps carries
+    cell_perm/face_perm with perm[new] = old so field IO can translate
+    between on-disk (original) and device (renumbered) orderings.
     """
     if dtype is None:
         dtype = default_dtype()
+    cell_perm = np.arange(mesh.n_cells, dtype=np.int64)
+    face_perm = np.arange(mesh.n_faces, dtype=np.int64)
     if renumber and mesh.n_internal_faces > 0:
-        perm = cuthill_mckee(mesh)
-        mesh = renumber_mesh(mesh, perm)
+        cell_perm = cuthill_mckee(mesh)
+        mesh, face_perm = renumber_mesh(mesh, cell_perm,
+                                        return_face_order=True)
 
     Cf, Sf = face_centres_and_areas(mesh)
     C, V = cell_centres_and_vols(mesh, Cf, Sf)
@@ -205,4 +233,4 @@ def build_mesh_arrays(mesh: PolyMesh, *, renumber: bool = True,
         n_cells=nc, n_faces=nf, n_internal=n_int, K=K,
         patches=tuple(patches),
     )
-    return ma, mesh
+    return ma, mesh, MeshMaps(cell_perm, face_perm)

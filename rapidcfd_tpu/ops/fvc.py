@@ -1,0 +1,221 @@
+"""fvc — explicit finite-volume operators returning fields.
+
+Capability surface of the reference's fvc namespace (reference:
+src/finiteVolume/finiteVolume/fvc/fvc.H; core gather kernel
+fvcSurfaceIntegrate.C:41-200), re-founded on the padded ELL mesh: every
+operator is a regular face gather + masked per-cell reduction — pure XLA,
+fully fusable, no scatters.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..fields.field import SurfaceField, VolField
+from ..mesh.mesharrays import MeshArrays
+from ..utils.dimensions import dim_length, dim_volume, dimless, DimensionSet
+
+_AREA = dim_length ** 2
+
+
+def _ext(a, like):
+    """Append trailing singleton dims to broadcast a face-scalar over a
+    (nFaces, ...) field."""
+    return a.reshape(a.shape + (1,) * (like.ndim - a.ndim))
+
+
+# ---------------------------------------------------------------------------
+# interpolation
+# ---------------------------------------------------------------------------
+
+def face_values(mesh: MeshArrays, vf: VolField,
+                scheme: str = "linear", phi: SurfaceField | None = None
+                ) -> jnp.ndarray:
+    """Face values on ALL faces: internal by the scheme, boundary from the
+    field's materialized patch values."""
+    from .interpolation import interpolate_internal
+    internal = interpolate_internal(mesh, vf, scheme, phi)
+    return jnp.concatenate([internal, vf.bvalues], axis=0)
+
+
+def interpolate(mesh: MeshArrays, vf: VolField, scheme: str = "linear",
+                phi: SurfaceField | None = None) -> SurfaceField:
+    return SurfaceField(face_values(mesh, vf, scheme, phi), vf.dims,
+                        f"interpolate({vf.name})")
+
+
+# ---------------------------------------------------------------------------
+# the core gather kernel
+# ---------------------------------------------------------------------------
+
+def surface_sum_faces(mesh: MeshArrays, face_data: jnp.ndarray,
+                      signed: bool = True) -> jnp.ndarray:
+    """Per-cell sum of face data over the cell's ELL slots.
+
+    The TPU equivalent of the reference's cell-gather functor
+    (fvcSurfaceIntegrate.C:41-100): out[c] = sum_k sign[c,k]*x[face[c,k]].
+    """
+    gathered = jnp.take(face_data, mesh.cell_faces, axis=0)
+    w = mesh.cell_sign if signed else jnp.abs(mesh.cell_sign)
+    return (gathered * _ext(w, gathered)).sum(axis=1)
+
+
+def surface_integrate(mesh: MeshArrays, ssf: SurfaceField) -> VolField:
+    """(1/V) * sum of owner-outward face values (fvc::surfaceIntegrate)."""
+    summed = surface_sum_faces(mesh, ssf.data)
+    data = summed / _ext(mesh.V, summed)
+    return _extrapolated(mesh, data, ssf.dims / dim_volume,
+                         f"surfaceIntegrate({ssf.name})")
+
+
+def surface_sum(mesh: MeshArrays, ssf: SurfaceField) -> VolField:
+    """Unsigned per-cell sum (fvc::surfaceSum)."""
+    return _extrapolated(mesh, surface_sum_faces(mesh, ssf.data, False),
+                         ssf.dims, f"surfaceSum({ssf.name})")
+
+
+def _extrapolated(mesh: MeshArrays, data, dims, name="") -> VolField:
+    """Wrap cell data as a VolField with zero-order extrapolated boundary
+    values and calculated BCs."""
+    from ..fields.bcs import Calculated
+    bvalues = jnp.take(data, mesh.owner[mesh.n_internal:], axis=0)
+    bcs = tuple(Calculated(i) for i in range(len(mesh.patches)))
+    return VolField(data, bvalues, bcs, dims, name,
+                    tuple({} for _ in mesh.patches))
+
+
+# ---------------------------------------------------------------------------
+# operators
+# ---------------------------------------------------------------------------
+
+def div(mesh: MeshArrays, a, b=None, scheme: str = "linear") -> VolField:
+    """fvc::div(ssf) or fvc::div(phi, vf) (Gauss)."""
+    if b is None:
+        assert isinstance(a, SurfaceField)
+        return surface_integrate(mesh, a)
+    phi, vf = a, b
+    face_v = face_values(mesh, vf, scheme, phi)
+    flux_f = _ext(phi.data, face_v) * face_v
+    return surface_integrate(
+        mesh, SurfaceField(flux_f, phi.dims * vf.dims,
+                           f"div({phi.name},{vf.name})"))
+
+
+def grad(mesh: MeshArrays, vf: VolField, scheme: str = "linear") -> VolField:
+    """Gauss gradient with boundary normal-gradient correction (reference:
+    gradSchemes/gaussGrad/gaussGrad.C:51-101 + correctBoundaryConditions).
+
+    scalar -> vector; vector -> tensor with (grad U)[i,j] = dU_j/dx_i.
+    """
+    fv = face_values(mesh, vf, scheme)
+    if fv.ndim == 1:
+        face_term = mesh.Sf * fv[:, None]                  # (nF, 3)
+    else:
+        face_term = mesh.Sf[:, :, None] * fv[:, None, :]   # (nF, 3, rank)
+    summed = surface_sum_faces(mesh, face_term)
+    data = summed / _ext(mesh.V, summed)
+    g = _extrapolated(mesh, data, vf.dims / dim_length, f"grad({vf.name})")
+    return _grad_correct_boundary(mesh, g, vf)
+
+
+def _grad_correct_boundary(mesh: MeshArrays, g: VolField,
+                           vf: VolField) -> VolField:
+    """Replace the patch-normal gradient component with the BC's exact
+    snGrad (reference: gaussGrad::correctBoundaryConditions)."""
+    bvalues = g.bvalues
+    for bc, bd in zip(vf.bcs, vf.bcdata):
+        patch = mesh.patches[bc.patch]
+        if patch.is_empty or patch.size == 0:
+            continue
+        n = mesh.patch_normals(patch)                      # (np, 3)
+        gc = g.data[mesh.patch_face_cells(patch)]          # (np, 3[, r])
+        sngrad = bc.snGrad(mesh, patch, vf, bd)            # (np[, r])
+        if gc.ndim == 2:   # gradient of a scalar: (np, 3)
+            corrected = gc - n * (n * gc).sum(-1, keepdims=True) \
+                + n * sngrad[:, None]
+        else:              # gradient of a vector: (np, 3, r)
+            ndotg = (n[:, :, None] * gc).sum(1, keepdims=True)
+            corrected = gc - n[:, :, None] * ndotg \
+                + n[:, :, None] * sngrad[:, None, :]
+        bvalues = bvalues.at[patch.bstart:patch.bstart + patch.size].set(
+            corrected)
+    return g.replace(bvalues=bvalues)
+
+
+def sn_grad(mesh: MeshArrays, vf: VolField) -> SurfaceField:
+    """Surface-normal gradient (orthogonal; corrected scheme in snGradSchemes)."""
+    own = mesh.owner[:mesh.n_internal]
+    d_int = (jnp.take(vf.data, mesh.neighbour, axis=0)
+             - jnp.take(vf.data, own, axis=0))
+    internal = d_int * _ext(mesh.delta_coeffs, d_int)
+    psi_c = jnp.take(vf.data, mesh.owner[mesh.n_internal:], axis=0)
+    d_b = vf.bvalues - psi_c
+    boundary = d_b * _ext(mesh.b_delta_coeffs, d_b)
+    return SurfaceField(jnp.concatenate([internal, boundary], axis=0),
+                        vf.dims / dim_length, f"snGrad({vf.name})")
+
+
+def laplacian(mesh: MeshArrays, gamma, vf: VolField) -> VolField:
+    """fvc::laplacian(gamma, vf) = surfaceIntegrate(gamma_f*magSf*snGrad)."""
+    sng = sn_grad(mesh, vf)
+    if isinstance(gamma, VolField):
+        g_f = face_values(mesh, gamma)
+        g_dims = gamma.dims
+    elif isinstance(gamma, SurfaceField):
+        g_f, g_dims = gamma.data, gamma.dims
+    else:
+        from ..fields.field import Dimensioned
+        if isinstance(gamma, Dimensioned):
+            g_f, g_dims = gamma.value, gamma.dims
+        else:
+            g_f, g_dims = gamma, dimless
+    flux_f = _ext(g_f * mesh.mag_sf, sng.data) * sng.data
+    return surface_integrate(
+        mesh, SurfaceField(flux_f, g_dims * _AREA * sng.dims,
+                           f"laplacian({vf.name})"))
+
+
+def flux(mesh: MeshArrays, U: VolField) -> SurfaceField:
+    """Volumetric face flux phi = interpolate(U) & Sf (createPhi.H)."""
+    fv = face_values(mesh, U)
+    return SurfaceField((fv * mesh.Sf).sum(-1), U.dims * _AREA,
+                        "phi")
+
+
+def reconstruct(mesh: MeshArrays, ssf: SurfaceField) -> VolField:
+    """Reconstruct a cell vector from face fluxes (fvc::reconstruct):
+    (sum_f Sf⊗Sf/|Sf·dhat|)^-1 · sum_f Sf*ssf_f — simplified inverse-dyad
+    form sum(Sf⊗Sf/magSf)^-1 & sum(Sf ssf/magSf)."""
+    sf_over_mag = mesh.Sf / jnp.maximum(mesh.mag_sf, 1e-300)[:, None]
+    dyad_f = sf_over_mag[:, :, None] * mesh.Sf[:, None, :]
+    rhs_f = sf_over_mag * ssf.data[:, None]
+    dyad = surface_sum_faces(mesh, dyad_f, signed=False)
+    rhs = surface_sum_faces(mesh, rhs_f)
+    data = jnp.linalg.solve(dyad, rhs[..., None])[..., 0]
+    return _extrapolated(mesh, data, ssf.dims / _AREA,
+                         f"reconstruct({ssf.name})")
+
+
+def average(mesh: MeshArrays, ssf: SurfaceField) -> VolField:
+    """Area-weighted face->cell average (fvc::average)."""
+    w_sum = surface_sum_faces(mesh, mesh.mag_sf, signed=False)
+    v_sum = surface_sum_faces(mesh, _ext(mesh.mag_sf, ssf.data) * ssf.data,
+                              signed=False)
+    return _extrapolated(mesh, v_sum / _ext(w_sum, v_sum), ssf.dims,
+                         f"average({ssf.name})")
+
+
+def domain_integrate(mesh: MeshArrays, vf: VolField):
+    """gSum(V*field) — note: needs psum over shards in distributed runs."""
+    return (vf.data * _ext(mesh.V, vf.data)).sum(0)
+
+
+def ddt(mesh: MeshArrays, vf: VolField, dt) -> VolField:
+    """Explicit Euler time derivative (fvc::ddt)."""
+    if vf.old is None:
+        z = vf * 0.0
+        return z.replace(dims=vf.dims / DimensionSet.of(0, 0, 1))
+    d = (vf.data - vf.old.data) / dt
+    b = (vf.bvalues - vf.old.bvalues) / dt
+    return vf.with_calculated_bcs(d, b, vf.dims / DimensionSet.of(0, 0, 1),
+                                  f"ddt({vf.name})")

@@ -1,0 +1,202 @@
+"""fvm — implicit finite-volume operators returning FvMatrix systems.
+
+Capability surface of the reference's fvm namespace (reference:
+src/finiteVolume/finiteVolume/fvm/fvm.H): ddt, div (Gauss convection),
+laplacian (Gauss), Sp/Su/SuSp source linearization. Assembly is
+face-local coefficient construction (exactly the reference's
+gaussConvectionScheme.H:59 / gaussLaplacianScheme.C:44-88 recipes) with
+negSumDiag realized as an ELL gather instead of a scatter.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..fields.field import Dimensioned, SurfaceField, VolField
+from ..mesh.mesharrays import MeshArrays
+from ..utils.dimensions import DimensionSet, dim_length, dimless
+from .fvmatrix import FvMatrix, _ext
+from .interpolation import scheme_weights
+
+_VOL = DimensionSet.of(0, 3)
+_TIME = DimensionSet.of(0, 0, 1)
+_AREA = dim_length ** 2
+
+
+def _pair_gather(mesh: MeshArrays, own_arr, nei_arr):
+    """Per-cell-slot gather where owner slots read own_arr[f] and
+    neighbour slots read nei_arr[f] (uses the [0..nInt|nInt..2nInt|zero]
+    structure of ell_coeff_idx)."""
+    cat = jnp.concatenate([own_arr, nei_arr, jnp.zeros(1, own_arr.dtype)])
+    return jnp.take(cat, mesh.ell_coeff_idx, axis=0)
+
+
+def _neg_sum_diag(mesh: MeshArrays, lower, upper):
+    """diag[own] -= lower[f]; diag[nei] -= upper[f] (lduMatrix::negSumDiag),
+    as a gather: owner slot of face f must read lower[f]."""
+    return -_pair_gather(mesh, lower, upper).sum(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# time derivatives
+# ---------------------------------------------------------------------------
+
+def ddt(mesh: MeshArrays, vf: VolField, dt, scheme: str = "Euler") -> FvMatrix:
+    """fvm::ddt (reference: finiteVolume/ddtSchemes). dt is a runtime
+    scalar (trace-safe: changing dt does not recompile)."""
+    m = FvMatrix.zeros(mesh, vf, vf.dims * _VOL / _TIME, symmetric=True)
+    if scheme == "steadyState":
+        return m
+    if scheme == "Euler":
+        if vf.old is None:
+            raise ValueError(f"ddt({vf.name}): no old-time field stored")
+        rdt = 1.0 / dt
+        diag = mesh.V * rdt
+        src = _ext(diag, vf.old.data) * vf.old.data
+        return m.replace(diag=diag, source=src)
+    if scheme == "backward":
+        # 2nd order: (3/2 psi - 2 psi0 + 1/2 psi00)/dt (equal-step form)
+        if vf.old is None or vf.old.old is None:
+            return ddt(mesh, vf, dt, "Euler")
+        rdt = 1.0 / dt
+        diag = 1.5 * mesh.V * rdt
+        vrdt = _ext(mesh.V * rdt, vf.old.data)
+        src = 2.0 * vrdt * vf.old.data - 0.5 * vrdt * vf.old.old.data
+        return m.replace(diag=diag, source=src)
+    raise ValueError(f"unknown ddtScheme '{scheme}'")
+
+
+# ---------------------------------------------------------------------------
+# convection
+# ---------------------------------------------------------------------------
+
+def div(mesh: MeshArrays, phi: SurfaceField, vf: VolField,
+        scheme="linear") -> FvMatrix:
+    """fvm::div(phi, psi) — Gauss convection (reference:
+    gaussConvectionScheme: lower = -w*phi, upper = lower + phi,
+    negSumDiag; boundary via the BC value-coefficient hooks)."""
+    w = scheme_weights(mesh, vf, scheme, phi)
+    phi_i = phi.data[:mesh.n_internal]
+    lower = -w * phi_i
+    upper = lower + phi_i
+    diag = _neg_sum_diag(mesh, lower, upper)
+
+    m = FvMatrix.zeros(mesh, vf, phi.dims * vf.dims,
+                       symmetric=False)
+    ics, bcs_ = [], []
+    for i, (patch, bc, bd) in enumerate(
+            zip(mesh.patches, vf.bcs, vf.bcdata)):
+        if not bc.assembles or patch.size == 0:
+            ics.append(m.internal_coeffs[i])
+            bcs_.append(m.boundary_coeffs[i])
+            continue
+        phi_b = phi.data[patch.start:patch.start + patch.size]
+        vic, vbc = bc.value_coeffs(mesh, patch, vf, bd, env={'phi': phi})
+        phi_b = _ext(phi_b, vbc)
+        ics.append(phi_b * vic * jnp.ones_like(vbc))
+        bcs_.append(-phi_b * vbc)
+    return m.replace(diag=diag, lower=lower, upper=upper,
+                     internal_coeffs=tuple(ics),
+                     boundary_coeffs=tuple(bcs_))
+
+
+# ---------------------------------------------------------------------------
+# diffusion
+# ---------------------------------------------------------------------------
+
+def _gamma_faces(mesh, gamma):
+    from .fvc import face_values
+    if isinstance(gamma, VolField):
+        return face_values(mesh, gamma), gamma.dims
+    if isinstance(gamma, SurfaceField):
+        return gamma.data, gamma.dims
+    if isinstance(gamma, Dimensioned):
+        return jnp.broadcast_to(jnp.asarray(gamma.value, mesh.V.dtype),
+                                (mesh.n_faces,)), gamma.dims
+    return jnp.broadcast_to(jnp.asarray(gamma, mesh.V.dtype),
+                            (mesh.n_faces,)), dimless
+
+
+def laplacian(mesh: MeshArrays, gamma, vf: VolField,
+              scheme: str = "orthogonal") -> FvMatrix:
+    """fvm::laplacian(gamma, psi) (reference: gaussLaplacianScheme
+    fvmLaplacianUncorrected: upper = deltaCoeffs*gamma_f*magSf,
+    negSumDiag; boundary via gradient-coefficient hooks). 'corrected'
+    adds the explicit non-orthogonal face-flux correction to the source."""
+    g_f, g_dims = _gamma_faces(mesh, gamma)
+    corrected = scheme in ("corrected", "limited")
+    dc = mesh.nonorth_delta_coeffs if corrected else mesh.delta_coeffs
+    g_int = g_f[:mesh.n_internal] * mesh.mag_sf[:mesh.n_internal] * dc
+    diag = _neg_sum_diag(mesh, g_int, g_int)
+
+    m = FvMatrix.zeros(mesh, vf, g_dims * _AREA * vf.dims / dim_length,
+                       symmetric=True)
+    ics, bcs_ = [], []
+    for i, (patch, bc, bd) in enumerate(
+            zip(mesh.patches, vf.bcs, vf.bcdata)):
+        if not bc.assembles or patch.size == 0:
+            ics.append(m.internal_coeffs[i])
+            bcs_.append(m.boundary_coeffs[i])
+            continue
+        gb = g_f[patch.start:patch.start + patch.size] \
+            * mesh.patch_mag_sf(patch)
+        gic, gbc = bc.gradient_coeffs(mesh, patch, vf, bd)
+        gb = _ext(gb, gbc)
+        ics.append(gb * gic * jnp.ones_like(gbc))
+        bcs_.append(-gb * gbc)
+    m = m.replace(diag=diag, lower=g_int, upper=g_int,
+                  internal_coeffs=tuple(ics), boundary_coeffs=tuple(bcs_))
+
+    if corrected:
+        # explicit non-orthogonal correction: gamma_f*magSf*(k . grad_f)
+        from . import fvc
+        g = fvc.grad(mesh, vf)
+        gf = fvc.face_values(mesh, g)[:mesh.n_internal]
+        if vf.data.ndim == 1:
+            corr = (mesh.corr_vecs * gf).sum(-1)
+        else:
+            corr = (mesh.corr_vecs[:, :, None] * gf).sum(1)
+        corr = _ext(g_f[:mesh.n_internal] * mesh.mag_sf[:mesh.n_internal],
+                    corr) * corr
+        full = jnp.concatenate(
+            [corr, jnp.zeros((mesh.n_boundary,) + corr.shape[1:],
+                             corr.dtype)], axis=0)
+        # the correction joins the operator E, i.e. leaves the source
+        corr_cells = fvc.surface_sum_faces(mesh, full)
+        m = m.replace(source=m.source - corr_cells)
+    return m
+
+
+# ---------------------------------------------------------------------------
+# sources
+# ---------------------------------------------------------------------------
+
+def Sp(mesh: MeshArrays, sp, vf: VolField) -> FvMatrix:
+    """Implicit source fvm::Sp(sp, psi): E += sp*V*psi."""
+    sp_data, sp_dims = _coeff(sp)
+    m = FvMatrix.zeros(mesh, vf, sp_dims * vf.dims * _VOL, symmetric=True)
+    return m.replace(diag=mesh.V * sp_data)
+
+
+def Su(mesh: MeshArrays, su, vf: VolField) -> FvMatrix:
+    """Explicit source fvm::Su(su, psi): E += su*V."""
+    su_data, su_dims = _coeff(su)
+    m = FvMatrix.zeros(mesh, vf, su_dims * _VOL, symmetric=True)
+    return m.replace(source=m.source - _ext(mesh.V, m.source) * su_data)
+
+
+def SuSp(mesh: MeshArrays, sp, vf: VolField) -> FvMatrix:
+    """fvm::SuSp: implicit where stabilizing (sp>0), explicit otherwise."""
+    sp_data, sp_dims = _coeff(sp)
+    m = FvMatrix.zeros(mesh, vf, sp_dims * vf.dims * _VOL, symmetric=True)
+    diag = mesh.V * jnp.maximum(sp_data, 0.0)
+    src = -_ext(mesh.V * jnp.minimum(sp_data, 0.0), vf.data) * vf.data
+    return m.replace(diag=diag, source=src)
+
+
+def _coeff(x):
+    if isinstance(x, VolField):
+        return x.data, x.dims
+    if isinstance(x, Dimensioned):
+        return x.value, x.dims
+    return x, dimless

@@ -1,0 +1,216 @@
+"""FvMatrix — the implicit finite-volume system in padded-ELL form.
+
+TPU re-founding of the reference's fvMatrix<Type> : lduMatrix (reference:
+src/finiteVolume/fvMatrices/fvMatrix/fvMatrix.H:115 and
+src/OpenFOAM/matrices/lduMatrix/lduMatrix/lduMatrix.H:78). LDU semantics
+are preserved — face-indexed lower/upper coefficient arrays, per-patch
+internal/boundary coefficients, integrated source — but the
+matrix-vector product is a dense K-wide gather-multiply-sum over the
+mesh's ELL slots (the reference's Amul cell-gather functor,
+lduMatrixATmul.C:43-140, without the fast/slow dual path: padding makes
+every cell the fast path).
+
+Sign convention: the assembled expression is E(psi) = M*psi - source; the
+solve is M*psi = source. Patch coefficients: internal_coeffs[p] adds to
+the diagonal of the patch's face-cells, boundary_coeffs[p] to their
+source (both shaped (size,) + rank of psi).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..fields.field import VolField
+from ..mesh.mesharrays import MeshArrays
+from ..utils.dimensions import DimensionSet
+
+_VOL_DIMS = DimensionSet.of(0, 3, 0)
+
+
+def _ext(a, like):
+    return a.reshape(a.shape + (1,) * (like.ndim - a.ndim))
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True, eq=False)
+class FvMatrix:
+    diag: jax.Array                 # (nCells,)
+    lower: jax.Array                # (nInternal,)
+    upper: jax.Array                # (nInternal,)
+    source: jax.Array               # (nCells,) + rank
+    internal_coeffs: tuple          # per patch: (size,) + rank
+    boundary_coeffs: tuple          # per patch: (size,) + rank
+    psi: VolField
+    V: jax.Array                    # (nCells,) cell volumes
+    dims: DimensionSet = dataclasses.field(metadata=dict(static=True))
+    symmetric: bool = dataclasses.field(default=False,
+                                        metadata=dict(static=True))
+
+    # -- construction --------------------------------------------------------
+    @staticmethod
+    def zeros(mesh: MeshArrays, psi: VolField, dims: DimensionSet,
+              symmetric: bool = True) -> "FvMatrix":
+        rank = psi.data.shape[1:]
+        z = jnp.zeros
+        dt = psi.data.dtype
+        return FvMatrix(
+            diag=z(mesh.n_cells, dt),
+            lower=z(mesh.n_internal, dt),
+            upper=z(mesh.n_internal, dt),
+            source=z((mesh.n_cells,) + rank, dt),
+            internal_coeffs=tuple(z((p.size,) + rank, dt)
+                                  for p in mesh.patches),
+            boundary_coeffs=tuple(z((p.size,) + rank, dt)
+                                  for p in mesh.patches),
+            psi=psi, V=mesh.V, dims=dims, symmetric=symmetric)
+
+    def replace(self, **kw) -> "FvMatrix":
+        return dataclasses.replace(self, **kw)
+
+    # -- algebra ---------------------------------------------------------------
+    def __add__(self, o: "FvMatrix") -> "FvMatrix":
+        self.dims.check_same(o.dims, "fvMatrix +")
+        return FvMatrix(
+            self.diag + o.diag, self.lower + o.lower, self.upper + o.upper,
+            self.source + o.source,
+            tuple(a + b for a, b in
+                  zip(self.internal_coeffs, o.internal_coeffs)),
+            tuple(a + b for a, b in
+                  zip(self.boundary_coeffs, o.boundary_coeffs)),
+            self.psi, self.V, self.dims, self.symmetric and o.symmetric)
+
+    def __sub__(self, o: "FvMatrix") -> "FvMatrix":
+        return self + (o * -1.0)
+
+    def __mul__(self, s) -> "FvMatrix":
+        return FvMatrix(
+            self.diag * s, self.lower * s, self.upper * s, self.source * s,
+            tuple(a * s for a in self.internal_coeffs),
+            tuple(a * s for a in self.boundary_coeffs),
+            self.psi, self.V, self.dims, self.symmetric)
+
+    __rmul__ = __mul__
+
+    def __neg__(self):
+        return self * -1.0
+
+    def __eq__(self, rhs):  # OpenFOAM sugar: fvm::... == rhs
+        return self.equals(rhs)
+
+    __hash__ = None
+
+    def equals(self, rhs) -> "FvMatrix":
+        """`fvm == rhs`: move the RHS into the source. rhs may be another
+        FvMatrix or a per-volume VolField (integrated with V here)."""
+        if isinstance(rhs, FvMatrix):
+            return self - rhs
+        if isinstance(rhs, VolField):
+            self.dims.check_same(rhs.dims * _VOL_DIMS, "fvMatrix ==")
+            return self.replace(
+                source=self.source + rhs.data * _ext(self.V, rhs.data))
+        raise TypeError(f"cannot == fvMatrix with {type(rhs)}")
+
+    # -- matrix action -----------------------------------------------------------
+    def ell_coeffs(self, mesh: MeshArrays) -> jax.Array:
+        """(nCells, K) off-diagonal coefficients via the precomputed gather
+        into [upper | lower | 0]."""
+        cat = jnp.concatenate(
+            [self.upper, self.lower, jnp.zeros(1, self.upper.dtype)])
+        return jnp.take(cat, mesh.ell_coeff_idx, axis=0)
+
+    def component_system(self, mesh: MeshArrays, cmpt: int | None):
+        """(diag, source) for one component with patch coefficients folded
+        in (reference: addBoundaryDiag/addBoundarySource before solve)."""
+        diag = self.diag
+        src = self.source if cmpt is None else self.source[:, cmpt]
+        for p, ic, bc in zip(mesh.patches, self.internal_coeffs,
+                             self.boundary_coeffs):
+            if p.is_empty or p.size == 0:
+                continue
+            fc = mesh.patch_face_cells(p)
+            icc = ic if cmpt is None else ic[:, cmpt]
+            bcc = bc if cmpt is None else bc[:, cmpt]
+            diag = diag.at[fc].add(icc)
+            src = src.at[fc].add(bcc)
+        return diag, src
+
+    # -- queries -------------------------------------------------------------------
+    def A(self, mesh: MeshArrays) -> VolField:
+        """Central coefficients / V (reference: fvMatrix::A). For vector
+        systems the patch internal coeffs are averaged over components
+        (diagonal approximation, as the reference's A() on the scalar
+        diag)."""
+        from .fvc import _extrapolated
+        diag = self.diag
+        for p, ic in zip(mesh.patches, self.internal_coeffs):
+            if p.is_empty or p.size == 0:
+                continue
+            icc = ic.mean(axis=-1) if ic.ndim > 1 else ic
+            diag = diag.at[mesh.patch_face_cells(p)].add(icc)
+        return _extrapolated(mesh, diag / mesh.V,
+                             self.dims / (self.psi.dims * _VOL_DIMS),
+                             f"A({self.psi.name})")
+
+    def H(self, mesh: MeshArrays) -> VolField:
+        """(source - offdiag*psi + boundary sources)/V (fvMatrix::H)."""
+        from .fvc import _extrapolated
+        psi = self.psi.data
+        coeffs = self.ell_coeffs(mesh)
+        nbr = jnp.take(psi, mesh.cell_nbr, axis=0)
+        off = (_ext(coeffs, nbr) * nbr).sum(axis=1)
+        h = self.source - off
+        for p, bc in zip(mesh.patches, self.boundary_coeffs):
+            if p.is_empty or p.size == 0:
+                continue
+            h = h.at[mesh.patch_face_cells(p)].add(bc)
+        h = h / _ext(mesh.V, h)
+        return _extrapolated(mesh, h, self.dims / _VOL_DIMS,
+                             f"H({self.psi.name})")
+
+    def flux(self, mesh: MeshArrays):
+        """Face flux consistent with the assembled operator (reference:
+        fvMatrix::flux via lduMatrix::faceH): internal F = upper*psi_n -
+        lower*psi_o; boundary F = ic*psi_c - bc. Scalar matrices only."""
+        from ..fields.field import SurfaceField
+        psi = self.psi.data
+        if psi.ndim > 1:
+            raise TypeError("flux() only valid for scalar matrices")
+        own = mesh.owner[:mesh.n_internal]
+        f_int = (self.upper * jnp.take(psi, mesh.neighbour, 0)
+                 - self.lower * jnp.take(psi, own, 0))
+        parts = [f_int]
+        for p, ic, bc in zip(mesh.patches, self.internal_coeffs,
+                             self.boundary_coeffs):
+            psi_c = jnp.take(psi, mesh.patch_face_cells(p), axis=0)
+            parts.append(ic * psi_c - bc)
+        return SurfaceField(jnp.concatenate(parts, axis=0), self.dims,
+                            f"flux({self.psi.name})")
+
+    # -- manipulation ------------------------------------------------------------
+    def relax(self, mesh: MeshArrays, alpha: float) -> "FvMatrix":
+        """Under-relax: force diagonal dominance (interior off-diags plus
+        patch internal coeffs), scale diag by 1/alpha, compensate the
+        source with the current psi (reference: fvMatrix::relax)."""
+        if alpha is None or alpha <= 0 or alpha >= 1.0 - 1e-12:
+            return self
+        sum_off = jnp.abs(self.ell_coeffs(mesh)).sum(axis=1)
+        for p, ic in zip(mesh.patches, self.internal_coeffs):
+            if p.is_empty or p.size == 0:
+                continue
+            icc = jnp.abs(ic).mean(axis=-1) if ic.ndim > 1 else jnp.abs(ic)
+            sum_off = sum_off.at[mesh.patch_face_cells(p)].add(icc)
+        d0 = self.diag
+        d = jnp.where(jnp.abs(d0) < sum_off, jnp.sign(d0) * sum_off, d0)
+        d = d / alpha
+        src = self.source + _ext(d - d0, self.source) * self.psi.data
+        return self.replace(diag=d, source=src)
+
+    def set_reference(self, cell: int, value) -> "FvMatrix":
+        """Pin psi at one cell (fvMatrix::setReference)."""
+        dc = self.diag[cell]
+        src = self.source.at[cell].add(dc * value)
+        return self.replace(diag=self.diag.at[cell].add(dc), source=src)

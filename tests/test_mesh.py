@@ -82,7 +82,7 @@ def test_renumber_preserves_geometry(cavity):
 
 def test_mesh_arrays_ell(cavity):
     mesh = read_polymesh(cavity)
-    ma, rmesh = build_mesh_arrays(mesh)
+    ma, rmesh, _maps = build_mesh_arrays(mesh)
     assert ma.n_cells == 400 and ma.K == 4  # empty faces excluded from ELL
     cf = np.asarray(ma.cell_faces)
     sg = np.asarray(ma.cell_sign)
@@ -117,7 +117,7 @@ def test_mesh_arrays_ell(cavity):
 def test_ell_surface_integrate_consistency(cavity):
     """ELL gather-sum of a face field == scatter-add reference."""
     mesh = read_polymesh(cavity)
-    ma, rmesh = build_mesh_arrays(mesh)
+    ma, rmesh, _maps = build_mesh_arrays(mesh)
     rng = np.random.default_rng(0)
     flux = rng.normal(size=ma.n_faces)
     # zero flux on empty faces (as BCs guarantee)
@@ -137,6 +137,6 @@ def test_graded_box_mesh():
     Cf, Sf = face_centres_and_areas(mesh)
     C, V = cell_centres_and_vols(mesh, Cf, Sf)
     assert np.isclose(V.sum(), 0.2, rtol=1e-12)
-    ma, _ = build_mesh_arrays(mesh, renumber=False)
+    ma, _, _2 = build_mesh_arrays(mesh, renumber=False)
     w = np.asarray(ma.weights)
     assert (w > 0).all() and (w < 1).all()
