@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark: icoFoam cavity timesteps on the current device.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Metric is cell-updates/sec/chip (BASELINE.md); vs_baseline is relative to
+the 50M cell-updates/s/chip north star.
+
+The benchmarked step is the fully-jitted PISO timestep (momentum +
+2 pressure PCG solves); steps are chained on-device with no host sync
+inside the loop (better than the reference's per-iteration MPI syncs).
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=96,
+                    help="cavity cells per side (n*n mesh)")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--x64", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+
+    from rapidcfd_tpu.utils import logging as L
+    L.Info.enabled = False
+    from rapidcfd_tpu.utils.casegen import cavity_case
+    from rapidcfd_tpu.solvers import icofoam
+    from rapidcfd_tpu.solvers.case import Case
+    from rapidcfd_tpu.fields.field import Dimensioned
+    from rapidcfd_tpu.ops import fvc
+
+    d = tempfile.mkdtemp(prefix="bench_cavity_")
+    # scale dt so the Courant number stays comparable to the 20x20 case
+    dt = 0.005 * 20 / args.n
+    cavity_case(d, n=args.n, delta_t=dt, end_time=1e9)
+
+    case = Case(d)
+    tp = case.transport_properties()
+    nu = Dimensioned.from_entry(tp.lookup("nu", required=True), "nu")
+    piso = case.algo_dict("PISO")
+    step = icofoam.make_step(
+        case, nu, int(piso.scalar("nCorrectors", 2)),
+        int(piso.scalar("nNonOrthogonalCorrectors", 0)),
+        int(piso.scalar("pRefCell", 0)), float(piso.scalar("pRefValue", 0)))
+
+    U = case.read_field("U")
+    p = case.read_field("p")
+    phi = fvc.flux(case.mesh, U)
+
+    for _ in range(args.warmup):
+        U, p, phi, stats = step(U, p, phi, dt)
+    jax.block_until_ready(U.data)
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        U, p, phi, stats = step(U, p, phi, dt)
+    jax.block_until_ready(U.data)
+    wall = time.perf_counter() - t0
+
+    n_cells = case.mesh.n_cells
+    ups = n_cells * args.steps / wall
+    out = {
+        "metric": f"icoFoam cavity {args.n}x{args.n} cell-updates/sec/chip",
+        "value": round(ups, 1),
+        "unit": "cell-updates/s/chip",
+        "vs_baseline": round(ups / 50e6, 4),
+        "wall_per_step_ms": round(1e3 * wall / args.steps, 3),
+        "n_cells": n_cells,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -37,6 +37,10 @@ class BC:
     preserves_type = False
     #: participates in matrix assembly (empty does not)
     assembles = True
+    #: boundary value is imposed, not derived from the interior (the
+    #: complement of the reference's fvPatchField::assignable(); used by
+    #: constrainHbyA-style flux constraints)
+    fixes_value = False
 
     # -- default hook implementations ---------------------------------------
     def evaluate(self, mesh, patch, field, bd, env=None):
@@ -105,6 +109,7 @@ class Calculated(BC):
 @dataclass(frozen=True)
 class FixedValue(BC):
     preserves_type = True
+    fixes_value = True
 
     def evaluate(self, mesh, patch, field, bd, env=None):
         return jnp.broadcast_to(bd["value"],
@@ -209,6 +214,7 @@ class Symmetry(BC):
     """Mirror condition: scalars zeroGradient, vectors tangential-projected
     with diagonal implicit coeffs (reference: basicSymmetry/transform)."""
     preserves_type = True
+    fixes_value = True
 
     def evaluate(self, mesh, patch, field, bd, env=None):
         psi_c = field.patch_internal(mesh, patch)

@@ -139,9 +139,13 @@ class VolField:
                               for b, d in zip(self.bcs, self.bcdata)),
                         None)
 
-    def store_old(self) -> "VolField":
-        """Shift current values into the old-time slot (keep 2 levels)."""
-        prev = self.old.replace(old=None) if self.old is not None else None
+    def store_old(self, levels: int = 1) -> "VolField":
+        """Shift current values into the old-time slot. levels=1 keeps one
+        old level (Euler), levels=2 keeps two (backward). A fixed level
+        count keeps the pytree structure stable across jit steps."""
+        prev = None
+        if levels >= 2 and self.old is not None:
+            prev = self.old.replace(old=None)
         old = VolField(self.data, self.bvalues, self.bcs, self.dims,
                        self.name, self.bcdata, prev)
         return self.replace(old=old)
@@ -152,9 +156,17 @@ class VolField:
 
     # -- arithmetic -----------------------------------------------------------
     def _binop(self, other, f, dims, name=""):
-        return self.with_calculated_bcs(
-            f(self.data, _argdata(other)),
-            f(self.bvalues, _argb(other, self.bvalues)), dims, name)
+        a, b = self.data, _argdata(other)
+        ab, bb = self.bvalues, _argb(other, self.bvalues)
+        # rank promotion: a scalar field combines with a vector/tensor
+        # field by broadcasting over components (cell axis leading)
+        if hasattr(b, "ndim") and b.ndim > 0:
+            while a.ndim < b.ndim:
+                a, ab = a[..., None], ab[..., None]
+            while b.ndim < a.ndim and isinstance(other,
+                                                 (VolField, SurfaceField)):
+                b, bb = b[..., None], bb[..., None]
+        return self.with_calculated_bcs(f(a, b), f(ab, bb), dims, name)
 
     def __add__(self, o):
         return self._binop(o, jnp.add, self.dims.check_same(_argdims(o), "+"))
@@ -171,6 +183,11 @@ class VolField:
 
     def __truediv__(self, o):
         return self._binop(o, jnp.divide, self.dims / _argdims(o))
+
+    def __rtruediv__(self, o):
+        return self.with_calculated_bcs(
+            _argdata(o) / self.data, _argb(o, self.bvalues) / self.bvalues,
+            _argdims(o) / self.dims)
 
     def __neg__(self):
         return self.with_calculated_bcs(-self.data, -self.bvalues, self.dims)

@@ -1,0 +1,265 @@
+"""Krylov/smoother linear solvers as fully-jitted lax.while_loop iterations.
+
+Capability surface of the reference's lduMatrix::solver zoo (reference:
+src/OpenFOAM/matrices/lduMatrix/solvers/): PCG (PCG.C:67-205), PBiCGStab,
+smoothSolver (Jacobi sweeps; GaussSeidel aliases to Jacobi per the
+reference's data-parallel finding), diagonal. Residual normalisation and
+convergence tests match the reference's solverPerformance semantics so
+log lines are comparable.
+
+Every iteration is on-device; the only host interaction is reading the
+(initial, final, iterations) triple after the step for logging. Global
+reductions go through `gsum`, which the distributed layer overrides with
+psum inside shard_map (SURVEY.md §5.8 item 4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..mesh.mesharrays import MeshArrays
+from ..ops.fvmatrix import FvMatrix
+from ..utils.registry import lookup, register
+from . import preconditioners  # noqa: F401  (populate registry)
+
+_SMALL = 1e-20
+
+
+# global-sum hook: the parallel layer rebinds this inside shard_map
+def _gsum_default(x):
+    return jnp.sum(x)
+
+
+_GSUM = _gsum_default
+
+
+def set_gsum(fn):
+    """Install a distributed global-sum (psum-wrapped) implementation."""
+    global _GSUM
+    _GSUM = fn
+
+
+def gsum(x):
+    return _GSUM(x)
+
+
+@dataclass(frozen=True)
+class SolverControls:
+    solver: str = "PCG"
+    preconditioner: str = "DIC"
+    smoother: str = "Jacobi"
+    tolerance: float = 1e-6
+    rel_tol: float = 0.0
+    max_iter: int = 1000
+    min_iter: int = 0
+    n_sweeps: int = 1
+
+    @staticmethod
+    def from_dict(d) -> "SolverControls":
+        if d is None:
+            return SolverControls()
+        return SolverControls(
+            solver=d.word("solver", "PCG"),
+            preconditioner=d.word("preconditioner", "DIC"),
+            smoother=d.word("smoother", "Jacobi"),
+            tolerance=d.scalar("tolerance", 1e-6),
+            rel_tol=d.scalar("relTol", 0.0),
+            max_iter=int(d.scalar("maxIter", 1000)),
+            min_iter=int(d.scalar("minIter", 0)),
+            n_sweeps=int(d.scalar("nSweeps", 1)),
+        )
+
+
+# A solver performance record is a plain (initial_residual,
+# final_residual, n_iterations) tuple of device scalars (pytree-safe).
+SolverPerformance = tuple
+
+
+def _amul_fn(mesh: MeshArrays, ell_coeffs, diag):
+    def amul(x):
+        return diag * x + (ell_coeffs
+                           * jnp.take(x, mesh.cell_nbr, axis=0)).sum(1)
+    return amul
+
+
+def _norm_factor(amul, psi, source, apsi, v_ones):
+    """Reference normFactor (lduMatrix::solver::normFactor): with
+    xRef = average(psi): gSum(|Apsi - A xRef| + |source - A xRef|) + SMALL."""
+    x_ref = gsum(psi) / gsum(v_ones)
+    a_xref = amul(jnp.full_like(psi, 1.0) * x_ref)
+    return (gsum(jnp.abs(apsi - a_xref)) + gsum(jnp.abs(source - a_xref))
+            + _SMALL)
+
+
+def solve_component(mesh: MeshArrays, m: FvMatrix, cmpt: int | None,
+                    controls: SolverControls):
+    """Solve one scalar component of the system; returns (psi, perf)."""
+    diag, source = m.component_system(mesh, cmpt)
+    psi0 = m.psi.data if cmpt is None else m.psi.data[:, cmpt]
+    ell = m.ell_coeffs(mesh)
+    amul = _amul_fn(mesh, ell, diag)
+
+    name = controls.solver
+    if name in ("PCG", "ICCG"):
+        return _pcg(mesh, amul, ell, diag, source, psi0, controls)
+    if name in ("PBiCGStab", "PBiCG", "BICCG"):
+        return _pbicgstab(mesh, amul, ell, diag, source, psi0, controls)
+    if name == "smoothSolver":
+        return _smooth_solver(mesh, amul, ell, diag, source, psi0, controls)
+    if name == "diagonal":
+        psi = source / diag
+        z = jnp.asarray(0.0, psi.dtype)
+        return psi, (z, z, jnp.asarray(0, jnp.int32))
+    if name == "GAMG":
+        from .gamg import gamg_solve
+        return gamg_solve(mesh, m, amul, ell, diag, source, psi0, controls)
+    raise KeyError(f"unknown linear solver '{name}'")
+
+
+def _converged(res, res0, c: SolverControls, it):
+    ok = (res <= c.tolerance) | ((c.rel_tol > 0)
+                                 & (res <= c.rel_tol * res0))
+    return ok & (it >= c.min_iter)
+
+
+def _pcg(mesh, amul, ell, diag, source, psi0, c: SolverControls):
+    """Preconditioned conjugate gradient (reference PCG.C:67-205)."""
+    precond = lookup("lduPreconditioner", c.preconditioner)(mesh, ell, diag)
+    v_ones = jnp.ones_like(psi0)
+
+    apsi = amul(psi0)
+    nf = _norm_factor(amul, psi0, source, apsi, v_ones)
+    r0 = source - apsi
+    res0 = gsum(jnp.abs(r0)) / nf
+
+    def cond(carry):
+        psi, r, p, wr_old, it, res = carry
+        return (~_converged(res, res0, c, it)) & (it < c.max_iter)
+
+    def body(carry):
+        psi, r, p, wr_old, it, res = carry
+        w = precond(r)
+        wr = gsum(w * r)
+        beta = jnp.where(it == 0, 0.0, wr / jnp.where(wr_old == 0.0,
+                                                      _SMALL, wr_old))
+        p = w + beta * p
+        wa = amul(p)
+        wapa = gsum(wa * p)
+        alpha = wr / jnp.where(wapa == 0.0, _SMALL, wapa)
+        psi = psi + alpha * p
+        r = r - alpha * wa
+        res = gsum(jnp.abs(r)) / nf
+        return psi, r, p, wr, it + 1, res
+
+    init = (psi0, r0, jnp.zeros_like(psi0), jnp.asarray(0.0, psi0.dtype),
+            jnp.asarray(0, jnp.int32), res0)
+    psi, r, p, wr, it, res = lax.while_loop(cond, body, init)
+    return psi, (res0, res, it)
+
+
+def _pbicgstab(mesh, amul, ell, diag, source, psi0, c: SolverControls):
+    """Preconditioned BiCGStab (reference PBiCGStab.H:50), for asymmetric
+    systems (convection-dominated equations)."""
+    precond = lookup("lduPreconditioner", c.preconditioner)(mesh, ell, diag)
+    v_ones = jnp.ones_like(psi0)
+
+    apsi = amul(psi0)
+    nf = _norm_factor(amul, psi0, source, apsi, v_ones)
+    r0 = source - apsi
+    rr0 = r0  # shadow residual
+    res0 = gsum(jnp.abs(r0)) / nf
+
+    def cond(carry):
+        psi, r, p, v, rho_o, alpha_o, omega_o, it, res = carry
+        return (~_converged(res, res0, c, it)) & (it < c.max_iter)
+
+    def body(carry):
+        psi, r, p, v, rho_o, alpha_o, omega_o, it, res = carry
+        rho = gsum(rr0 * r)
+        beta = (rho / jnp.where(rho_o == 0.0, _SMALL, rho_o)) \
+            * (alpha_o / jnp.where(omega_o == 0.0, _SMALL, omega_o))
+        p = jnp.where(it == 0, r, r + beta * (p - omega_o * v))
+        ph = precond(p)
+        v = amul(ph)
+        denom = gsum(rr0 * v)
+        alpha = rho / jnp.where(denom == 0.0, _SMALL, denom)
+        s = r - alpha * v
+        sh = precond(s)
+        t = amul(sh)
+        tt = gsum(t * t)
+        omega = gsum(t * s) / jnp.where(tt == 0.0, _SMALL, tt)
+        psi = psi + alpha * ph + omega * sh
+        r = s - omega * t
+        res = gsum(jnp.abs(r)) / nf
+        return psi, r, p, v, rho, alpha, omega, it + 1, res
+
+    z = jnp.asarray(0.0, psi0.dtype)
+    init = (psi0, r0, jnp.zeros_like(psi0), jnp.zeros_like(psi0),
+            jnp.asarray(1.0, psi0.dtype), jnp.asarray(1.0, psi0.dtype),
+            jnp.asarray(1.0, psi0.dtype), jnp.asarray(0, jnp.int32), res0)
+    out = lax.while_loop(cond, body, init)
+    psi, r, it, res = out[0], out[1], out[7], out[8]
+    return psi, (res0, res, it)
+
+
+def jacobi_sweeps(mesh, amul, ell, diag, source, psi, n: int,
+                  omega: float = 0.9):
+    """n damped-Jacobi sweeps (reference: JacobiSmoother.C:34-120,
+    omega=0.9; GaussSeidel aliases here on data-parallel hardware)."""
+    rd = omega / diag
+
+    def body(i, psi):
+        return psi + rd * (source - amul(psi))
+    return lax.fori_loop(0, n, body, psi)
+
+
+def _smooth_solver(mesh, amul, ell, diag, source, psi0, c: SolverControls):
+    """smoothSolver: sweep in groups of nSweeps until converged
+    (reference: smoothSolver.H:54)."""
+    v_ones = jnp.ones_like(psi0)
+    apsi = amul(psi0)
+    nf = _norm_factor(amul, psi0, source, apsi, v_ones)
+    res0 = gsum(jnp.abs(source - apsi)) / nf
+    n_sweeps = max(1, c.n_sweeps)
+
+    def cond(carry):
+        psi, it, res = carry
+        return (~_converged(res, res0, c, it)) & (it < c.max_iter)
+
+    def body(carry):
+        psi, it, res = carry
+        psi = jacobi_sweeps(mesh, amul, ell, diag, source, psi, n_sweeps)
+        res = gsum(jnp.abs(source - amul(psi))) / nf
+        return psi, it + n_sweeps, res
+
+    psi, it, res = lax.while_loop(
+        cond, body, (psi0, jnp.asarray(0, jnp.int32), res0))
+    return psi, (res0, res, it)
+
+
+def solve(mesh: MeshArrays, m: FvMatrix, controls: SolverControls,
+          env=None):
+    """fvMatrix::solve equivalent: segregated per-component solve, then
+    correctBoundaryConditions (reference: fvMatrixSolve.C:104-227).
+
+    Returns (new psi VolField, tuple of per-component SolverPerformance).
+    """
+    psi = m.psi
+    if psi.data.ndim == 1:
+        x, perf = solve_component(mesh, m, None, controls)
+        new = psi.replace(data=x).correct_boundary_conditions(mesh, env)
+        return new, (perf,)
+    comps = []
+    perfs = []
+    for cmpt in range(psi.data.shape[1]):
+        x, perf = solve_component(mesh, m, cmpt, controls)
+        comps.append(x)
+        perfs.append(perf)
+    data = jnp.stack(comps, axis=1)
+    new = psi.replace(data=data).correct_boundary_conditions(mesh, env)
+    return new, tuple(perfs)

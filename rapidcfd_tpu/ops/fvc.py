@@ -182,6 +182,55 @@ def flux(mesh: MeshArrays, U: VolField) -> SurfaceField:
                         "phi")
 
 
+def constrain_hbya(mesh: MeshArrays, hbya: VolField,
+                   U: VolField) -> VolField:
+    """Impose U's boundary values on HbyA where U's BC fixes the value
+    (reference: cfdTools/general constrainHbyA; in 2.x achieved by cloning
+    U's BCs onto HbyA) — this is what makes wall fluxes exactly zero and
+    closed-domain continuity machine-precision."""
+    b = hbya.bvalues
+    for bc, patch in zip(U.bcs, mesh.patches):
+        if bc.fixes_value and patch.size:
+            sl = slice(patch.bstart, patch.bstart + patch.size)
+            b = b.at[sl].set(U.bvalues[sl])
+    return hbya.replace(bvalues=b)
+
+
+def adjust_phi(mesh: MeshArrays, phi: SurfaceField, U: VolField
+               ) -> SurfaceField:
+    """Balance the global boundary flux over non-value-fixing patches so a
+    closed/underdetermined domain conserves mass exactly (reference:
+    cfdTools/general/adjustPhi/adjustPhi.H:27-29). Scales outflow to match
+    inflow over adjustable patches; no-op if there are none."""
+    import jax.numpy as jnp_
+    fixed_in = jnp_.zeros((), phi.data.dtype)
+    adj_in = jnp_.zeros((), phi.data.dtype)
+    adj_out = jnp_.zeros((), phi.data.dtype)
+    adjustable = []
+    for bc, patch in zip(U.bcs, mesh.patches):
+        if patch.size == 0 or patch.is_empty:
+            continue
+        pphi = phi.data[patch.start:patch.start + patch.size]
+        if bc.fixes_value:
+            fixed_in = fixed_in + pphi.sum()
+        else:
+            adjustable.append(patch)
+            adj_in = adj_in + jnp_.minimum(pphi, 0.0).sum()
+            adj_out = adj_out + jnp_.maximum(pphi, 0.0).sum()
+    if not adjustable:
+        return phi
+    # scale outflow so total = 0: out_scale = -(fixed + adj_in)/adj_out
+    scale = -(fixed_in + adj_in) / jnp_.where(adj_out == 0.0, 1e-300,
+                                              adj_out)
+    data = phi.data
+    for patch in adjustable:
+        sl = slice(patch.start, patch.start + patch.size)
+        pphi = data[sl]
+        data = data.at[sl].set(jnp_.where(pphi > 0.0, pphi * scale, pphi))
+    return phi.replace_data(data) if hasattr(phi, "replace_data") else \
+        SurfaceField(data, phi.dims, phi.name)
+
+
 def reconstruct(mesh: MeshArrays, ssf: SurfaceField) -> VolField:
     """Reconstruct a cell vector from face fluxes (fvc::reconstruct):
     (sum_f Sf⊗Sf/|Sf·dhat|)^-1 · sum_f Sf*ssf_f — simplified inverse-dyad

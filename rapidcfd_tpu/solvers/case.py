@@ -1,0 +1,143 @@
+"""Case — the fvMesh/Time/dictionaries bundle a solver runs on.
+
+Plays the role of the reference's createTime.H + createMesh.H +
+fvSchemes/fvSolution accessors (reference: src/finiteVolume/fvMesh/fvMesh.H:79,
+fvSchemes.H:57-82, solution.H): loads the mesh into MeshArrays once,
+resolves per-operator scheme words and per-field solver controls, and
+owns reading/writing fields in case format.
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..fields.io import read_vol_field, write_vol_field
+from ..linalg.solvers import SolverControls
+from ..mesh import build_mesh_arrays, read_polymesh
+from ..utils.dictionary import Dictionary, parse_file
+from ..utils.logging import info
+from ..utils.timecontrol import Time
+
+
+class Case:
+    def __init__(self, case_dir: str, renumber: bool = True, dtype=None):
+        self.dir = case_dir
+        self.time = Time(case_dir)
+        info(f"Create time\n\nCreate mesh for time = {self.time.name}\n")
+        pmesh = read_polymesh(case_dir)
+        self.mesh, self.pmesh, self.maps = build_mesh_arrays(
+            pmesh, renumber=renumber, dtype=dtype)
+        self.fv_schemes = parse_file(
+            os.path.join(case_dir, "system", "fvSchemes"))
+        self.fv_solution = parse_file(
+            os.path.join(case_dir, "system", "fvSolution"))
+        self.control_dict = self.time.control
+
+    # -- fields ---------------------------------------------------------------
+    def read_field(self, name: str, time: str | None = None):
+        return read_vol_field(self.dir, time or self.time.name, name,
+                              self.mesh, self.maps)
+
+    def field_exists(self, name: str, time: str | None = None) -> bool:
+        return os.path.isfile(
+            os.path.join(self.dir, time or self.time.name, name))
+
+    def write_fields(self, fields, time: str | None = None):
+        t = time or self.time.name
+        for f in fields:
+            write_vol_field(f, self.dir, t, self.mesh, self.maps)
+        os.makedirs(os.path.join(self.dir, t, "uniform"), exist_ok=True)
+        with open(os.path.join(self.dir, t, "uniform", "time"), "w") as fh:
+            fh.write(self.time.uniform_time_dict())
+        self.time.mark_written()
+
+    # -- constant/ dictionaries --------------------------------------------------
+    def transport_properties(self) -> Dictionary:
+        return parse_file(os.path.join(self.dir, "constant",
+                                       "transportProperties"))
+
+    def constant_dict(self, name: str) -> Dictionary:
+        return parse_file(os.path.join(self.dir, "constant", name))
+
+    # -- fvSchemes resolution ------------------------------------------------------
+    def ddt_scheme(self) -> str:
+        d = self.fv_schemes.subdict("ddtSchemes")
+        s = d.lookup("default", "Euler")
+        return s if isinstance(s, str) else s[0]
+
+    def div_scheme(self, key: str):
+        """Resolve e.g. div(phi,U) -> interpolation scheme spec."""
+        d = self.fv_schemes.subdict("divSchemes")
+        s = d.lookup(key)
+        if s is None:
+            s = d.lookup("default")
+        if s is None or s == "none":
+            raise KeyError(f"divSchemes: no scheme for '{key}'")
+        return self._gauss_spec(s, key)
+
+    def _gauss_spec(self, s, key):
+        if isinstance(s, str):
+            return s
+        items = list(s)
+        if items[0] == "Gauss":
+            items = items[1:]
+        elif items[0] == "bounded":
+            # boundedConvectionScheme handled by solvers via fvm.Sp
+            items = items[1:]
+            if items and items[0] == "Gauss":
+                items = items[1:]
+        if not items:
+            raise KeyError(f"divSchemes entry '{key}' has no "
+                           f"interpolation scheme")
+        if len(items) == 1:
+            return items[0]
+        return tuple(items)
+
+    def grad_scheme(self, key: str = "default") -> str:
+        d = self.fv_schemes.subdict("gradSchemes")
+        s = d.lookup(key) or d.lookup("default", ("Gauss", "linear"))
+        if isinstance(s, tuple) and s[0] == "Gauss":
+            return s[1] if len(s) > 1 else "linear"
+        return "linear"
+
+    def laplacian_scheme(self, key: str = "default") -> str:
+        """Returns the snGrad correction word: orthogonal/corrected/..."""
+        d = self.fv_schemes.subdict("laplacianSchemes")
+        s = d.lookup(key) or d.lookup("default")
+        if s is None:
+            return "orthogonal"
+        if isinstance(s, tuple):
+            return str(s[-1])
+        return "orthogonal"
+
+    # -- fvSolution resolution ---------------------------------------------------
+    def solver_controls(self, field: str, final: bool = False
+                        ) -> SolverControls:
+        solvers = self.fv_solution.subdict("solvers")
+        d = None
+        if final:
+            d = solvers.lookup(field + "Final")
+        if d is None:
+            d = solvers.lookup(field)
+        if d is None:
+            raise KeyError(f"fvSolution.solvers: no entry for '{field}'")
+        return SolverControls.from_dict(d)
+
+    def algo_dict(self, name: str) -> Dictionary:
+        return self.fv_solution.subdict(name, required=False)
+
+    def relaxation_factor(self, name: str, what: str = "equations",
+                          default: float = 0.0) -> float:
+        rf = self.fv_solution.subdict("relaxationFactors", required=False)
+        if not rf:
+            return default
+        sub = rf.subdict(what, required=False)
+        if sub:
+            v = sub.lookup(name)
+            if v is not None:
+                return float(v)
+            v = sub.lookup("default")
+            if v is not None:
+                return float(v)
+        v = rf.lookup(name)  # old flat format
+        return float(v) if v is not None else default

@@ -1,0 +1,158 @@
+"""icoFoam — transient incompressible laminar solver (PISO).
+
+Capability parity with the reference solver (reference:
+applications/solvers/incompressible/icoFoam/icoFoam.C:36-117), TPU-first:
+the entire timestep (momentum predictor + nCorrectors pressure-velocity
+corrections + both Krylov solves) is ONE jitted program; the host loop
+only advances the clock, logs residuals and writes checkpoints — exactly
+the host/device contract of SURVEY.md §3.2 with fewer sync points.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..fields.field import Dimensioned, SurfaceField, VolField
+from ..linalg import solve
+from ..ops import fvc, fvm
+from ..utils.dimensions import dim_flux
+from ..utils.logging import (ExecutionTimer, info, log_continuity,
+                             log_courant, log_solve)
+from .case import Case
+
+
+def courant_number(mesh, phi: SurfaceField, dt):
+    """CourantNo.H: Co = 0.5*dt*sum|phi|/V."""
+    sum_phi = fvc.surface_sum_faces(mesh, jnp.abs(phi.data), signed=False)
+    co_max = 0.5 * (sum_phi / mesh.V).max() * dt
+    co_mean = 0.5 * sum_phi.sum() / mesh.V.sum() * dt
+    return co_mean, co_max
+
+
+def continuity_errors(mesh, phi: SurfaceField):
+    """continuityErrs.H: local/global mass-conservation error."""
+    cont = fvc.div(mesh, phi)
+    local = (jnp.abs(cont.data) * mesh.V).sum()
+    glob = (cont.data * mesh.V).sum()
+    return local, glob
+
+
+def make_step(case: Case, nu: Dimensioned, n_correctors: int,
+              n_non_orth: int, p_ref_cell: int, p_ref_value: float):
+    mesh = case.mesh
+    div_scheme = case.div_scheme("div(phi,U)")
+    lap_corr = case.laplacian_scheme()
+    u_controls = case.solver_controls("U")
+    p_controls = case.solver_controls("p")
+    p_final_controls = case.solver_controls("p", final=True)
+
+    @jax.jit
+    def step(U: VolField, p: VolField, phi: SurfaceField, dt):
+        U = U.store_old()
+
+        # momentum predictor (UEqn.H)
+        UEqn = (fvm.ddt(mesh, U, dt)
+                + fvm.div(mesh, phi, U, div_scheme)
+                - fvm.laplacian(mesh, nu, U, lap_corr))
+        U, u_perf = solve(mesh, UEqn == (-fvc.grad(mesh, p)), u_controls)
+
+        p_perf_all = []
+        for corr in range(n_correctors):
+            UEqn_c = UEqn.replace(psi=U)
+            rAU = 1.0 / UEqn_c.A(mesh)
+            HbyA = fvc.constrain_hbya(mesh, rAU * UEqn_c.H(mesh), U)
+            phi_hbya = fvc.flux(mesh, HbyA)
+
+            p_new = p
+            for north in range(n_non_orth + 1):
+                final = (corr == n_correctors - 1) and (north == n_non_orth)
+                pEqn = fvm.laplacian(mesh, rAU, p_new, lap_corr) \
+                    == fvc.div(mesh, phi_hbya)
+                pEqn = pEqn.set_reference(p_ref_cell, p_ref_value)
+                p_new, p_perf = solve(
+                    mesh, pEqn,
+                    p_final_controls if final else p_controls)
+                p_perf_all.append(p_perf[0])
+            p = p_new
+
+            phi = phi_hbya - pEqn.replace(psi=p).flux(mesh)
+            grad_p = fvc.grad(mesh, p)
+            U_star = HbyA - rAU * grad_p
+            U = U.replace(data=U_star.data).correct_boundary_conditions(mesh)
+
+        local_err, glob_err = continuity_errors(mesh, phi)
+        co_mean, co_max = courant_number(mesh, phi, dt)
+        stats = dict(u_perf=u_perf, p_perf=tuple(p_perf_all),
+                     cont=(local_err, glob_err), co=(co_mean, co_max))
+        return U, p, phi, stats
+
+    return step
+
+
+def run(case_dir: str, write: bool = True, max_steps: int | None = None):
+    case = Case(case_dir)
+    mesh = case.mesh
+    tp = case.transport_properties()
+    nu = Dimensioned.from_entry(tp.lookup("nu", required=True), "nu")
+
+    piso = case.algo_dict("PISO")
+    n_correctors = int(piso.scalar("nCorrectors", 1))
+    n_non_orth = int(piso.scalar("nNonOrthogonalCorrectors", 0))
+    p_ref_cell = int(piso.scalar("pRefCell", 0))
+    p_ref_value = float(piso.scalar("pRefValue", 0.0))
+
+    info("Reading transportProperties\n\nReading field p\n")
+    p = case.read_field("p")
+    info("Reading field U\n")
+    U = case.read_field("U")
+    info("Reading/calculating face flux field phi\n")
+    phi = fvc.flux(mesh, U)
+
+    step = make_step(case, nu, n_correctors, n_non_orth,
+                     p_ref_cell, p_ref_value)
+    timer = ExecutionTimer()
+    cumulative_err = 0.0
+
+    info("\nStarting time loop\n")
+    n = 0
+    while case.time.loop():
+        info(f"Time = {case.time.name}\n")
+        U, p, phi, stats = step(U, p, phi, case.time.delta_t)
+
+        co_mean, co_max = stats["co"]
+        log_courant(co_mean, co_max)
+        for cmpt, perf in zip("xyz", stats["u_perf"]):
+            log_solve(f"{case.solver_controls('U').solver}", f"U{cmpt}",
+                      perf[0], perf[1], perf[2])
+        for perf in stats["p_perf"]:
+            log_solve(f"{case.solver_controls('p').solver}", "p",
+                      perf[0], perf[1], perf[2])
+        local_err, glob_err = stats["cont"]
+        cumulative_err += float(glob_err)
+        log_continuity(cumulative_err, local_err, glob_err)
+        timer.log()
+
+        if write and case.time.write_time():
+            case.write_fields([U, p])
+        n += 1
+        if max_steps and n >= max_steps:
+            break
+
+    info("End\n")
+    return case, U, p, phi
+
+
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser(description="icoFoam (rapidcfd_tpu)")
+    ap.add_argument("-case", dest="case", default=".")
+    ap.add_argument("-noWrite", action="store_true")
+    args = ap.parse_args(argv)
+    run(args.case, write=not args.noWrite)
+
+
+if __name__ == "__main__":
+    main()
