@@ -21,9 +21,17 @@ def none_precond(mesh, ell_coeffs, diag):
     return lambda r: r
 
 
+def _safe_recip(diag):
+    """1/diag with zero-diagonal rows (decomposition padding) mapped to
+    0 so padded rows never produce inf/NaN."""
+    import jax.numpy as jnp_
+    return jnp_.where(diag != 0.0, 1.0 / jnp_.where(diag == 0.0, 1.0, diag),
+                      0.0)
+
+
 @register("lduPreconditioner", "diagonal")
 def diagonal_precond(mesh, ell_coeffs, diag):
-    rd = 1.0 / diag
+    rd = _safe_recip(diag)
     return lambda r: rd * r
 
 
@@ -31,10 +39,11 @@ def diagonal_precond(mesh, ell_coeffs, diag):
 def ainv_precond(mesh, ell_coeffs, diag):
     """Sparse approximate inverse: w = D^-1 r - D^-1 O D^-1 r (one gather
     pass; reference: AINVPreconditioner.C:49-110)."""
-    rd = 1.0 / diag
+    from ..parallel.hooks import halo
+    rd = _safe_recip(diag)
 
     def apply(r):
         rdr = rd * r
-        off = (ell_coeffs * jnp.take(rdr, mesh.cell_nbr, axis=0)).sum(1)
+        off = (ell_coeffs * jnp.take(halo(rdr), mesh.cell_nbr, axis=0)).sum(1)
         return rdr - rd * off
     return apply

@@ -48,6 +48,22 @@ def gsum(x):
     return _GSUM(x)
 
 
+def _gmax_default(x):
+    return jnp.max(x)
+
+
+_GMAX = _gmax_default
+
+
+def set_gmax(fn):
+    global _GMAX
+    _GMAX = fn
+
+
+def gmax(x):
+    return _GMAX(x)
+
+
 @dataclass(frozen=True)
 class SolverControls:
     solver: str = "PCG"
@@ -81,9 +97,12 @@ SolverPerformance = tuple
 
 
 def _amul_fn(mesh: MeshArrays, ell_coeffs, diag):
+    from ..parallel.hooks import halo
+
     def amul(x):
+        xh = halo(x)
         return diag * x + (ell_coeffs
-                           * jnp.take(x, mesh.cell_nbr, axis=0)).sum(1)
+                           * jnp.take(xh, mesh.cell_nbr, axis=0)).sum(1)
     return amul
 
 
@@ -112,7 +131,8 @@ def solve_component(mesh: MeshArrays, m: FvMatrix, cmpt: int | None,
     if name == "smoothSolver":
         return _smooth_solver(mesh, amul, ell, diag, source, psi0, controls)
     if name == "diagonal":
-        psi = source / diag
+        from .preconditioners import _safe_recip
+        psi = source * _safe_recip(diag)
         z = jnp.asarray(0.0, psi.dtype)
         return psi, (z, z, jnp.asarray(0, jnp.int32))
     if name == "GAMG":
@@ -211,7 +231,8 @@ def jacobi_sweeps(mesh, amul, ell, diag, source, psi, n: int,
                   omega: float = 0.9):
     """n damped-Jacobi sweeps (reference: JacobiSmoother.C:34-120,
     omega=0.9; GaussSeidel aliases here on data-parallel hardware)."""
-    rd = omega / diag
+    from .preconditioners import _safe_recip
+    rd = omega * _safe_recip(diag)
 
     def body(i, psi):
         return psi + rd * (source - amul(psi))

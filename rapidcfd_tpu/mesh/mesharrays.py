@@ -139,6 +139,52 @@ def default_dtype():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
+def build_ell(own: np.ndarray, nei: np.ndarray, nc: int, n_int: int,
+              active: np.ndarray, K_force: int | None = None) -> dict:
+    """Pack face incidence into the padded ELL layout (host numpy).
+
+    own: (nFaces,) owner cell per face; nei: (nInternal,); active: (nFaces,)
+    bool mask of faces that participate (excludes empty-patch and padding
+    faces). Returns cell_faces/cell_sign/cell_nbr/ell_idx/internal_mask/K.
+    """
+    act_f = np.nonzero(active)[0]
+    act_int = act_f[act_f < n_int]
+    cells = np.concatenate([own[act_f], nei[act_int]])
+    faces = np.concatenate([act_f, act_int])
+    signs = np.concatenate([np.ones(act_f.size), -np.ones(act_int.size)])
+    order = np.argsort(cells, kind="stable")
+    cells, faces, signs = cells[order], faces[order], signs[order]
+
+    counts = np.bincount(cells, minlength=nc)
+    K = int(counts.max()) if counts.size else 0
+    if K_force is not None:
+        assert K_force >= K, (K_force, K)
+        K = K_force
+    starts = np.zeros(nc + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    slots = np.arange(cells.size) - starts[cells]
+
+    cell_faces = np.zeros((nc, K), dtype=np.int64)
+    cell_sign = np.zeros((nc, K))
+    cell_nbr = np.tile(np.arange(nc)[:, None], (1, K))
+    ell_idx = np.full((nc, K), 2 * n_int, dtype=np.int64)
+    internal_mask = np.zeros((nc, K))
+
+    cell_faces[cells, slots] = faces
+    cell_sign[cells, slots] = signs
+    is_int = faces < n_int
+    safe_f = np.minimum(faces, max(n_int - 1, 0))
+    # owner-side slot of an internal face sees nei[f]; neighbour-side own[f]
+    other = np.where(signs > 0, nei[safe_f] if n_int else cells, own[faces])
+    cell_nbr[cells, slots] = np.where(is_int, other, cells)
+    ell_idx[cells, slots] = np.where(
+        is_int, np.where(signs > 0, faces, n_int + faces), 2 * n_int)
+    internal_mask[cells, slots] = is_int.astype(float)
+    return dict(cell_faces=cell_faces, cell_sign=cell_sign,
+                cell_nbr=cell_nbr, ell_idx=ell_idx,
+                internal_mask=internal_mask, K=K)
+
+
 def build_mesh_arrays(mesh: PolyMesh, *, renumber: bool = True,
                       dtype=None
                       ) -> tuple[MeshArrays, PolyMesh, "MeshMaps"]:
@@ -176,37 +222,11 @@ def build_mesh_arrays(mesh: PolyMesh, *, renumber: bool = True,
         if p.is_empty:
             active[p.start:p.start + p.size] = False
 
-    # (cell, face, sign) incidence triples
-    act_f = np.nonzero(active)[0]
-    int_f = np.arange(n_int)
-    cells = np.concatenate([own[act_f], nei])
-    faces = np.concatenate([act_f, int_f])
-    signs = np.concatenate([np.ones(act_f.size), -np.ones(n_int)])
-    order = np.argsort(cells, kind="stable")
-    cells, faces, signs = cells[order], faces[order], signs[order]
-
-    counts = np.bincount(cells, minlength=nc)
-    K = int(counts.max()) if counts.size else 0
-    starts = np.zeros(nc + 1, dtype=np.int64)
-    np.cumsum(counts, out=starts[1:])
-    slots = np.arange(cells.size) - starts[cells]
-
-    cell_faces = np.zeros((nc, K), dtype=np.int64)
-    cell_sign = np.zeros((nc, K))
-    cell_nbr = np.tile(np.arange(nc)[:, None], (1, K))
-    ell_idx = np.full((nc, K), 2 * n_int, dtype=np.int64)
-    internal_mask = np.zeros((nc, K))
-
-    cell_faces[cells, slots] = faces
-    cell_sign[cells, slots] = signs
-    is_int = faces < n_int
-    safe_f = np.minimum(faces, max(n_int - 1, 0))
-    # owner-side slot of an internal face sees nei[f]; neighbour-side sees own[f]
-    other = np.where(signs > 0, nei[safe_f] if n_int else cells, own[faces])
-    cell_nbr[cells, slots] = np.where(is_int, other, cells)
-    ell_idx[cells, slots] = np.where(
-        is_int, np.where(signs > 0, faces, n_int + faces), 2 * n_int)
-    internal_mask[cells, slots] = is_int.astype(float)
+    ell = build_ell(own, nei, nc, n_int, active)
+    K = ell["K"]
+    cell_faces, cell_sign = ell["cell_faces"], ell["cell_sign"]
+    cell_nbr, ell_idx = ell["cell_nbr"], ell["ell_idx"]
+    internal_mask = ell["internal_mask"]
 
     idt = jnp.int32
     ma = MeshArrays(

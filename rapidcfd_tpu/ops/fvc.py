@@ -144,9 +144,11 @@ def _grad_correct_boundary(mesh: MeshArrays, g: VolField,
 
 def sn_grad(mesh: MeshArrays, vf: VolField) -> SurfaceField:
     """Surface-normal gradient (orthogonal; corrected scheme in snGradSchemes)."""
+    from ..parallel.hooks import halo
     own = mesh.owner[:mesh.n_internal]
-    d_int = (jnp.take(vf.data, mesh.neighbour, axis=0)
-             - jnp.take(vf.data, own, axis=0))
+    data = halo(vf.data)
+    d_int = (jnp.take(data, mesh.neighbour, axis=0)
+             - jnp.take(data, own, axis=0))
     internal = d_int * _ext(mesh.delta_coeffs, d_int)
     psi_c = jnp.take(vf.data, mesh.owner[mesh.n_internal:], axis=0)
     d_b = vf.bvalues - psi_c

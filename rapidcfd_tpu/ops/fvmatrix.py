@@ -158,9 +158,10 @@ class FvMatrix:
     def H(self, mesh: MeshArrays) -> VolField:
         """(source - offdiag*psi + boundary sources)/V (fvMatrix::H)."""
         from .fvc import _extrapolated
+        from ..parallel.hooks import halo
         psi = self.psi.data
         coeffs = self.ell_coeffs(mesh)
-        nbr = jnp.take(psi, mesh.cell_nbr, axis=0)
+        nbr = jnp.take(halo(psi), mesh.cell_nbr, axis=0)
         off = (_ext(coeffs, nbr) * nbr).sum(axis=1)
         h = self.source - off
         for p, bc in zip(mesh.patches, self.boundary_coeffs):
@@ -176,12 +177,14 @@ class FvMatrix:
         fvMatrix::flux via lduMatrix::faceH): internal F = upper*psi_n -
         lower*psi_o; boundary F = ic*psi_c - bc. Scalar matrices only."""
         from ..fields.field import SurfaceField
+        from ..parallel.hooks import halo
         psi = self.psi.data
         if psi.ndim > 1:
             raise TypeError("flux() only valid for scalar matrices")
         own = mesh.owner[:mesh.n_internal]
-        f_int = (self.upper * jnp.take(psi, mesh.neighbour, 0)
-                 - self.lower * jnp.take(psi, own, 0))
+        psih = halo(psi)
+        f_int = (self.upper * jnp.take(psih, mesh.neighbour, 0)
+                 - self.lower * jnp.take(psih, own, 0))
         parts = [f_int]
         for p, ic, bc in zip(mesh.patches, self.internal_coeffs,
                              self.boundary_coeffs):
@@ -209,8 +212,9 @@ class FvMatrix:
         src = self.source + _ext(d - d0, self.source) * self.psi.data
         return self.replace(diag=d, source=src)
 
-    def set_reference(self, cell: int, value) -> "FvMatrix":
-        """Pin psi at one cell (fvMatrix::setReference)."""
-        dc = self.diag[cell]
+    def set_reference(self, cell, value, weight=1.0) -> "FvMatrix":
+        """Pin psi at one cell (fvMatrix::setReference). In distributed
+        runs weight is 1.0 only on the shard owning the reference cell."""
+        dc = self.diag[cell] * weight
         src = self.source.at[cell].add(dc * value)
         return self.replace(diag=self.diag.at[cell].add(dc), source=src)

@@ -27,8 +27,10 @@ def interpolate_internal(mesh: MeshArrays, vf: VolField, scheme="linear",
     else:
         name, args = scheme, ()
     w = lookup("surfaceInterpolation", name)(mesh, vf, phi, *args)
-    own = jnp.take(vf.data, mesh.owner[:mesh.n_internal], axis=0)
-    nei = jnp.take(vf.data, mesh.neighbour, axis=0)
+    from ..parallel.hooks import halo
+    data = halo(vf.data)
+    own = jnp.take(data, mesh.owner[:mesh.n_internal], axis=0)
+    nei = jnp.take(data, mesh.neighbour, axis=0)
     if own.ndim > w.ndim:
         w = w.reshape(w.shape + (1,) * (own.ndim - w.ndim))
     return w * own + (1.0 - w) * nei
@@ -89,23 +91,26 @@ def _face_r(mesh: MeshArrays, vf: VolField, phi: SurfaceField) -> jnp.ndarray:
     (gradc & d) contracted with (psiN-psiO); we mirror that.
     """
     from . import fvc
+    from ..parallel.hooks import halo
     own = mesh.owner[:mesh.n_internal]
     nei = mesh.neighbour
     d = jnp.take(mesh.C, nei, axis=0) - jnp.take(mesh.C, own, axis=0)
     g = fvc.grad(mesh, vf)           # scalar->vector, vector->tensor
+    gdata = halo(g.data)
+    vdata = halo(vf.data)
     upwind_is_owner = phi.data[:mesh.n_internal] >= 0.0
     if vf.data.ndim == 1:
         gradc = jnp.where(upwind_is_owner[:, None],
-                          jnp.take(g.data, own, axis=0),
-                          jnp.take(g.data, nei, axis=0))
-        dpsi = jnp.take(vf.data, nei, axis=0) - jnp.take(vf.data, own, axis=0)
+                          jnp.take(gdata, own, axis=0),
+                          jnp.take(gdata, nei, axis=0))
+        dpsi = jnp.take(vdata, nei, axis=0) - jnp.take(vdata, own, axis=0)
         num = 2.0 * (d * gradc).sum(-1)
         den = dpsi
     else:
         gradc = jnp.where(upwind_is_owner[:, None, None],
-                          jnp.take(g.data, own, axis=0),
-                          jnp.take(g.data, nei, axis=0))
-        dpsi = jnp.take(vf.data, nei, axis=0) - jnp.take(vf.data, own, axis=0)
+                          jnp.take(gdata, own, axis=0),
+                          jnp.take(gdata, nei, axis=0))
+        dpsi = jnp.take(vdata, nei, axis=0) - jnp.take(vdata, own, axis=0)
         # contract along components: r scalar per face (reference uses
         # gradcf && udGrad with the d x dpsi outer product)
         num = 2.0 * ((d[:, :, None] * gradc).sum(1) * dpsi).sum(-1)

@@ -1,0 +1,194 @@
+"""Multichip execution: the full solver step under shard_map.
+
+The single-chip PISO step (solvers.icofoam.piso_step) runs unchanged on
+each shard of a 1-D slab decomposition; distribution enters only through
+the hooks: halo ppermute ghost refresh + masked-psum global reductions —
+the TPU equivalents of the reference's processorFvPatchField halo and
+MPI allReduce (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..fields.field import Dimensioned
+from ..mesh.mesharrays import MeshArrays
+from ..ops import fvc
+from ..solvers.icofoam import piso_step
+from .decompose import (Decomposition, HaloSpec, _exchange,
+                        collect_vol_field, decompose_slab,
+                        decompose_vol_field)
+from .hooks import distributed
+
+AXIS = "x"
+
+
+def _local_view(tree):
+    """Strip the leading (1,) shard axis shard_map leaves on each array."""
+    return jax.tree_util.tree_map(lambda a: a[0], tree)
+
+
+def make_distributed_step(dec: Decomposition, device_mesh: Mesh, nu,
+                          step_kwargs: dict):
+    """Build a pjit-ed distributed PISO step over the device mesh.
+
+    Inputs/outputs are the stacked (P, ...) pytrees from decompose_*;
+    scalars (dt, stats) are replicated.
+    """
+    lm = dec.mesh
+
+    def shard_body(mesh_arrays, halo, U, p, phi_data, dt, ref_cell,
+                   ref_weight):
+        mesh_l: MeshArrays = _local_view(mesh_arrays)
+        halo_l: HaloSpec = _local_view(halo)
+        U_l = _local_view(U)
+        p_l = _local_view(p)
+        phi_l = _local_view(phi_data)
+        own = halo_l.own_mask
+
+        def halo_fn(x):
+            return _exchange(x, halo_l, AXIS)
+
+        def gsum_fn(x):
+            m = own.reshape(own.shape + (1,) * (x.ndim - 1))
+            return jax.lax.psum((x * m).sum(), AXIS)
+
+        def gmax_fn(x):
+            m = own > 0.5
+            neg = jnp.full_like(x, -jnp.inf)
+            return jax.lax.pmax(jnp.where(m, x, neg).max(), AXIS)
+
+        phi_f = phi_l  # already a SurfaceField (pytree-mapped local view)
+
+        with distributed(halo_fn, gsum_fn, gmax_fn):
+            # ghosts of the inputs must be fresh before the first gather
+            U_l = U_l.replace(data=halo_fn(U_l.data))
+            p_l = p_l.replace(data=halo_fn(p_l.data))
+            U2, p2, phi2, stats = piso_step(
+                mesh_l, U_l, p_l, phi_f, dt, nu,
+                p_ref_cell=ref_cell[0], p_ref_weight=ref_weight[0],
+                **step_kwargs)
+
+        expand = jax.tree_util.tree_map(lambda a: a[None], (U2, p2,
+                                                            phi2.data))
+        return expand + (stats,)
+
+    from jax import shard_map
+    specs_in = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(),
+                P(AXIS), P(AXIS))
+    specs_out = (P(AXIS), P(AXIS), P(AXIS), P())
+
+    smapped = shard_map(shard_body, mesh=device_mesh,
+                        in_specs=specs_in, out_specs=specs_out,
+                        check_vma=False)
+    return jax.jit(smapped)
+
+
+def dryrun_piso_step(n_devices: int, n: int = 16, check: bool = True):
+    """Decompose a cavity over n_devices, run ONE full PISO step under
+    shard_map, and (optionally) check the result against the single-chip
+    step."""
+    import tempfile
+
+    from ..solvers.case import Case
+    from ..solvers import icofoam
+    from ..utils import logging as L
+    from ..utils.casegen import cavity_case
+
+    L.Info.enabled = False
+    # xla_force_host_platform_device_count is ignored by newer jax; request
+    # CPU devices via config BEFORE the first backend query (jax.devices()
+    # itself initializes the backend and freezes the count)
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", max(
+            n_devices, jax.config.jax_num_cpu_devices or 0))
+    except Exception:
+        pass
+    devices = jax.devices()
+    if len(devices) < n_devices:
+        raise RuntimeError(
+            f"need {n_devices} devices, have {len(devices)} "
+            f"(set XLA_FLAGS=--xla_force_host_platform_device_count or "
+            f"run before backend init)")
+    device_mesh = Mesh(np.array(devices[:n_devices]), (AXIS,))
+
+    d = tempfile.mkdtemp(prefix="dryrun_cavity_")
+    cavity_case(d, n=n)
+    case = Case(d)
+    nu = Dimensioned.from_entry(
+        case.transport_properties().lookup("nu", required=True), "nu")
+
+    U = case.read_field("U")
+    p = case.read_field("p")
+    phi = fvc.flux(case.mesh, U)
+    dt = case.time.delta_t
+
+    step_kwargs = dict(
+        div_scheme=case.div_scheme("div(phi,U)"),
+        lap_corr=case.laplacian_scheme(),
+        u_controls=case.solver_controls("U"),
+        p_controls=case.solver_controls("p"),
+        p_final_controls=case.solver_controls("p", final=True),
+        n_correctors=2, n_non_orth=0, p_ref_value=0.0)
+
+    dec = decompose_slab(case.mesh, n_devices)
+    U_s = decompose_vol_field(dec, U, case.mesh)
+    p_s = decompose_vol_field(dec, p, case.mesh)
+    # face fluxes: scatter per device via the decomposition's face maps
+    phi_s = _decompose_phi(dec, case.mesh, np.asarray(phi.data))
+
+    ref_dev, ref_loc = dec.local_cell_of_global(0)
+    ref_cell = np.zeros((n_devices, 1), np.int32)
+    ref_weight = np.zeros((n_devices, 1))
+    ref_cell[ref_dev, 0] = ref_loc
+    ref_weight[ref_dev, 0] = 1.0
+
+    dist_step = make_distributed_step(dec, device_mesh, nu, step_kwargs)
+    U2s, p2s, phi2s, stats = dist_step(
+        dec.mesh, dec.halo, U_s, p_s, phi_s, dt,
+        jnp.asarray(ref_cell), jnp.asarray(ref_weight))
+    jax.block_until_ready(p2s.data)
+    print(f"dryrun_multichip: {n_devices}-device step OK; "
+          f"p residual {float(stats['p_perf'][-1][0]):.3g} -> "
+          f"{float(stats['p_perf'][-1][1]):.3g} "
+          f"in {int(stats['p_perf'][-1][2])} iters")
+
+    if check:
+        step = icofoam.make_step(case, nu, 2, 0, 0, 0.0)
+        U1, p1, phi1, stats1 = step(U, p, phi, dt)
+        p_dist = collect_vol_field(dec, p2s.data)
+        u_dist = collect_vol_field(dec, U2s.data)
+        perr = np.abs(p_dist - np.asarray(p1.data)).max()
+        uerr = np.abs(u_dist - np.asarray(U1.data)).max()
+        print(f"dryrun_multichip: max|p_dist-p_1chip|={perr:.3e}, "
+              f"max|U_dist-U_1chip|={uerr:.3e}")
+        scale = max(1.0, float(np.abs(np.asarray(p1.data)).max()))
+        # fp32 runs legitimately diverge at the Krylov-iteration level
+        # (different reduction orders); fp64 must agree tightly
+        tol = 1e-5 if np.asarray(p1.data).dtype == np.float64 else 5e-3
+        if not (perr < tol * scale and uerr < tol):
+            raise AssertionError(
+                f"distributed step diverges from single-chip: "
+                f"p {perr}, U {uerr}")
+    return stats
+
+
+def _decompose_phi(dec: Decomposition, gmesh: MeshArrays,
+                   phi_g: np.ndarray):
+    """Scatter a global face field into the stacked local face layout."""
+    from ..fields.field import SurfaceField
+    from ..utils.dimensions import dim_flux
+    P_ = dec.n_devices
+    lm = dec.mesh
+    out = np.zeros((P_, lm.n_faces), phi_g.dtype)
+    for d in range(P_):
+        gf = dec.face_map[d]
+        valid = gf >= 0
+        out[d, valid] = phi_g[gf[valid]]
+    return SurfaceField(jnp.asarray(out), dim_flux, "phi")

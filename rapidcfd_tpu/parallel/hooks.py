@@ -1,0 +1,57 @@
+"""Distribution hooks: halo exchange + global reductions.
+
+The reference threads parallelism through every kernel as processor
+boundary conditions + MPI reductions (SURVEY.md §3.5). Here the same two
+touch points are function hooks, installed while tracing inside
+shard_map:
+
+- ``halo(x)`` refreshes ghost-cell entries of a cell-indexed array from
+  the owning neighbour shard (ppermute over the mesh axis). Installed
+  before any owner/neighbour/cell_nbr gather — the exact sites the
+  reference calls initMatrixInterfaces/updateMatrixInterfaces.
+- ``gsum`` (in linalg.solvers) becomes a masked psum.
+
+Single-chip tracing leaves both as identities, so the same solver code
+serves both paths.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+_HALO = None
+
+
+def halo(x):
+    """Refresh ghost entries of a cell-indexed device array (identity on a
+    single chip)."""
+    if _HALO is None:
+        return x
+    return _HALO(x)
+
+
+def set_halo(fn):
+    global _HALO
+    _HALO = fn
+
+
+def clear_hooks():
+    global _HALO
+    _HALO = None
+    from ..linalg import solvers
+    solvers.set_gsum(solvers._gsum_default)
+    solvers.set_gmax(solvers._gmax_default)
+
+
+@contextmanager
+def distributed(halo_fn, gsum_fn, gmax_fn=None):
+    """Install halo/gsum/gmax hooks for the duration of a trace."""
+    from ..linalg import solvers
+    set_halo(halo_fn)
+    solvers.set_gsum(gsum_fn)
+    if gmax_fn is not None:
+        solvers.set_gmax(gmax_fn)
+    try:
+        yield
+    finally:
+        clear_hooks()

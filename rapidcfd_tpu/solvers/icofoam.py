@@ -26,68 +26,82 @@ from .case import Case
 
 def courant_number(mesh, phi: SurfaceField, dt):
     """CourantNo.H: Co = 0.5*dt*sum|phi|/V."""
+    from ..linalg.solvers import gmax, gsum
     sum_phi = fvc.surface_sum_faces(mesh, jnp.abs(phi.data), signed=False)
-    co_max = 0.5 * (sum_phi / mesh.V).max() * dt
-    co_mean = 0.5 * sum_phi.sum() / mesh.V.sum() * dt
+    co_max = 0.5 * gmax(sum_phi / mesh.V) * dt
+    co_mean = 0.5 * gsum(sum_phi) / gsum(mesh.V) * dt
     return co_mean, co_max
 
 
 def continuity_errors(mesh, phi: SurfaceField):
     """continuityErrs.H: local/global mass-conservation error."""
+    from ..linalg.solvers import gsum
     cont = fvc.div(mesh, phi)
-    local = (jnp.abs(cont.data) * mesh.V).sum()
-    glob = (cont.data * mesh.V).sum()
+    local = gsum(jnp.abs(cont.data) * mesh.V)
+    glob = gsum(cont.data * mesh.V)
     return local, glob
+
+
+def piso_step(mesh, U: VolField, p: VolField, phi: SurfaceField, dt, nu,
+              *, div_scheme, lap_corr, u_controls, p_controls,
+              p_final_controls, n_correctors: int, n_non_orth: int,
+              p_ref_cell, p_ref_value, p_ref_weight=1.0):
+    """One PISO timestep (pure; works single-chip or inside shard_map —
+    in the latter case p_ref_cell/p_ref_weight are per-shard values)."""
+    U = U.store_old()
+
+    # momentum predictor (UEqn.H)
+    UEqn = (fvm.ddt(mesh, U, dt)
+            + fvm.div(mesh, phi, U, div_scheme)
+            - fvm.laplacian(mesh, nu, U, lap_corr))
+    U, u_perf = solve(mesh, UEqn == (-fvc.grad(mesh, p)), u_controls)
+
+    p_perf_all = []
+    for corr in range(n_correctors):
+        UEqn_c = UEqn.replace(psi=U)
+        rAU = 1.0 / UEqn_c.A(mesh)
+        HbyA = fvc.constrain_hbya(mesh, rAU * UEqn_c.H(mesh), U)
+        phi_hbya = fvc.flux(mesh, HbyA)
+
+        p_new = p
+        for north in range(n_non_orth + 1):
+            final = (corr == n_correctors - 1) and (north == n_non_orth)
+            pEqn = fvm.laplacian(mesh, rAU, p_new, lap_corr) \
+                == fvc.div(mesh, phi_hbya)
+            pEqn = pEqn.set_reference(p_ref_cell, p_ref_value,
+                                      p_ref_weight)
+            p_new, p_perf = solve(
+                mesh, pEqn, p_final_controls if final else p_controls)
+            p_perf_all.append(p_perf[0])
+        p = p_new
+
+        phi = phi_hbya - pEqn.replace(psi=p).flux(mesh)
+        grad_p = fvc.grad(mesh, p)
+        U_star = HbyA - rAU * grad_p
+        U = U.replace(data=U_star.data).correct_boundary_conditions(mesh)
+
+    local_err, glob_err = continuity_errors(mesh, phi)
+    co_mean, co_max = courant_number(mesh, phi, dt)
+    stats = dict(u_perf=u_perf, p_perf=tuple(p_perf_all),
+                 cont=(local_err, glob_err), co=(co_mean, co_max))
+    return U, p, phi, stats
 
 
 def make_step(case: Case, nu: Dimensioned, n_correctors: int,
               n_non_orth: int, p_ref_cell: int, p_ref_value: float):
     mesh = case.mesh
-    div_scheme = case.div_scheme("div(phi,U)")
-    lap_corr = case.laplacian_scheme()
-    u_controls = case.solver_controls("U")
-    p_controls = case.solver_controls("p")
-    p_final_controls = case.solver_controls("p", final=True)
+    kw = dict(
+        div_scheme=case.div_scheme("div(phi,U)"),
+        lap_corr=case.laplacian_scheme(),
+        u_controls=case.solver_controls("U"),
+        p_controls=case.solver_controls("p"),
+        p_final_controls=case.solver_controls("p", final=True),
+        n_correctors=n_correctors, n_non_orth=n_non_orth,
+        p_ref_cell=p_ref_cell, p_ref_value=p_ref_value)
 
     @jax.jit
     def step(U: VolField, p: VolField, phi: SurfaceField, dt):
-        U = U.store_old()
-
-        # momentum predictor (UEqn.H)
-        UEqn = (fvm.ddt(mesh, U, dt)
-                + fvm.div(mesh, phi, U, div_scheme)
-                - fvm.laplacian(mesh, nu, U, lap_corr))
-        U, u_perf = solve(mesh, UEqn == (-fvc.grad(mesh, p)), u_controls)
-
-        p_perf_all = []
-        for corr in range(n_correctors):
-            UEqn_c = UEqn.replace(psi=U)
-            rAU = 1.0 / UEqn_c.A(mesh)
-            HbyA = fvc.constrain_hbya(mesh, rAU * UEqn_c.H(mesh), U)
-            phi_hbya = fvc.flux(mesh, HbyA)
-
-            p_new = p
-            for north in range(n_non_orth + 1):
-                final = (corr == n_correctors - 1) and (north == n_non_orth)
-                pEqn = fvm.laplacian(mesh, rAU, p_new, lap_corr) \
-                    == fvc.div(mesh, phi_hbya)
-                pEqn = pEqn.set_reference(p_ref_cell, p_ref_value)
-                p_new, p_perf = solve(
-                    mesh, pEqn,
-                    p_final_controls if final else p_controls)
-                p_perf_all.append(p_perf[0])
-            p = p_new
-
-            phi = phi_hbya - pEqn.replace(psi=p).flux(mesh)
-            grad_p = fvc.grad(mesh, p)
-            U_star = HbyA - rAU * grad_p
-            U = U.replace(data=U_star.data).correct_boundary_conditions(mesh)
-
-        local_err, glob_err = continuity_errors(mesh, phi)
-        co_mean, co_max = courant_number(mesh, phi, dt)
-        stats = dict(u_perf=u_perf, p_perf=tuple(p_perf_all),
-                     cont=(local_err, glob_err), co=(co_mean, co_max))
-        return U, p, phi, stats
+        return piso_step(mesh, U, p, phi, dt, nu, **kw)
 
     return step
 
