@@ -74,6 +74,11 @@ class SolverControls:
     max_iter: int = 1000
     min_iter: int = 0
     n_sweeps: int = 1
+    # GAMG controls (reference: GAMGSolver dict entries)
+    n_pre_sweeps: int = 0
+    n_post_sweeps: int = 2
+    n_finest_sweeps: int = 2
+    n_coarsest_cells: int = 32
 
     @staticmethod
     def from_dict(d) -> "SolverControls":
@@ -88,6 +93,10 @@ class SolverControls:
             max_iter=int(d.scalar("maxIter", 1000)),
             min_iter=int(d.scalar("minIter", 0)),
             n_sweeps=int(d.scalar("nSweeps", 1)),
+            n_pre_sweeps=int(d.scalar("nPreSweeps", 0)),
+            n_post_sweeps=int(d.scalar("nPostSweeps", 2)),
+            n_finest_sweeps=int(d.scalar("nFinestSweeps", 2)),
+            n_coarsest_cells=int(d.scalar("nCellsInCoarsestLevel", 32)),
         )
 
 
