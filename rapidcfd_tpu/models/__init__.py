@@ -1,0 +1,2 @@
+from .transport import SinglePhaseTransportModel  # noqa: F401
+from . import turbulence  # noqa: F401

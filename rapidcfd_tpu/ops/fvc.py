@@ -101,6 +101,31 @@ def div(mesh: MeshArrays, a, b=None, scheme: str = "linear") -> VolField:
                            f"div({phi.name},{vf.name})"))
 
 
+def div_tensor(mesh: MeshArrays, T: VolField) -> VolField:
+    """fvc::div of a rank-2 tensor field -> vector field: per cell
+    (1/V) sum_f Sf_i T_ij (used by divDevReff's explicit stress term)."""
+    fv = face_values(mesh, T)                       # (nF, 3, 3)
+    face_term = (mesh.Sf[:, :, None] * fv).sum(1)   # (nF, 3)
+    summed = surface_sum_faces(mesh, face_term)
+    data = summed / _ext(mesh.V, summed)
+    return _extrapolated(mesh, data, T.dims / dim_length,
+                         f"div({T.name})")
+
+
+def dev_transpose_grad(mesh: MeshArrays, U: VolField) -> VolField:
+    """dev(T(grad(U))) (reference: divDevReff's explicit part)."""
+    import jax.numpy as jnp_
+    g = grad(mesh, U)
+
+    def f(t):
+        tr = jnp_.trace(t, axis1=-2, axis2=-1)
+        eye = jnp_.eye(3, dtype=t.dtype)
+        return jnp_.swapaxes(t, -1, -2) \
+            - (tr / 3.0)[..., None, None] * eye
+    return g.with_calculated_bcs(f(g.data), f(g.bvalues), g.dims,
+                                 f"devT(grad({U.name}))")
+
+
 def grad(mesh: MeshArrays, vf: VolField, scheme: str = "linear") -> VolField:
     """Gauss gradient with boundary normal-gradient correction (reference:
     gradSchemes/gaussGrad/gaussGrad.C:51-101 + correctBoundaryConditions).

@@ -212,6 +212,32 @@ class FvMatrix:
         src = self.source + _ext(d - d0, self.source) * self.psi.data
         return self.replace(diag=d, source=src)
 
+    def set_values(self, mesh: MeshArrays, fix_mask, values) -> "FvMatrix":
+        """Fix psi at the masked cells (reference: fvMatrix::setValues /
+        lduMatrix::setValuesFromList): eliminate the fixed rows and move
+        their column contributions to neighbouring sources — all as
+        regular ELL gathers, no scatter.
+
+        fix_mask: (nCells,) 1.0 where fixed; values: (nCells,) target.
+        """
+        own = mesh.owner[:mesh.n_internal]
+        nei = mesh.neighbour
+        fix_o = jnp.take(fix_mask, own)
+        fix_n = jnp.take(fix_mask, nei)
+        # column elimination into the source: src[c] -= sum_k coeff*val*fix
+        coeffs = self.ell_coeffs(mesh)
+        nbr_fix = jnp.take(fix_mask, mesh.cell_nbr)
+        nbr_val = jnp.take(values, mesh.cell_nbr)
+        col = (coeffs * nbr_fix * nbr_val).sum(axis=1)
+        src = self.source - _ext(col, self.source)
+        # fixed rows: source = diag*value
+        fm = _ext(fix_mask, src)
+        src = src * (1.0 - fm) + fm * _ext(self.diag * values, src)
+        keep = (1.0 - fix_o) * (1.0 - fix_n)
+        return self.replace(
+            upper=self.upper * keep, lower=self.lower * keep, source=src,
+            symmetric=False)
+
     def set_reference(self, cell, value, weight=1.0) -> "FvMatrix":
         """Pin psi at one cell (fvMatrix::setReference). In distributed
         runs weight is 1.0 only on the shard owning the reference cell."""

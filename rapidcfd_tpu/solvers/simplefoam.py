@@ -1,0 +1,168 @@
+"""simpleFoam — steady incompressible RANS solver (SIMPLE).
+
+Capability parity with the reference solver (reference:
+applications/solvers/incompressible/simpleFoam/simpleFoam.C:40-78 with
+UEqn.H/pEqn.H), TPU-first: one jitted SIMPLE iteration = momentum
+predictor (relaxed), pressure correction with non-orth correctors, field
+relaxation, and the turbulence correct() — the host loop only checks
+residualControl convergence and writes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..fields.field import Dimensioned, SurfaceField, VolField
+from ..linalg import solve
+from ..models.transport import SinglePhaseTransportModel
+from ..models.turbulence import make_ras_model
+from ..ops import fvc, fvm
+from ..utils.logging import (ExecutionTimer, info, log_continuity,
+                             log_solve)
+from .case import Case
+from .controls import SimpleControl
+from .icofoam import continuity_errors
+
+
+def relax_field(new: VolField, prev: VolField, alpha: float) -> VolField:
+    """Explicit field under-relaxation (GeometricField::relax)."""
+    if alpha <= 0 or alpha >= 1.0 - 1e-12:
+        return new
+    return new.replace(
+        data=prev.data + alpha * (new.data - prev.data),
+        bvalues=prev.bvalues + alpha * (new.bvalues - prev.bvalues))
+
+
+def div_dev_reff(mesh, nu_eff, U: VolField, lap_corr: str):
+    """turbulence->divDevReff(U) (reference: linearViscousStress /
+    RASModel::divDevReff): -laplacian(nuEff, U) - div(nuEff*dev(T(grad U)))."""
+    m = -fvm.laplacian(mesh, nu_eff, U, lap_corr)
+    dev_t = fvc.dev_transpose_grad(mesh, U)
+    expl = fvc.div_tensor(mesh, dev_t * nu_eff)
+    return m.equals(expl)
+
+
+def make_step(case: Case, transport, turb, simple: SimpleControl):
+    mesh = case.mesh
+    div_u = case.div_scheme("div(phi,U)")
+    lap_corr = case.laplacian_scheme()
+    u_controls = case.solver_controls("U")
+    p_controls = case.solver_controls("p")
+    u_relax = case.relaxation_factor("U", "equations", 0.0)
+    p_relax = case.relaxation_factor("p", "fields", 0.0)
+    n_non_orth = simple.n_non_orth
+    p_ref_cell, p_ref_value = simple.p_ref_cell, simple.p_ref_value
+
+    @jax.jit
+    def step(U: VolField, p: VolField, phi: SurfaceField, turb_state):
+        nu = transport.nu(mesh, U)
+        nu_eff = turb.nu_eff(mesh, turb_state, nu)
+
+        # momentum predictor (UEqn.H)
+        UEqn = fvm.div(mesh, phi, U, div_u) \
+            + div_dev_reff(mesh, nu_eff, U, lap_corr)
+        UEqn = UEqn.relax(mesh, u_relax)
+        U, u_perf = solve(mesh, UEqn == (-fvc.grad(mesh, p)), u_controls)
+
+        # pressure equation (pEqn.H)
+        UEqn_c = UEqn.replace(psi=U)
+        rAU = 1.0 / UEqn_c.A(mesh)
+        HbyA = fvc.constrain_hbya(mesh, rAU * UEqn_c.H(mesh), U)
+        phi_hbya = fvc.flux(mesh, HbyA)
+        phi_hbya = fvc.adjust_phi(mesh, phi_hbya, U)
+
+        p_prev = p
+        p_perf_all = []
+        for north in range(n_non_orth + 1):
+            pEqn = fvm.laplacian(mesh, rAU, p, lap_corr) \
+                == fvc.div(mesh, phi_hbya)
+            pEqn = pEqn.set_reference(p_ref_cell, p_ref_value)
+            p, p_perf = solve(mesh, pEqn, p_controls)
+            p_perf_all.append(p_perf[0])
+        phi = phi_hbya - pEqn.replace(psi=p).flux(mesh)
+
+        local_err, glob_err = continuity_errors(mesh, phi)
+
+        # explicit relaxation of p, then momentum correction
+        p = relax_field(p, p_prev, p_relax)
+        U_star = HbyA - rAU * fvc.grad(mesh, p)
+        U = U.replace(data=U_star.data).correct_boundary_conditions(mesh)
+
+        turb_state, turb_perf = turb.correct(mesh, turb_state, U, phi, nu)
+
+        stats = dict(u_perf=u_perf, p_perf=tuple(p_perf_all),
+                     turb=turb_perf, cont=(local_err, glob_err))
+        return U, p, phi, turb_state, stats
+
+    return step
+
+
+def run(case_dir: str, write: bool = True, max_steps: int | None = None):
+    case = Case(case_dir)
+    mesh = case.mesh
+
+    info("Reading field p\n\nReading field U\n")
+    p = case.read_field("p")
+    U = case.read_field("U")
+    phi = fvc.flux(mesh, U)
+
+    transport = SinglePhaseTransportModel(case.transport_properties())
+    turb = make_ras_model(case, U)
+    turb_state = turb.init_state(U)
+    simple = SimpleControl(case)
+
+    step = make_step(case, transport, turb, simple)
+    timer = ExecutionTimer()
+    cumulative_err = 0.0
+    u_solver = case.solver_controls("U").solver
+    p_solver = case.solver_controls("p").solver
+
+    info("\nStarting time loop\n")
+    n = 0
+    initial_residuals = None
+    while simple.loop(initial_residuals):
+        info(f"Time = {case.time.name}\n")
+        U, p, phi, turb_state, stats = step(U, p, phi, turb_state)
+
+        initial_residuals = {}
+        for cmpt, perf in zip("xyz", stats["u_perf"]):
+            log_solve(u_solver, f"U{cmpt}", perf[0], perf[1], perf[2])
+            initial_residuals[f"U{cmpt}"] = float(perf[0])
+        initial_residuals["U"] = max(
+            float(pf[0]) for pf in stats["u_perf"])
+        for perf in stats["p_perf"]:
+            log_solve(p_solver, "p", perf[0], perf[1], perf[2])
+        initial_residuals["p"] = float(stats["p_perf"][0][0])
+        for name, perf in stats["turb"].items():
+            log_solve(case.solver_controls(name).solver, name,
+                      perf[0], perf[1], perf[2])
+            initial_residuals[name] = float(perf[0])
+        local_err, glob_err = stats["cont"]
+        cumulative_err += float(glob_err)
+        log_continuity(cumulative_err, local_err, glob_err)
+        timer.log()
+
+        if write and case.time.write_time():
+            case.write_fields([U, p] + list(turb_state.values()))
+        n += 1
+        if max_steps and n >= max_steps:
+            break
+
+    if write:
+        case.write_fields([U, p] + list(turb_state.values()))
+    info("End\n")
+    return case, U, p, phi, turb_state
+
+
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser(description="simpleFoam (rapidcfd_tpu)")
+    ap.add_argument("-case", dest="case", default=".")
+    ap.add_argument("-noWrite", action="store_true")
+    args = ap.parse_args(argv)
+    run(args.case, write=not args.noWrite)
+
+
+if __name__ == "__main__":
+    main()

@@ -141,6 +141,299 @@ def box_mesh(nx: int, ny: int, nz: int,
                     np.array(neighbours, dtype=np.int64), patches)
 
 
+def masked_grid_mesh(xs, ys, zs, mask, patch_rule) -> PolyMesh:
+    """Structured 2D-extruded mesh with blanked cells (backward-facing
+    steps, obstacles, T-junctions). mask[i,j] selects active cells;
+    patch_rule(i, j, side) -> patch name for each boundary face, where
+    side in {xmin,xmax,ymin,ymax,zmin,zmax}. Patch types are given via
+    patch_rule.types: dict name->type.
+    """
+    xs, ys, zs = map(np.asarray, (xs, ys, zs))
+    nx, ny, nz = len(xs) - 1, len(ys) - 1, len(zs) - 1
+    mask = np.asarray(mask, dtype=bool)
+    assert mask.shape == (nx, ny)
+
+    # nodes for the full grid (unused ones are harmless but we compact)
+    def nid_full(i, j, k):
+        return i + j * (nx + 1) + k * (nx + 1) * (ny + 1)
+
+    cid = np.full((nx, ny, nz), -1, dtype=np.int64)
+    n = 0
+    for k in range(nz):
+        for j in range(ny):
+            for i in range(nx):
+                if mask[i, j]:
+                    cid[i, j, k] = n
+                    n += 1
+
+    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+    pts_full = np.stack([X.ravel(order="F"), Y.ravel(order="F"),
+                         Z.ravel(order="F")], axis=1)
+
+    int_faces, side_faces = [], {}
+
+    def face_nodes(i, j, k, side):
+        if side == "xmax":
+            return [nid_full(i + 1, j, k), nid_full(i + 1, j + 1, k),
+                    nid_full(i + 1, j + 1, k + 1), nid_full(i + 1, j, k + 1)]
+        if side == "xmin":
+            return [nid_full(i, j, k), nid_full(i, j, k + 1),
+                    nid_full(i, j + 1, k + 1), nid_full(i, j + 1, k)]
+        if side == "ymax":
+            return [nid_full(i, j + 1, k), nid_full(i, j + 1, k + 1),
+                    nid_full(i + 1, j + 1, k + 1), nid_full(i + 1, j + 1, k)]
+        if side == "ymin":
+            return [nid_full(i, j, k), nid_full(i + 1, j, k),
+                    nid_full(i + 1, j, k + 1), nid_full(i, j, k + 1)]
+        if side == "zmax":
+            return [nid_full(i, j, k + 1), nid_full(i + 1, j, k + 1),
+                    nid_full(i + 1, j + 1, k + 1), nid_full(i, j + 1, k + 1)]
+        return [nid_full(i, j, k), nid_full(i, j + 1, k),
+                nid_full(i + 1, j + 1, k), nid_full(i + 1, j, k)]
+
+    for k in range(nz):
+        for j in range(ny):
+            for i in range(nx):
+                if not mask[i, j]:
+                    continue
+                c = cid[i, j, k]
+                # +x neighbour
+                if i + 1 < nx and mask[i + 1, j]:
+                    int_faces.append((c, cid[i + 1, j, k],
+                                      face_nodes(i, j, k, "xmax")))
+                else:
+                    nm = patch_rule(i, j, "xmax")
+                    side_faces.setdefault(nm, []).append(
+                        (c, face_nodes(i, j, k, "xmax")))
+                if i == 0 or not mask[i - 1, j]:
+                    nm = patch_rule(i, j, "xmin")
+                    side_faces.setdefault(nm, []).append(
+                        (c, face_nodes(i, j, k, "xmin")))
+                if j + 1 < ny and mask[i, j + 1]:
+                    int_faces.append((c, cid[i, j + 1, k],
+                                      face_nodes(i, j, k, "ymax")))
+                elif j + 1 >= ny or not mask[i, j + 1]:
+                    nm = patch_rule(i, j, "ymax")
+                    side_faces.setdefault(nm, []).append(
+                        (c, face_nodes(i, j, k, "ymax")))
+                if j == 0 or not mask[i, j - 1]:
+                    nm = patch_rule(i, j, "ymin")
+                    side_faces.setdefault(nm, []).append(
+                        (c, face_nodes(i, j, k, "ymin")))
+                if k + 1 < nz:
+                    int_faces.append((c, cid[i, j, k + 1],
+                                      face_nodes(i, j, k, "zmax")))
+                else:
+                    nm = patch_rule(i, j, "zmax")
+                    side_faces.setdefault(nm, []).append(
+                        (c, face_nodes(i, j, k, "zmax")))
+                if k == 0:
+                    nm = patch_rule(i, j, "zmin")
+                    side_faces.setdefault(nm, []).append(
+                        (c, face_nodes(i, j, k, "zmin")))
+
+    int_faces.sort(key=lambda t: (t[0], t[1]))
+    owners = [t[0] for t in int_faces]
+    neighbours = [t[1] for t in int_faces]
+    all_faces = [t[2] for t in int_faces]
+    patches = []
+    for name in patch_rule.order:
+        faces = side_faces.get(name, [])
+        start = len(all_faces)
+        for own_c, fpts in faces:
+            owners.append(own_c)
+            all_faces.append(fpts)
+        patches.append(BoundaryPatch(name, patch_rule.types[name], start,
+                                     len(all_faces) - start))
+
+    # compact points to the used subset
+    used = np.unique(np.array([p for f in all_faces for p in f]))
+    remap = np.full(pts_full.shape[0], -1, dtype=np.int64)
+    remap[used] = np.arange(used.size)
+    flat = remap[np.array([p for f in all_faces for p in f])]
+    offsets = np.zeros(len(all_faces) + 1, dtype=np.int64)
+    np.cumsum([len(f) for f in all_faces], out=offsets[1:])
+    return PolyMesh(pts_full[used], flat, offsets,
+                    np.array(owners, dtype=np.int64),
+                    np.array(neighbours, dtype=np.int64), patches)
+
+
+def pitz_daily_case(case_dir: str, scale: int = 1,
+                    u_in: float = 10.0, nu: float = 1e-05,
+                    end_time: int = 500):
+    """Backward-facing-step case in the spirit of the pitzDaily tutorial
+    (BASELINE config 2): ~6k cells at scale=1, kEpsilon + wall functions,
+    GAMG pressure, SIMPLE with residualControl."""
+    h = 0.0254                      # step height / inlet height
+    nx_up, nx_dn = 12 * scale, 100 * scale
+    ny_half = 20 * scale
+    xs = np.concatenate([np.linspace(-0.0206, 0.0, nx_up + 1)[:-1],
+                         np.linspace(0.0, 0.29, nx_dn + 1)])
+    ys = np.linspace(-h, h, 2 * ny_half + 1)
+    zs = np.array([-0.0005, 0.0005])
+    nx, ny = len(xs) - 1, len(ys) - 1
+    mask = np.ones((nx, ny), dtype=bool)
+    xc = 0.5 * (xs[:-1] + xs[1:])
+    yc = 0.5 * (ys[:-1] + ys[1:])
+    mask[np.ix_(xc < 0.0, yc < 0.0)] = False
+
+    def rule(i, j, side):
+        if side in ("zmin", "zmax"):
+            return "frontAndBack"
+        if side == "xmin" and i == 0:
+            return "inlet"
+        if side == "xmax" and i == nx - 1:
+            return "outlet"
+        if side == "ymax":
+            return "upperWall"
+        return "lowerWall"
+    rule.order = ["inlet", "outlet", "upperWall", "lowerWall",
+                  "frontAndBack"]
+    rule.types = {"inlet": "patch", "outlet": "patch",
+                  "upperWall": "wall", "lowerWall": "wall",
+                  "frontAndBack": "empty"}
+
+    mesh = masked_grid_mesh(xs, ys, zs, mask, rule)
+    write_polymesh(mesh, case_dir)
+
+    _write(os.path.join(case_dir, "system", "controlDict"),
+           foamfile_header("dictionary", "controlDict", "system"), f"""
+application     simpleFoam;
+startFrom       startTime;
+startTime       0;
+stopAt          endTime;
+endTime         {end_time};
+deltaT          1;
+writeControl    timeStep;
+writeInterval   100;
+purgeWrite      0;
+writeFormat     ascii;
+writePrecision  6;
+runTimeModifiable true;
+""")
+    _write(os.path.join(case_dir, "system", "fvSchemes"),
+           foamfile_header("dictionary", "fvSchemes", "system"), """
+ddtSchemes      { default steadyState; }
+gradSchemes     { default Gauss linear; }
+divSchemes
+{
+    default         none;
+    div(phi,U)      bounded Gauss upwind;
+    div(phi,k)      bounded Gauss upwind;
+    div(phi,epsilon) bounded Gauss upwind;
+    div((nuEff*dev(T(grad(U))))) Gauss linear;
+}
+laplacianSchemes { default Gauss linear orthogonal; }
+interpolationSchemes { default linear; }
+snGradSchemes   { default orthogonal; }
+""")
+    _write(os.path.join(case_dir, "system", "fvSolution"),
+           foamfile_header("dictionary", "fvSolution", "system"), """
+solvers
+{
+    p
+    {
+        solver          GAMG;
+        tolerance       1e-06;
+        relTol          0.1;
+        smoother        GaussSeidel;
+        nCellsInCoarsestLevel 32;
+    }
+    "(U|k|epsilon)"
+    {
+        solver          smoothSolver;
+        smoother        symGaussSeidel;
+        tolerance       1e-05;
+        relTol          0.1;
+    }
+}
+SIMPLE
+{
+    nNonOrthogonalCorrectors 0;
+    pRefCell        0;
+    pRefValue       0;
+    residualControl
+    {
+        p               1e-3;
+        U               1e-4;
+        "(k|epsilon)"   1e-4;
+    }
+}
+relaxationFactors
+{
+    fields    { p 0.3; }
+    equations { U 0.7; k 0.7; epsilon 0.7; }
+}
+""")
+    _write(os.path.join(case_dir, "constant", "transportProperties"),
+           foamfile_header("dictionary", "transportProperties", "constant"),
+           f"\ntransportModel  Newtonian;\nnu              nu "
+           f"[ 0 2 -1 0 0 0 0 ] {nu};\n")
+    _write(os.path.join(case_dir, "constant", "RASProperties"),
+           foamfile_header("dictionary", "RASProperties", "constant"), """
+RASModel        kEpsilon;
+turbulence      on;
+printCoeffs     on;
+""")
+
+    k_in = 1.5 * (0.05 * u_in) ** 2          # 5% intensity
+    eps_in = 0.09 ** 0.75 * k_in ** 1.5 / (0.1 * h)
+    wall_bc = "        type            zeroGradient;\n"
+    write_field(case_dir, "0", "p", "volScalarField", "[0 2 -2 0 0 0 0]",
+                "uniform 0", {
+                    "inlet": wall_bc,
+                    "outlet": "        type            fixedValue;\n"
+                              "        value           uniform 0;\n",
+                    "upperWall": wall_bc, "lowerWall": wall_bc,
+                    "frontAndBack": "        type            empty;\n"})
+    write_field(case_dir, "0", "U", "volVectorField", "[0 1 -1 0 0 0 0]",
+                "uniform (0 0 0)", {
+                    "inlet": "        type            fixedValue;\n"
+                             f"        value           uniform ({u_in} 0 0);\n",
+                    "outlet": "        type            zeroGradient;\n",
+                    "upperWall": "        type            fixedValue;\n"
+                                 "        value           uniform (0 0 0);\n",
+                    "lowerWall": "        type            fixedValue;\n"
+                                 "        value           uniform (0 0 0);\n",
+                    "frontAndBack": "        type            empty;\n"})
+    write_field(case_dir, "0", "k", "volScalarField", "[0 2 -2 0 0 0 0]",
+                f"uniform {k_in}", {
+                    "inlet": "        type            fixedValue;\n"
+                             f"        value           uniform {k_in};\n",
+                    "outlet": "        type            zeroGradient;\n",
+                    "upperWall": "        type            kqRWallFunction;\n"
+                                 f"        value           uniform {k_in};\n",
+                    "lowerWall": "        type            kqRWallFunction;\n"
+                                 f"        value           uniform {k_in};\n",
+                    "frontAndBack": "        type            empty;\n"})
+    write_field(case_dir, "0", "epsilon", "volScalarField",
+                "[0 2 -3 0 0 0 0]", f"uniform {eps_in}", {
+                    "inlet": "        type            fixedValue;\n"
+                             f"        value           uniform {eps_in};\n",
+                    "outlet": "        type            zeroGradient;\n",
+                    "upperWall":
+                        "        type            epsilonWallFunction;\n"
+                        f"        value           uniform {eps_in};\n",
+                    "lowerWall":
+                        "        type            epsilonWallFunction;\n"
+                        f"        value           uniform {eps_in};\n",
+                    "frontAndBack": "        type            empty;\n"})
+    write_field(case_dir, "0", "nut", "volScalarField", "[0 2 -1 0 0 0 0]",
+                "uniform 0", {
+                    "inlet": "        type            calculated;\n"
+                             "        value           uniform 0;\n",
+                    "outlet": "        type            calculated;\n"
+                              "        value           uniform 0;\n",
+                    "upperWall":
+                        "        type            nutkWallFunction;\n"
+                        "        value           uniform 0;\n",
+                    "lowerWall":
+                        "        type            nutkWallFunction;\n"
+                        "        value           uniform 0;\n",
+                    "frontAndBack": "        type            empty;\n"})
+    return mesh
+
+
 def _write(path: str, header: str, body: str):
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
