@@ -293,6 +293,185 @@ class KEpsilon:
         return nut.with_calculated_bcs(data, bval, dim_viscosity, "Deff")
 
 
+def wall_distance(case) -> jnp.ndarray:
+    """Cell-centre distance to the nearest wall-patch face (replaces the
+    reference's patchWave wallDist, src/finiteVolume/fvMesh/wallDist —
+    nearest-face KD-tree query instead of a mesh wave; host, once)."""
+    import numpy as np
+    from scipy.spatial import cKDTree
+    mesh = case.mesh
+    wall_cf = []
+    for p in mesh.patches:
+        if p.type == "wall":
+            wall_cf.append(np.asarray(mesh.patch_cf(p)))
+    C = np.asarray(mesh.C)
+    if not wall_cf:
+        return jnp.full(mesh.n_cells, 1e10, mesh.C.dtype)
+    tree = cKDTree(np.concatenate(wall_cf))
+    d, _ = tree.query(C)
+    return jnp.asarray(d, mesh.C.dtype)
+
+
+@register("RASModel", "kOmegaSST")
+class KOmegaSST:
+    """Menter k-omega SST (reference: incompressible/RAS/kOmegaSST/
+    kOmegaSST.H:115, 2.3 formulation with F1-blended coefficients)."""
+    needs = ("k", "omega", "nut")
+
+    alphaK1, alphaK2 = 0.85, 1.0
+    alphaOmega1, alphaOmega2 = 0.5, 0.856
+    gamma1, gamma2 = 5.0 / 9.0, 0.44
+    beta1, beta2 = 0.075, 0.0828
+    betaStar = 0.09
+    a1, b1, c1 = 0.31, 1.0, 10.0
+
+    def __init__(self, case, coeffs: Dictionary):
+        self.case = case
+        self.k_min = 1e-15
+        self.omega_min = 1e-10
+        self.k_controls = case.solver_controls("k")
+        self.omega_controls = case.solver_controls("omega")
+        self.k_relax = case.relaxation_factor("k", default=0.7)
+        self.omega_relax = case.relaxation_factor("omega", default=0.7)
+        self.div_k = case.div_scheme("div(phi,k)")
+        try:
+            self.div_omega = case.div_scheme("div(phi,omega)")
+        except KeyError:
+            self.div_omega = self.div_k
+        self.lap_corr = case.laplacian_scheme()
+        self.ddt_scheme = case.ddt_scheme()
+        self.y = wall_distance(case)
+
+    def init_state(self, U):
+        return {name: self.case.read_field(name) for name in self.needs}
+
+    def nut(self, state):
+        return state["nut"]
+
+    nu_eff = KEpsilon.nu_eff
+    _dcoeff = KEpsilon._dcoeff
+
+    def _blend(self, F1, c1v, c2v):
+        return F1 * c1v + (1.0 - F1) * c2v
+
+    def _wall_fix(self, mesh, state, U, nu, G):
+        """omegaWallFunction near-wall treatment: fix omega in adjacent
+        cells to sqrt(omega_vis^2 + omega_log^2) and override G."""
+        k = state["k"]
+        nut = state["nut"]
+        fix = jnp.zeros(mesh.n_cells, G.dtype)
+        om_vals = jnp.zeros(mesh.n_cells, G.dtype)
+        for bc, patch in zip(state["omega"].bcs, mesh.patches):
+            if not isinstance(bc, OmegaWallFunction) or patch.size == 0:
+                continue
+            cells = mesh.patch_face_cells(patch)
+            y = 1.0 / mesh.patch_delta_coeffs(patch)
+            k_c = jnp.maximum(k.data[cells], 0.0)
+            nu_w = nu.value if isinstance(nu, Dimensioned) \
+                else nu.data[cells]
+            nut_w = nut.bvalues[patch.bstart:patch.bstart + patch.size]
+            u_c = U.data[cells]
+            u_w = U.bvalues[patch.bstart:patch.bstart + patch.size]
+            mag_grad_uw = jnp.linalg.norm(u_c - u_w, axis=-1) / y
+            om_vis = 6.0 * nu_w / (self.beta1 * y * y)
+            om_log = jnp.sqrt(k_c) / (_CMU25 * _KAPPA * y)
+            om_w = jnp.sqrt(om_vis ** 2 + om_log ** 2)
+            g_w = (nut_w + nu_w) * mag_grad_uw * _CMU25 * jnp.sqrt(k_c) \
+                / (_KAPPA * y)
+            G = G.at[cells].set(g_w)
+            fix = fix.at[cells].set(1.0)
+            om_vals = om_vals.at[cells].set(om_w)
+        return G, fix, om_vals
+
+    def correct(self, mesh, state, U, phi, nu, dt=None):
+        k, omega, nut = state["k"], state["omega"], state["nut"]
+        y = self.y
+        nu_c = nu.value if isinstance(nu, Dimensioned) else nu.data
+        ddt_scheme = "steadyState" if dt is None else self.ddt_scheme
+
+        s2 = magsqr_symm_grad(mesh, U)
+        sqrt_s2 = jnp.sqrt(jnp.maximum(s2, 0.0))
+        G = nut.data * s2
+
+        gk = fvc.grad(mesh, k)
+        gom = fvc.grad(mesh, omega)
+        om_pos = jnp.maximum(omega.data, self.omega_min)
+        cd_kom = jnp.maximum(
+            2.0 * self.alphaOmega2 * (gk.data * gom.data).sum(-1) / om_pos,
+            1e-10)
+        k_pos = jnp.maximum(k.data, 0.0)
+        arg1 = jnp.minimum(jnp.minimum(jnp.maximum(
+            jnp.sqrt(k_pos) / (self.betaStar * om_pos * y),
+            500.0 * nu_c / (y * y * om_pos)),
+            4.0 * self.alphaOmega2 * k_pos / (cd_kom * y * y)), 10.0)
+        F1 = jnp.tanh(arg1 ** 4)
+        arg2 = jnp.minimum(jnp.maximum(
+            2.0 * jnp.sqrt(k_pos) / (self.betaStar * om_pos * y),
+            500.0 * nu_c / (y * y * om_pos)), 100.0)
+        F2 = jnp.tanh(arg2 ** 2)
+
+        gamma = self._blend(F1, self.gamma1, self.gamma2)
+        beta = self._blend(F1, self.beta1, self.beta2)
+        alpha_k = self._blend(F1, self.alphaK1, self.alphaK2)
+        alpha_om = self._blend(F1, self.alphaOmega1, self.alphaOmega2)
+
+        G, om_fix, om_vals = self._wall_fix(mesh, state, U, nu, G)
+
+        d_om = nut.with_calculated_bcs(
+            alpha_om * nut.data + nu_c,
+            self.alphaOmega1 * nut.bvalues
+            + (nu.value if isinstance(nu, Dimensioned) else nu.bvalues),
+            dim_viscosity, "DomegaEff")
+        d_k = nut.with_calculated_bcs(
+            alpha_k * nut.data + nu_c,
+            self.alphaK1 * nut.bvalues
+            + (nu.value if isinstance(nu, Dimensioned) else nu.bvalues),
+            dim_viscosity, "DkEff")
+
+        # omega equation
+        gamma_s2 = gamma * jnp.minimum(
+            s2, (self.c1 / self.a1) * self.betaStar * om_pos
+            * jnp.maximum(self.a1 * om_pos, self.b1 * F2 * sqrt_s2))
+        rhs_om = omega.with_calculated_bcs(
+            gamma_s2 + (1.0 - F1) * cd_kom,
+            jnp.zeros_like(omega.bvalues),
+            omega.dims / DimensionSet.of(0, 0, 1))
+        om_eqn = (fvm.ddt(mesh, omega, dt or 1.0, ddt_scheme)
+                  + fvm.div(mesh, phi, omega, self.div_omega)
+                  - fvm.laplacian(mesh, d_om, omega, self.lap_corr)
+                  + fvm.Sp(mesh, Dimensioned("beta*omega", _RTIME,
+                                             beta * om_pos), omega))
+        om_eqn = om_eqn.equals(rhs_om)
+        om_eqn = om_eqn.relax(mesh, self.omega_relax)
+        om_eqn = om_eqn.set_values(mesh, om_fix, om_vals)
+        omega_new, om_perf = solve(mesh, om_eqn, self.omega_controls)
+        omega_new = bound(omega_new, self.omega_min)
+
+        # k equation
+        rhs_k = k.with_calculated_bcs(
+            jnp.minimum(G, self.c1 * self.betaStar * k_pos * om_pos),
+            jnp.zeros_like(k.bvalues), k.dims / DimensionSet.of(0, 0, 1))
+        k_eqn = (fvm.ddt(mesh, k, dt or 1.0, ddt_scheme)
+                 + fvm.div(mesh, phi, k, self.div_k)
+                 - fvm.laplacian(mesh, d_k, k, self.lap_corr)
+                 + fvm.Sp(mesh, Dimensioned(
+                     "betaStar*omega", _RTIME,
+                     self.betaStar * omega_new.data), k))
+        k_eqn = k_eqn.equals(rhs_k)
+        k_eqn = k_eqn.relax(mesh, self.k_relax)
+        k_new, k_perf = solve(mesh, k_eqn, self.k_controls)
+        k_new = bound(k_new, self.k_min)
+
+        nut_data = self.a1 * k_new.data / jnp.maximum(
+            self.a1 * jnp.maximum(omega_new.data, self.omega_min),
+            self.b1 * F2 * sqrt_s2)
+        nut_new = nut.replace(data=nut_data).correct_boundary_conditions(
+            mesh, env={"k": k_new, "nu": nu})
+
+        new_state = dict(k=k_new, omega=omega_new, nut=nut_new)
+        return new_state, {"omega": om_perf[0], "k": k_perf[0]}
+
+
 def make_ras_model(case, U):
     """incompressible::RASModel::New (reads constant/RASProperties or
     constant/turbulenceProperties)."""

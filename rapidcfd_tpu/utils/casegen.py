@@ -260,7 +260,7 @@ def masked_grid_mesh(xs, ys, zs, mask, patch_rule) -> PolyMesh:
 
 def pitz_daily_case(case_dir: str, scale: int = 1,
                     u_in: float = 10.0, nu: float = 1e-05,
-                    end_time: int = 500):
+                    end_time: int = 500, model: str = "kEpsilon"):
     """Backward-facing-step case in the spirit of the pitzDaily tutorial
     (BASELINE config 2): ~6k cells at scale=1, kEpsilon + wall functions,
     GAMG pressure, SIMPLE with residualControl."""
@@ -321,6 +321,7 @@ divSchemes
     div(phi,U)      bounded Gauss upwind;
     div(phi,k)      bounded Gauss upwind;
     div(phi,epsilon) bounded Gauss upwind;
+    div(phi,omega)  bounded Gauss upwind;
     div((nuEff*dev(T(grad(U))))) Gauss linear;
 }
 laplacianSchemes { default Gauss linear orthogonal; }
@@ -339,7 +340,7 @@ solvers
         smoother        GaussSeidel;
         nCellsInCoarsestLevel 32;
     }
-    "(U|k|epsilon)"
+    "(U|k|epsilon|omega)"
     {
         solver          smoothSolver;
         smoother        symGaussSeidel;
@@ -362,7 +363,7 @@ SIMPLE
 relaxationFactors
 {
     fields    { p 0.3; }
-    equations { U 0.7; k 0.7; epsilon 0.7; }
+    equations { U 0.7; k 0.7; epsilon 0.7; omega 0.7; }
 }
 """)
     _write(os.path.join(case_dir, "constant", "transportProperties"),
@@ -370,8 +371,9 @@ relaxationFactors
            f"\ntransportModel  Newtonian;\nnu              nu "
            f"[ 0 2 -1 0 0 0 0 ] {nu};\n")
     _write(os.path.join(case_dir, "constant", "RASProperties"),
-           foamfile_header("dictionary", "RASProperties", "constant"), """
-RASModel        kEpsilon;
+           foamfile_header("dictionary", "RASProperties", "constant"),
+           f"""
+RASModel        {model};
 turbulence      on;
 printCoeffs     on;
 """)
@@ -406,18 +408,35 @@ printCoeffs     on;
                     "lowerWall": "        type            kqRWallFunction;\n"
                                  f"        value           uniform {k_in};\n",
                     "frontAndBack": "        type            empty;\n"})
-    write_field(case_dir, "0", "epsilon", "volScalarField",
-                "[0 2 -3 0 0 0 0]", f"uniform {eps_in}", {
-                    "inlet": "        type            fixedValue;\n"
-                             f"        value           uniform {eps_in};\n",
-                    "outlet": "        type            zeroGradient;\n",
-                    "upperWall":
-                        "        type            epsilonWallFunction;\n"
-                        f"        value           uniform {eps_in};\n",
-                    "lowerWall":
-                        "        type            epsilonWallFunction;\n"
-                        f"        value           uniform {eps_in};\n",
-                    "frontAndBack": "        type            empty;\n"})
+    if model == "kOmegaSST":
+        om_in = eps_in / (0.09 * k_in)
+        write_field(case_dir, "0", "omega", "volScalarField",
+                    "[0 0 -1 0 0 0 0]", f"uniform {om_in}", {
+                        "inlet": "        type            fixedValue;\n"
+                                 f"        value           uniform {om_in};\n",
+                        "outlet": "        type            zeroGradient;\n",
+                        "upperWall":
+                            "        type            omegaWallFunction;\n"
+                            f"        value           uniform {om_in};\n",
+                        "lowerWall":
+                            "        type            omegaWallFunction;\n"
+                            f"        value           uniform {om_in};\n",
+                        "frontAndBack":
+                            "        type            empty;\n"})
+    else:
+        write_field(case_dir, "0", "epsilon", "volScalarField",
+                    "[0 2 -3 0 0 0 0]", f"uniform {eps_in}", {
+                        "inlet": "        type            fixedValue;\n"
+                                 f"        value           uniform {eps_in};\n",
+                        "outlet": "        type            zeroGradient;\n",
+                        "upperWall":
+                            "        type            epsilonWallFunction;\n"
+                            f"        value           uniform {eps_in};\n",
+                        "lowerWall":
+                            "        type            epsilonWallFunction;\n"
+                            f"        value           uniform {eps_in};\n",
+                        "frontAndBack":
+                            "        type            empty;\n"})
     write_field(case_dir, "0", "nut", "volScalarField", "[0 2 -1 0 0 0 0]",
                 "uniform 0", {
                     "inlet": "        type            calculated;\n"

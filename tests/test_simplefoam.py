@@ -60,3 +60,15 @@ def test_wall_function_nut_nonzero_on_walls(pitz_run):
             vals = np.asarray(
                 nut.bvalues[patch.bstart:patch.bstart + patch.size])
             assert vals.max() > 0.0  # log-law region active somewhere
+
+
+def test_komegasst_runs(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sst"))
+    pitz_daily_case(d, end_time=15, model="kOmegaSST")
+    L.Info.enabled = False
+    from rapidcfd_tpu.solvers import simplefoam
+    case, U, p, phi, ts = simplefoam.run(d, write=False)
+    L.Info.enabled = True
+    assert np.isfinite(np.asarray(U.data)).all()
+    assert (np.asarray(ts["omega"].data) > 0).all()
+    assert float(ts["nut"].data.max()) > 1e-6
