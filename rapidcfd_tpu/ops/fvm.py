@@ -41,19 +41,37 @@ def _neg_sum_diag(mesh: MeshArrays, lower, upper):
 # time derivatives
 # ---------------------------------------------------------------------------
 
-def ddt(mesh: MeshArrays, vf: VolField, dt, scheme: str = "Euler") -> FvMatrix:
-    """fvm::ddt (reference: finiteVolume/ddtSchemes). dt is a runtime
-    scalar (trace-safe: changing dt does not recompile)."""
-    m = FvMatrix.zeros(mesh, vf, vf.dims * _VOL / _TIME, symmetric=True)
+def ddt(mesh: MeshArrays, vf: VolField, dt, scheme: str = "Euler",
+        coeff=None) -> FvMatrix:
+    """fvm::ddt / fvm::ddt(rho, psi) (reference: finiteVolume/ddtSchemes
+    EulerDdtScheme::fvmDdt forms). dt is a runtime scalar (trace-safe:
+    changing dt does not recompile). coeff is an optional density-like
+    VolField (must carry its own old level)."""
+    c_dims = coeff.dims if coeff is not None else DimensionSet()
+    m = FvMatrix.zeros(mesh, vf, c_dims * vf.dims * _VOL / _TIME,
+                       symmetric=True)
     if scheme == "steadyState":
         return m
     if scheme == "Euler":
         if vf.old is None:
             raise ValueError(f"ddt({vf.name}): no old-time field stored")
         rdt = 1.0 / dt
-        diag = mesh.V * rdt
-        src = _ext(diag, vf.old.data) * vf.old.data
+        if coeff is None:
+            diag = mesh.V * rdt
+            src = _ext(diag, vf.old.data) * vf.old.data
+        else:
+            if coeff.old is None:
+                raise ValueError(
+                    f"ddt({coeff.name},{vf.name}): coefficient has no "
+                    f"old-time level")
+            diag = mesh.V * rdt * coeff.data
+            src = _ext(mesh.V * rdt * coeff.old.data, vf.old.data) \
+                * vf.old.data
         return m.replace(diag=diag, source=src)
+    if coeff is not None:
+        raise NotImplementedError(
+            f"ddt(coeff, psi) only supports Euler/steadyState, got "
+            f"'{scheme}'")
     if scheme == "backward":
         # 2nd order: (3/2 psi - 2 psi0 + 1/2 psi00)/dt (equal-step form)
         if vf.old is None or vf.old.old is None:

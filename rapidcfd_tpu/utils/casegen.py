@@ -584,3 +584,259 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def forward_step_case(case_dir: str, scale: int = 1, end_time: float = 0.5,
+                      delta_t: float = 0.0005):
+    """Mach-3 flow over a forward step (sonicFoam forwardStep tutorial,
+    BASELINE config 4): normalized gas (R=0.714286, Cv=1.78571), inviscid
+    walls as slip."""
+    nx, ny = 60 * scale, 16 * scale
+    xs = np.linspace(0.0, 3.0, nx + 1)
+    ys = np.linspace(0.0, 1.0, ny + 1)
+    zs = np.array([-0.05, 0.05])
+    mask = np.ones((nx, ny), dtype=bool)
+    xc = 0.5 * (xs[:-1] + xs[1:])
+    yc = 0.5 * (ys[:-1] + ys[1:])
+    mask[np.ix_(xc > 0.6, yc < 0.2)] = False
+
+    def rule(i, j, side):
+        if side in ("zmin", "zmax"):
+            return "frontAndBack"
+        if side == "xmin" and i == 0:
+            return "inlet"
+        if side == "xmax" and i == nx - 1:
+            return "outlet"
+        return "obstacle"
+    rule.order = ["inlet", "outlet", "obstacle", "frontAndBack"]
+    rule.types = {"inlet": "patch", "outlet": "patch",
+                  "obstacle": "wall", "frontAndBack": "empty"}
+    mesh = masked_grid_mesh(xs, ys, zs, mask, rule)
+    write_polymesh(mesh, case_dir)
+
+    _write(os.path.join(case_dir, "system", "controlDict"),
+           foamfile_header("dictionary", "controlDict", "system"), f"""
+application     sonicFoam;
+startFrom       startTime;
+startTime       0;
+stopAt          endTime;
+endTime         {end_time};
+deltaT          {delta_t};
+writeControl    runTime;
+writeInterval   0.5;
+writeFormat     ascii;
+writePrecision  6;
+""")
+    _write(os.path.join(case_dir, "system", "fvSchemes"),
+           foamfile_header("dictionary", "fvSchemes", "system"), """
+ddtSchemes      { default Euler; }
+gradSchemes     { default Gauss linear; }
+divSchemes
+{
+    default         none;
+    div(phi,U)      Gauss limitedLinear 1;
+    div(phi,e)      Gauss limitedLinear 1;
+    div(phi,Ekp)    Gauss limitedLinear 1;
+    div(phid,p)     Gauss limitedLinear 1;
+}
+laplacianSchemes { default Gauss linear orthogonal; }
+interpolationSchemes { default linear; }
+snGradSchemes   { default orthogonal; }
+""")
+    _write(os.path.join(case_dir, "system", "fvSolution"),
+           foamfile_header("dictionary", "fvSolution", "system"), """
+solvers
+{
+    p
+    {
+        solver          PBiCGStab;
+        preconditioner  DILU;
+        tolerance       1e-09;
+        relTol          0.01;
+    }
+    pFinal
+    {
+        solver          PBiCGStab;
+        preconditioner  DILU;
+        tolerance       1e-09;
+        relTol          0;
+    }
+    "(U|e)"
+    {
+        solver          smoothSolver;
+        smoother        symGaussSeidel;
+        tolerance       1e-09;
+        relTol          0;
+    }
+}
+PISO
+{
+    nCorrectors     2;
+    nNonOrthogonalCorrectors 0;
+    pMin            0.02;
+    TMin            0.02;
+}
+""")
+    _write(os.path.join(case_dir, "constant", "thermophysicalProperties"),
+           foamfile_header("dictionary", "thermophysicalProperties",
+                           "constant"), """
+thermoType
+{
+    type            hePsiThermo;
+    mixture         pureMixture;
+    transport       const;
+    thermo          eConst;
+    equationOfState perfectGas;
+    specie          specie;
+    energy          sensibleInternalEnergy;
+}
+mixture
+{
+    specie         { nMoles 1; molWeight 11640.3; }
+    thermodynamics { Cv 1.78571; Hf 0; }
+    transport      { mu 0; Pr 1; }
+}
+""")
+    _write(os.path.join(case_dir, "constant", "turbulenceProperties"),
+           foamfile_header("dictionary", "turbulenceProperties",
+                           "constant"),
+           "\nsimulationType  laminar;\n")
+
+    write_field(case_dir, "0", "p", "volScalarField", "[1 -1 -2 0 0 0 0]",
+                "uniform 1", {
+                    "inlet": "        type            fixedValue;\n"
+                             "        value           uniform 1;\n",
+                    "outlet": "        type            zeroGradient;\n",
+                    "obstacle": "        type            zeroGradient;\n",
+                    "frontAndBack": "        type            empty;\n"})
+    write_field(case_dir, "0", "T", "volScalarField", "[0 0 0 1 0 0 0]",
+                "uniform 1", {
+                    "inlet": "        type            fixedValue;\n"
+                             "        value           uniform 1;\n",
+                    "outlet": "        type            zeroGradient;\n",
+                    "obstacle": "        type            zeroGradient;\n",
+                    "frontAndBack": "        type            empty;\n"})
+    write_field(case_dir, "0", "U", "volVectorField", "[0 1 -1 0 0 0 0]",
+                "uniform (3 0 0)", {
+                    "inlet": "        type            fixedValue;\n"
+                             "        value           uniform (3 0 0);\n",
+                    "outlet": "        type            zeroGradient;\n",
+                    "obstacle": "        type            slip;\n",
+                    "frontAndBack": "        type            empty;\n"})
+    return mesh
+
+
+def hot_channel_case(case_dir: str, nx: int = 50, ny: int = 10,
+                     end_time: int = 200, u_in: float = 10.0):
+    """Subsonic heated-channel case for rhoSimpleFoam (air, hot walls)."""
+    mesh = box_mesh(nx, ny, 1, size=(1.0, 0.1, 0.01), patch_spec={
+        "xmin": ("inlet", "patch"),
+        "xmax": ("outlet", "patch"),
+        "ymin": ("walls", "wall"),
+        "ymax": ("walls", "wall"),
+        "zmin": ("frontAndBack", "empty"),
+        "zmax": ("frontAndBack", "empty"),
+    })
+    write_polymesh(mesh, case_dir)
+    _write(os.path.join(case_dir, "system", "controlDict"),
+           foamfile_header("dictionary", "controlDict", "system"), f"""
+application     rhoSimpleFoam;
+startFrom       startTime;
+startTime       0;
+stopAt          endTime;
+endTime         {end_time};
+deltaT          1;
+writeControl    timeStep;
+writeInterval   {end_time};
+writeFormat     ascii;
+""")
+    _write(os.path.join(case_dir, "system", "fvSchemes"),
+           foamfile_header("dictionary", "fvSchemes", "system"), """
+ddtSchemes      { default steadyState; }
+gradSchemes     { default Gauss linear; }
+divSchemes
+{
+    default         none;
+    div(phi,U)      bounded Gauss upwind;
+    div(phi,h)      bounded Gauss upwind;
+}
+laplacianSchemes { default Gauss linear orthogonal; }
+interpolationSchemes { default linear; }
+snGradSchemes   { default orthogonal; }
+""")
+    _write(os.path.join(case_dir, "system", "fvSolution"),
+           foamfile_header("dictionary", "fvSolution", "system"), """
+solvers
+{
+    p
+    {
+        solver          GAMG;
+        smoother        GaussSeidel;
+        tolerance       1e-08;
+        relTol          0.05;
+    }
+    "(U|h)"
+    {
+        solver          smoothSolver;
+        smoother        symGaussSeidel;
+        tolerance       1e-08;
+        relTol          0.1;
+    }
+}
+SIMPLE
+{
+    nNonOrthogonalCorrectors 0;
+    pRefCell        0;
+    pRefValue       100000;
+    residualControl { p 1e-4; U 1e-5; h 1e-5; }
+}
+relaxationFactors
+{
+    fields    { p 0.3; rho 0.05; }
+    equations { U 0.7; h 0.7; }
+}
+""")
+    _write(os.path.join(case_dir, "constant", "thermophysicalProperties"),
+           foamfile_header("dictionary", "thermophysicalProperties",
+                           "constant"), """
+thermoType
+{
+    type            heRhoThermo;
+    mixture         pureMixture;
+    transport       const;
+    thermo          hConst;
+    equationOfState perfectGas;
+    specie          specie;
+    energy          sensibleEnthalpy;
+}
+mixture
+{
+    specie         { nMoles 1; molWeight 28.9; }
+    thermodynamics { Cp 1005; Hf 0; }
+    transport      { mu 1.8e-05; Pr 0.7; }
+}
+""")
+    write_field(case_dir, "0", "p", "volScalarField", "[1 -1 -2 0 0 0 0]",
+                "uniform 100000", {
+                    "inlet": "        type            zeroGradient;\n",
+                    "outlet": "        type            fixedValue;\n"
+                              "        value           uniform 100000;\n",
+                    "walls": "        type            zeroGradient;\n",
+                    "frontAndBack": "        type            empty;\n"})
+    write_field(case_dir, "0", "T", "volScalarField", "[0 0 0 1 0 0 0]",
+                "uniform 300", {
+                    "inlet": "        type            fixedValue;\n"
+                             "        value           uniform 300;\n",
+                    "outlet": "        type            zeroGradient;\n",
+                    "walls": "        type            fixedValue;\n"
+                             "        value           uniform 350;\n",
+                    "frontAndBack": "        type            empty;\n"})
+    write_field(case_dir, "0", "U", "volVectorField", "[0 1 -1 0 0 0 0]",
+                f"uniform ({u_in} 0 0)", {
+                    "inlet": "        type            fixedValue;\n"
+                             f"        value           uniform ({u_in} 0 0);\n",
+                    "outlet": "        type            zeroGradient;\n",
+                    "walls": "        type            fixedValue;\n"
+                             "        value           uniform (0 0 0);\n",
+                    "frontAndBack": "        type            empty;\n"})
+    return mesh

@@ -1,0 +1,62 @@
+"""Compressible solvers: sonicFoam (forwardStep class) + rhoSimpleFoam."""
+
+import numpy as np
+import pytest
+
+from rapidcfd_tpu.utils import logging as L
+from rapidcfd_tpu.utils.casegen import forward_step_case, hot_channel_case
+
+
+def test_thermo_roundtrip():
+    from rapidcfd_tpu.models.thermo import PerfectGasThermo
+    import jax.numpy as jnp
+    for energy in ("sensibleEnthalpy", "sensibleInternalEnergy"):
+        m = PerfectGasThermo(mol_weight=28.9, cp=1005.0, hf=0.0,
+                             mu0=1.8e-5, pr=0.7, energy=energy)
+        T = jnp.asarray([250.0, 300.0, 1000.0])
+        he = m.he_from_t(T)
+        assert np.allclose(np.asarray(m.t_from_he(he)), np.asarray(T))
+    assert abs(m.r - 8314.47 / 28.9) < 1e-9
+    assert abs(m.gamma - m.cp / (m.cp - m.r)) < 1e-12
+    # rho(1e5 Pa, 300 K) ~ 1.16 kg/m3 for air
+    assert 1.1 < float(m.rho(1e5, jnp.asarray(300.0))) < 1.2
+
+
+def test_sonicfoam_mach3_shock_forms(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fstep"))
+    forward_step_case(d)
+    L.Info.enabled = False
+    from rapidcfd_tpu.solvers import sonicfoam
+    case, U, p, T, rho, phi = sonicfoam.run(d, max_steps=60, write=False)
+    L.Info.enabled = True
+    pp = np.asarray(p.data)
+    t = np.asarray(T.data)
+    assert np.isfinite(pp).all() and np.isfinite(t).all()
+    # bow shock compresses: pressure well above the inlet value of 1
+    assert pp.max() > 2.0
+    # shock heating toward the Mach-3 stagnation temperature (~2.8)
+    assert t.max() > 1.5
+    # upstream remains at inlet state
+    C = np.asarray(case.mesh.C)
+    upstream = C[:, 0] < 0.1
+    assert np.allclose(pp[upstream], 1.0, atol=0.2)
+
+
+def test_rhosimplefoam_heated_channel(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("hotch"))
+    hot_channel_case(d)
+    L.Info.enabled = False
+    from rapidcfd_tpu.solvers import rhosimplefoam
+    case, U, p, T, rho, phi = rhosimplefoam.run(d, max_steps=40,
+                                                write=False)
+    L.Info.enabled = True
+    t = np.asarray(T.data)
+    r = np.asarray(rho.data)
+    assert np.isfinite(t).all()
+    # walls heat the flow; temperature bounded by wall/inlet values
+    assert t.max() > 300.5 and t.max() <= 350.0 + 1e-6
+    assert t.min() >= 300.0 - 1e-6
+    # ideal-gas density consistent with p/(R T)
+    m = 8314.47 / 28.9
+    pp = np.asarray(p.data)
+    assert np.allclose(r, pp / (m * t), rtol=1e-10)
