@@ -267,6 +267,12 @@ def reconstruct(mesh: MeshArrays, ssf: SurfaceField) -> VolField:
     rhs_f = sf_over_mag * ssf.data[:, None]
     dyad = surface_sum_faces(mesh, dyad_f, signed=False)
     rhs = surface_sum_faces(mesh, rhs_f)
+    # 2D meshes (empty patches excluded from the ELL) leave a zero
+    # row/column for the empty direction — regularize so the solve stays
+    # nonsingular (the corresponding rhs component is zero anyway)
+    tr = jnp.trace(dyad, axis1=-2, axis2=-1)
+    eye = jnp.eye(3, dtype=dyad.dtype)
+    dyad = dyad + (1e-10 * tr)[:, None, None] * eye
     data = jnp.linalg.solve(dyad, rhs[..., None])[..., 0]
     return _extrapolated(mesh, data, ssf.dims / _AREA,
                          f"reconstruct({ssf.name})")

@@ -1,0 +1,250 @@
+"""interFoam — two-phase VOF solver (MULES-limited alpha transport).
+
+Capability parity with the reference solver (reference:
+applications/solvers/multiphase/interFoam/interFoam.C:51-120 with
+alphaEqn.H, UEqn.H, pEqn.H and the interfaceProperties/
+immiscibleIncompressibleTwoPhaseMixture stack): interface-compressed
+MULES advection of alpha, mixture density/viscosity, CSF surface
+tension, p_rgh pressure with buoyancy-consistent face fluxes.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from ..fields.field import Dimensioned, SurfaceField, VolField
+from ..linalg import solve
+from ..linalg.solvers import gsum
+from ..ops import fvc, fvm
+from ..ops.mules import explicit_solve
+from ..utils.dictionary import parse_file
+from ..utils.dimensions import DimensionSet, dim_density
+from ..utils.logging import (ExecutionTimer, info, log_continuity,
+                             log_courant, log_solve)
+from .case import Case
+from .controls import PimpleControl
+from .icofoam import courant_number
+
+
+def make_step(case: Case, consts, ctrl: PimpleControl):
+    mesh = case.mesh
+    rho1, rho2, nu1, nu2, sigma, g = consts
+    solvers_d = case.fv_solution.subdict("solvers")
+    alpha_d = solvers_d.lookup("alpha.water") or solvers_d.lookup("alpha1")
+    c_alpha = float(alpha_d.scalar("cAlpha", 1.0)) if alpha_d else 1.0
+    lap_corr = case.laplacian_scheme()
+    p_controls = case.solver_controls("p_rgh")
+    p_final = case.solver_controls("p_rgh", final=True)
+    n_outer = ctrl.n_outer
+    n_corr = ctrl.n_correctors
+    n_alpha_sub = int(ctrl.dict.scalar("nAlphaSubCycles", 1))
+    n_non_orth = ctrl.n_non_orth
+    p_ref_cell, p_ref_value = ctrl.p_ref_cell, ctrl.p_ref_value
+    gh = (mesh.C * jnp.asarray(g, mesh.C.dtype)).sum(-1)       # g & C
+    ghf = (mesh.Cf * jnp.asarray(g, mesh.C.dtype)).sum(-1)     # g & Cf
+    delta_n = 1e-8
+
+    def mixture(alpha):
+        rho_d = alpha.data * rho1 + (1.0 - alpha.data) * rho2
+        rho_b = alpha.bvalues * rho1 + (1.0 - alpha.bvalues) * rho2
+        rho = alpha.with_calculated_bcs(rho_d, rho_b, dim_density, "rho")
+        mu_d = alpha.data * rho1 * nu1 + (1.0 - alpha.data) * rho2 * nu2
+        mu_b = alpha.bvalues * rho1 * nu1 \
+            + (1.0 - alpha.bvalues) * rho2 * nu2
+        mu = alpha.with_calculated_bcs(mu_d, mu_b,
+                                       DimensionSet.of(1, -1, -1), "mu")
+        return rho, mu
+
+    def sigma_kappa_snalpha(alpha):
+        """CSF: sigma*curvature*snGrad(alpha) face field (reference:
+        interfaceProperties)."""
+        g_a = fvc.grad(mesh, alpha)
+        gf = fvc.face_values(mesh, g_a)
+        mag = jnp.linalg.norm(gf, axis=-1) + delta_n
+        nhatf = (gf / mag[:, None] * mesh.Sf).sum(-1)  # nHat & Sf
+        kappa = -fvc.surface_sum_faces(mesh, nhatf) / mesh.V
+        # interpolate curvature to faces (linear on internal, owner on bnd)
+        w = mesh.weights
+        own, nei = mesh.owner[:mesh.n_internal], mesh.neighbour
+        k_int = w * jnp.take(kappa, own) + (1 - w) * jnp.take(kappa, nei)
+        k_b = jnp.take(kappa, mesh.owner[mesh.n_internal:])
+        kf = jnp.concatenate([k_int, k_b])
+        sng = fvc.sn_grad(mesh, alpha)
+        return sigma * kf * sng.data
+
+    @jax.jit
+    def step(alpha: VolField, U: VolField, p_rgh: VolField,
+             phi: SurfaceField, dt):
+        U = U.store_old()
+        alpha = alpha.store_old()
+
+        # ---- alphaEqn.H: MULES with interface compression
+        phi_dims = phi.dims
+        for _ in range(n_alpha_sub):
+            a_f = fvc.face_values(mesh, alpha, "vanLeer", phi)
+            # compression flux phir = cAlpha*|phi|/|Sf| * nHatf
+            g_a = fvc.grad(mesh, alpha)
+            gf = fvc.face_values(mesh, g_a)
+            mag = jnp.linalg.norm(gf, axis=-1) + delta_n
+            nhatf = (gf / mag[:, None] * mesh.Sf).sum(-1)
+            phir = c_alpha * jnp.abs(phi.data) \
+                / jnp.maximum(mesh.mag_sf, 1e-300) * nhatf
+            a_b_f = fvc.face_values(mesh, alpha)  # for alpha*(1-alpha)
+            phi_alpha = SurfaceField(
+                phi.data * a_f + phir * a_b_f * (1.0 - a_b_f),
+                phi_dims, "phiAlpha")
+            alpha, phi_alpha_lim = explicit_solve(
+                mesh, alpha, phi, phi_alpha, dt / n_alpha_sub)
+        rho_phi = SurfaceField(
+            phi_alpha_lim.data * (rho1 - rho2) + phi.data * rho2,
+            phi.dims * dim_density, "rhoPhi")
+
+        rho, mu = mixture(alpha)
+        rho = rho.replace(old=mixture(alpha.old)[0].replace(old=None))
+
+        # ---- UEqn.H
+        mu_f = Dimensioned("muf", DimensionSet.of(1, -1, -1),
+                           fvc.face_values(mesh, mu))
+        UEqn = (fvm.ddt(mesh, U, dt, "Euler", coeff=rho)
+                + fvm.div(mesh, rho_phi, U, "linearUpwind")
+                - fvm.laplacian(mesh, mu_f, U, lap_corr))
+
+        p_perf_all = []
+        for corr in range(n_corr):
+            UEqn_c = UEqn.replace(psi=U) if corr else UEqn
+            rAU = 1.0 / UEqn_c.A(mesh)
+            rAU_f = fvc.face_values(mesh, rAU)
+            HbyA = fvc.constrain_hbya(mesh, rAU * UEqn_c.H(mesh), U)
+            phi_hbya = fvc.flux(mesh, HbyA)
+            # buoyancy + surface tension as face forces
+            sng_rho = fvc.sn_grad(mesh, rho)
+            phig = (sigma_kappa_snalpha(alpha) - ghf * sng_rho.data) \
+                * rAU_f * mesh.mag_sf
+            phi_hbya = SurfaceField(phi_hbya.data + phig, phi.dims,
+                                    "phiHbyA")
+
+            for north in range(n_non_orth + 1):
+                final = corr == n_corr - 1 and north == n_non_orth
+                pEqn = fvm.laplacian(mesh, rAU, p_rgh, lap_corr) \
+                    == fvc.div(mesh, phi_hbya)
+                pEqn = pEqn.set_reference(p_ref_cell, p_ref_value)
+                p_rgh, p_perf = solve(mesh, pEqn,
+                                      p_final if final else p_controls)
+                p_perf_all.append(p_perf[0])
+            phi = phi_hbya - pEqn.replace(psi=p_rgh).flux(mesh)
+
+            # velocity correction (reference pEqn.H):
+            # U = HbyA + rAU*reconstruct((phig - pEqn.flux())/rAUf)
+            flux_p = pEqn.replace(psi=p_rgh).flux(mesh)
+            corr_f = SurfaceField(
+                (phig - flux_p.data) / jnp.maximum(rAU_f, 1e-300),
+                phi.dims / rAU.dims, "corrF")
+            U_star = HbyA + rAU * fvc.reconstruct(mesh, corr_f)
+            U = U.replace(data=U_star.data).correct_boundary_conditions(
+                mesh)
+
+        local_err, glob_err = (
+            gsum(jnp.abs(fvc.div(mesh, phi).data) * mesh.V),
+            gsum(fvc.div(mesh, phi).data * mesh.V))
+        co_mean, co_max = courant_number(mesh, phi, dt)
+        a_min = alpha.data.min()
+        a_max = alpha.data.max()
+        stats = dict(p_perf=tuple(p_perf_all), cont=(local_err, glob_err),
+                     co=(co_mean, co_max), alpha=(a_min, a_max,
+                                                  gsum(alpha.data * mesh.V)))
+        return alpha, U, p_rgh, phi, stats
+
+    return step
+
+
+def _read_constants(case: Case):
+    tp = case.transport_properties()
+    phases = tp.lookup("phases")
+    names = [str(x) for x in phases] if phases else ["phase1", "phase2"]
+    d1 = tp.subdict(names[0], required=False) or tp.subdict("phase1")
+    d2 = tp.subdict(names[1], required=False) or tp.subdict("phase2")
+    rho1 = Dimensioned.from_entry(d1.lookup("rho", required=True)).value
+    rho2 = Dimensioned.from_entry(d2.lookup("rho", required=True)).value
+    nu1 = Dimensioned.from_entry(d1.lookup("nu", required=True)).value
+    nu2 = Dimensioned.from_entry(d2.lookup("nu", required=True)).value
+    sigma = Dimensioned.from_entry(
+        tp.lookup("sigma", required=True)).value
+    gpath = os.path.join(case.dir, "constant", "g")
+    if os.path.isfile(gpath):
+        gd = parse_file(gpath)
+        g = [float(x) for x in gd.lookup("value")]
+    else:
+        g = [0.0, -9.81, 0.0]
+    return rho1, rho2, nu1, nu2, sigma, g
+
+
+def run(case_dir: str, write: bool = True, max_steps: int | None = None):
+    case = Case(case_dir)
+    mesh = case.mesh
+    consts = _read_constants(case)
+    info(f"Two phases: rho1={consts[0]} rho2={consts[1]} "
+         f"sigma={consts[4]}\n")
+
+    alpha_name = "alpha.water" if case.field_exists("alpha.water") \
+        else "alpha1"
+    alpha = case.read_field(alpha_name)
+    U = case.read_field("U")
+    p_rgh = case.read_field("p_rgh")
+    phi = fvc.flux(mesh, U)
+    ctrl = PimpleControl(case)
+
+    step = make_step(case, consts, ctrl)
+    timer = ExecutionTimer()
+    cumulative_err = 0.0
+
+    info("\nStarting time loop\n")
+    n = 0
+    co_max_prev = 0.0
+    while case.time.run():
+        if case.time.adjust_time_step and co_max_prev > 0:
+            f = min(min(case.time.max_co / (co_max_prev + 1e-30), 1.0
+                        + 0.1 * case.time.max_co / (co_max_prev + 1e-30)),
+                    1.2)
+            case.time.set_delta_t(f * case.time.delta_t)
+        case.time.increment()
+        info(f"Time = {case.time.name}\n")
+        alpha, U, p_rgh, phi, stats = step(alpha, U, p_rgh, phi,
+                                           case.time.delta_t)
+        co_mean, co_max = stats["co"]
+        co_max_prev = float(co_max)
+        log_courant(co_mean, co_max)
+        a_min, a_max, a_int = stats["alpha"]
+        info(f"Phase-1 volume fraction = "
+             f"{float(a_int) / float(mesh.V.sum()):.8g}  "
+             f"Min(alpha1) = {float(a_min):.6g}  "
+             f"Max(alpha1) = {float(a_max):.6g}")
+        for perf in stats["p_perf"]:
+            log_solve(case.solver_controls('p_rgh').solver, "p_rgh",
+                      perf[0], perf[1], perf[2])
+        local_err, glob_err = stats["cont"]
+        cumulative_err += float(glob_err)
+        log_continuity(cumulative_err, local_err, glob_err)
+        timer.log()
+        if write and case.time.write_time():
+            case.write_fields([alpha.replace(name=alpha_name), U, p_rgh])
+        n += 1
+        if max_steps and n >= max_steps:
+            break
+    info("End\n")
+    return case, alpha, U, p_rgh, phi
+
+
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser(description="interFoam (rapidcfd_tpu)")
+    ap.add_argument("-case", dest="case", default=".")
+    ap.add_argument("-noWrite", action="store_true")
+    args = ap.parse_args(argv)
+    run(args.case, write=not args.noWrite)
+
+
+if __name__ == "__main__":
+    main()

@@ -840,3 +840,120 @@ mixture
                              "        value           uniform (0 0 0);\n",
                     "frontAndBack": "        type            empty;\n"})
     return mesh
+
+
+def dam_break_case(case_dir: str, n: int = 23, end_time: float = 0.1,
+                   delta_t: float = 0.001):
+    """Closed-box dam break for interFoam (water column collapse; closed
+    lid keeps total water volume exactly conserved — a strong MULES
+    check)."""
+    from ..mesh.geometry import cell_centres_and_vols, face_centres_and_areas
+    from ..fields.io import _body_value
+
+    L = 0.584
+    mesh = box_mesh(n, n, 1, size=(L, L, 0.0146), patch_spec={
+        "xmin": ("walls", "wall"), "xmax": ("walls", "wall"),
+        "ymin": ("walls", "wall"), "ymax": ("walls", "wall"),
+        "zmin": ("frontAndBack", "empty"),
+        "zmax": ("frontAndBack", "empty"),
+    })
+    write_polymesh(mesh, case_dir)
+    Cf, Sf = face_centres_and_areas(mesh)
+    C, V = cell_centres_and_vols(mesh, Cf, Sf)
+    alpha0 = ((C[:, 0] < 0.25 * L) & (C[:, 1] < 0.5 * L)).astype(float)
+
+    _write(os.path.join(case_dir, "system", "controlDict"),
+           foamfile_header("dictionary", "controlDict", "system"), f"""
+application     interFoam;
+startFrom       startTime;
+startTime       0;
+stopAt          endTime;
+endTime         {end_time};
+deltaT          {delta_t};
+writeControl    runTime;
+writeInterval   {end_time};
+writeFormat     ascii;
+adjustTimeStep  no;
+maxCo           0.5;
+""")
+    _write(os.path.join(case_dir, "system", "fvSchemes"),
+           foamfile_header("dictionary", "fvSchemes", "system"), """
+ddtSchemes      { default Euler; }
+gradSchemes     { default Gauss linear; }
+divSchemes
+{
+    default         none;
+    div(phi,alpha)  Gauss vanLeer;
+    div(phirb,alpha) Gauss linear;
+    div(rhoPhi,U)   Gauss upwind;
+}
+laplacianSchemes { default Gauss linear orthogonal; }
+interpolationSchemes { default linear; }
+snGradSchemes   { default orthogonal; }
+""")
+    _write(os.path.join(case_dir, "system", "fvSolution"),
+           foamfile_header("dictionary", "fvSolution", "system"), """
+solvers
+{
+    alpha1 { nAlphaSubCycles 1; cAlpha 1; }
+    p_rgh
+    {
+        solver          PCG;
+        preconditioner  DIC;
+        tolerance       1e-07;
+        relTol          0.05;
+    }
+    p_rghFinal
+    {
+        solver          PCG;
+        preconditioner  DIC;
+        tolerance       1e-07;
+        relTol          0;
+    }
+    U
+    {
+        solver          smoothSolver;
+        smoother        symGaussSeidel;
+        tolerance       1e-06;
+        relTol          0;
+    }
+}
+PIMPLE
+{
+    momentumPredictor no;
+    nOuterCorrectors 1;
+    nCorrectors     3;
+    nNonOrthogonalCorrectors 0;
+    nAlphaSubCycles 1;
+    pRefCell        0;
+    pRefValue       0;
+}
+""")
+    _write(os.path.join(case_dir, "constant", "transportProperties"),
+           foamfile_header("dictionary", "transportProperties", "constant"),
+           """
+phases          (water air);
+water { rho rho [1 -3 0 0 0 0 0] 1000; nu nu [0 2 -1 0 0 0 0] 1e-06; }
+air   { rho rho [1 -3 0 0 0 0 0] 1;    nu nu [0 2 -1 0 0 0 0] 1.48e-05; }
+sigma           sigma [1 0 -2 0 0 0 0] 0.07;
+""")
+    _write(os.path.join(case_dir, "constant", "g"),
+           foamfile_header("uniformDimensionedVectorField", "g", "constant"),
+           "\ndimensions      [0 1 -2 0 0 0 0];\nvalue           (0 -9.81 0);\n")
+
+    wall_a = "        type            zeroGradient;\n"
+    write_field(case_dir, "0", "alpha1", "volScalarField", "[0 0 0 0 0 0 0]",
+                "nonuniform List<scalar>\n"
+                + _body_value(alpha0).split("nonuniform List<scalar>\n")[-1]
+                if alpha0.std() > 0 else "uniform 0",
+                {"walls": wall_a, "frontAndBack":
+                 "        type            empty;\n"})
+    write_field(case_dir, "0", "p_rgh", "volScalarField", "[1 -1 -2 0 0 0 0]",
+                "uniform 0", {"walls": wall_a, "frontAndBack":
+                              "        type            empty;\n"})
+    write_field(case_dir, "0", "U", "volVectorField", "[0 1 -1 0 0 0 0]",
+                "uniform (0 0 0)", {
+                    "walls": "        type            fixedValue;\n"
+                             "        value           uniform (0 0 0);\n",
+                    "frontAndBack": "        type            empty;\n"})
+    return mesh
