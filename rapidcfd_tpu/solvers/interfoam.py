@@ -92,6 +92,8 @@ def make_step(case: Case, consts, ctrl: PimpleControl):
             nhatf = (gf / mag[:, None] * mesh.Sf).sum(-1)
             phir = c_alpha * jnp.abs(phi.data) \
                 / jnp.maximum(mesh.mag_sf, 1e-300) * nhatf
+            # no interface compression through boundary faces
+            phir = phir.at[mesh.n_internal:].set(0.0)
             a_b_f = fvc.face_values(mesh, alpha)  # for alpha*(1-alpha)
             phi_alpha = SurfaceField(
                 phi.data * a_f + phir * a_b_f * (1.0 - a_b_f),
