@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--x64", action="store_true")
+    ap.add_argument("--p-solver", default="GAMG",
+                    choices=["GAMG", "PCG"])
     args = ap.parse_args()
 
     import jax
@@ -42,7 +44,8 @@ def main():
     d = tempfile.mkdtemp(prefix="bench_cavity_")
     # scale dt so the Courant number stays comparable to the 20x20 case
     dt = 0.005 * 20 / args.n
-    cavity_case(d, n=args.n, delta_t=dt, end_time=1e9)
+    cavity_case(d, n=args.n, delta_t=dt, end_time=1e9,
+                p_solver=args.p_solver)
 
     case = Case(d)
     tp = case.transport_properties()

@@ -130,6 +130,9 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
     timer = ExecutionTimer()
     cumulative_err = 0.0
 
+    from ..postprocess import FunctionObjectList
+    fos = FunctionObjectList(case)
+
     info("\nStarting time loop\n")
     n = 0
     while case.time.loop():
@@ -147,6 +150,8 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
         local_err, glob_err = stats["cont"]
         cumulative_err += float(glob_err)
         log_continuity(cumulative_err, local_err, glob_err)
+        if fos.objects:
+            fos.execute({"U": U, "p": p})
         timer.log()
 
         if write and case.time.write_time():
@@ -155,6 +160,7 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
         if max_steps and n >= max_steps:
             break
 
+    fos.close()
     info("End\n")
     return case, U, p, phi
 

@@ -29,6 +29,8 @@ from .simplefoam import div_dev_reff, relax_field
 
 def make_step(case: Case, transport, turb, ctrl, piso_mode: bool):
     mesh = case.mesh
+    from ..models.fvoptions import FvOptions
+    fv_options = FvOptions(case)
     div_u = case.div_scheme("div(phi,U)")
     lap_corr = case.laplacian_scheme()
     ddt_scheme = case.ddt_scheme()
@@ -55,8 +57,10 @@ def make_step(case: Case, transport, turb, ctrl, piso_mode: bool):
             UEqn = (fvm.ddt(mesh, U, dt, ddt_scheme)
                     + fvm.div(mesh, phi, U, div_u)
                     + div_dev_reff(mesh, nu_eff, U, lap_corr))
+            UEqn = fv_options(mesh, "U", UEqn, {"nu": nu})
             if not final_outer:
                 UEqn = UEqn.relax(mesh, u_relax)
+            UEqn = fv_options.constrain(mesh, "U", UEqn)
             if momentum_predictor:
                 U, u_perf = solve(
                     mesh, UEqn == (-fvc.grad(mesh, p)),
@@ -119,6 +123,9 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None,
     u_solver = case.solver_controls("U").solver
     p_solver = case.solver_controls("p").solver
 
+    from ..postprocess import FunctionObjectList
+    fos = FunctionObjectList(case)
+
     info("\nStarting time loop\n")
     n = 0
     co_max_prev = 0.0
@@ -146,6 +153,8 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None,
         local_err, glob_err = stats["cont"]
         cumulative_err += float(glob_err)
         log_continuity(cumulative_err, local_err, glob_err)
+        if fos.objects:
+            fos.execute({"U": U, "p": p, **turb_state})
         timer.log()
 
         if write and case.time.write_time():
@@ -154,6 +163,7 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None,
         if max_steps and n >= max_steps:
             break
 
+    fos.close()
     info("End\n")
     return case, U, p, phi, turb_state
 

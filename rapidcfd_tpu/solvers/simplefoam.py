@@ -45,6 +45,8 @@ def div_dev_reff(mesh, nu_eff, U: VolField, lap_corr: str):
 
 def make_step(case: Case, transport, turb, simple: SimpleControl):
     mesh = case.mesh
+    from ..models.fvoptions import FvOptions
+    fv_options = FvOptions(case)
     div_u = case.div_scheme("div(phi,U)")
     lap_corr = case.laplacian_scheme()
     u_controls = case.solver_controls("U")
@@ -62,7 +64,9 @@ def make_step(case: Case, transport, turb, simple: SimpleControl):
         # momentum predictor (UEqn.H)
         UEqn = fvm.div(mesh, phi, U, div_u) \
             + div_dev_reff(mesh, nu_eff, U, lap_corr)
+        UEqn = fv_options(mesh, "U", UEqn, {"nu": nu})
         UEqn = UEqn.relax(mesh, u_relax)
+        UEqn = fv_options.constrain(mesh, "U", UEqn)
         U, u_perf = solve(mesh, UEqn == (-fvc.grad(mesh, p)), u_controls)
 
         # pressure equation (pEqn.H)
@@ -118,6 +122,9 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
     u_solver = case.solver_controls("U").solver
     p_solver = case.solver_controls("p").solver
 
+    from ..postprocess import FunctionObjectList
+    fos = FunctionObjectList(case)
+
     info("\nStarting time loop\n")
     n = 0
     initial_residuals = None
@@ -141,6 +148,8 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
         local_err, glob_err = stats["cont"]
         cumulative_err += float(glob_err)
         log_continuity(cumulative_err, local_err, glob_err)
+        if fos.objects:
+            fos.execute({"U": U, "p": p, **turb_state})
         timer.log()
 
         if write and case.time.write_time():
@@ -151,6 +160,7 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
 
     if write:
         case.write_fields([U, p] + list(turb_state.values()))
+    fos.close()
     info("End\n")
     return case, U, p, phi, turb_state
 

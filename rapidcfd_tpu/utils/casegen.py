@@ -473,7 +473,8 @@ def write_field(case_dir: str, time: str, name: str, cls: str,
 
 def cavity_case(case_dir: str, n: int = 20, d: float = 0.1,
                 nu: float = 0.01, end_time: float = 0.5,
-                delta_t: float = 0.005, write_interval: int = 20):
+                delta_t: float = 0.005, write_interval: int = 20,
+                p_solver: str = "PCG"):
     """The icoFoam lid-driven cavity tutorial (BASELINE config 1)."""
     mesh = box_mesh(n, n, 1, size=(d, d, 0.01), patch_spec={
         "ymax": ("movingWall", "wall"),
@@ -514,38 +515,40 @@ snGradSchemes   { default orthogonal; }
 fluxRequired    { default no; p; }
 """)
     _write(os.path.join(case_dir, "system", "fvSolution"),
-           foamfile_header("dictionary", "fvSolution", "system"), """
+           foamfile_header("dictionary", "fvSolution", "system"), f"""
 solvers
-{
+{{
     p
-    {
-        solver          PCG;
+    {{
+        solver          {p_solver};
         preconditioner  DIC;
+        smoother        Chebyshev;
         tolerance       1e-06;
         relTol          0.05;
-    }
+    }}
     pFinal
-    {
-        solver          PCG;
+    {{
+        solver          {p_solver};
         preconditioner  DIC;
+        smoother        Chebyshev;
         tolerance       1e-06;
         relTol          0;
-    }
+    }}
     U
-    {
+    {{
         solver          smoothSolver;
         smoother        symGaussSeidel;
         tolerance       1e-05;
         relTol          0;
-    }
-}
+    }}
+}}
 PISO
-{
+{{
     nCorrectors     2;
     nNonOrthogonalCorrectors 0;
     pRefCell        0;
     pRefValue       0;
-}
+}}
 """)
     _write(os.path.join(case_dir, "constant", "transportProperties"),
            foamfile_header("dictionary", "transportProperties", "constant"),
