@@ -472,6 +472,40 @@ class KOmegaSST:
         return new_state, {"omega": om_perf[0], "k": k_perf[0]}
 
 
+@register("LESModel", "Smagorinsky")
+class Smagorinsky:
+    """Smagorinsky SGS model with cubeRootVol delta (reference:
+    incompressible/LES/Smagorinsky + LESdeltas/cubeRootVolDelta):
+    nuSgs = (Ck^1.5/Ce * delta)^2-equivalent |S| form, implemented in the
+    classic Cs form nut = (Cs*delta)^2 * sqrt(2 S:S)."""
+    needs = ("nut",)
+
+    def __init__(self, case, coeffs: Dictionary):
+        self.case = case
+        c = coeffs or Dictionary()
+        self.cs = c.scalar("Cs", 0.17)
+        delta_coeff = c.scalar("deltaCoeff", 1.0)
+        self.delta = delta_coeff * jnp.cbrt(case.mesh.V)
+
+    def init_state(self, U):
+        return {"nut": self.case.read_field("nut")} \
+            if self.case.field_exists("nut") else {"nut": None}
+
+    def nut(self, state):
+        return state["nut"]
+
+    nu_eff = KEpsilon.nu_eff
+
+    def correct(self, mesh, state, U, phi, nu, dt=None):
+        s2 = magsqr_symm_grad(mesh, U)
+        nut_data = (self.cs * self.delta) ** 2 * jnp.sqrt(
+            jnp.maximum(s2, 0.0))
+        nut = state["nut"]
+        nut_new = nut.replace(data=nut_data).correct_boundary_conditions(
+            mesh, env={"k": nut.replace(data=nut_data), "nu": nu})
+        return {"nut": nut_new}, {}
+
+
 def make_ras_model(case, U):
     """incompressible::RASModel::New (reads constant/RASProperties or
     constant/turbulenceProperties)."""
@@ -484,6 +518,18 @@ def make_ras_model(case, U):
             props = parse_file(path)
             break
     if props is None:
+        return Laminar(case, Dictionary())
+    sim_type = props.word("simulationType", "RAS") \
+        if props.lookup("simulationType") is not None else None
+    if sim_type in ("LES", "LESModel") or props.lookup("LES") is not None \
+            or props.lookup("LESModel") is not None:
+        sub = props.subdict("LES", required=False) or props
+        name = sub.word("LESModel", "Smagorinsky")
+        coeffs = sub.subdict(name + "Coeffs", required=False)
+        if not sub.boolean("turbulence", True):
+            return Laminar(case, Dictionary())
+        return lookup("LESModel", name)(case, coeffs)
+    if sim_type == "laminar":
         return Laminar(case, Dictionary())
     # modern format nests under RAS {}
     if props.lookup("RAS") is not None:

@@ -92,7 +92,18 @@ def div(mesh: MeshArrays, phi: SurfaceField, vf: VolField,
         scheme="linear") -> FvMatrix:
     """fvm::div(phi, psi) — Gauss convection (reference:
     gaussConvectionScheme: lower = -w*phi, upper = lower + phi,
-    negSumDiag; boundary via the BC value-coefficient hooks)."""
+    negSumDiag; boundary via the BC value-coefficient hooks). A
+    ('bounded', inner) spec applies the boundedConvectionScheme
+    correction -Sp(div(phi), psi) (reference: boundedConvectionScheme),
+    which keeps transport bounded while the flux is not yet
+    conservative."""
+    if isinstance(scheme, tuple) and len(scheme) and scheme[0] == "bounded":
+        from . import fvc
+        inner = div(mesh, phi, vf, scheme[1])
+        div_phi = fvc.surface_sum_faces(mesh, phi.data) / mesh.V
+        sp = Sp(mesh, Dimensioned("div(phi)", phi.dims / _VOL, div_phi),
+                vf)
+        return inner - sp
     w = scheme_weights(mesh, vf, scheme, phi)
     phi_i = phi.data[:mesh.n_internal]
     lower = -w * phi_i

@@ -79,19 +79,19 @@ class Case:
         if isinstance(s, str):
             return s
         items = list(s)
-        if items[0] == "Gauss":
+        bounded = False
+        if items[0] == "bounded":
+            bounded = True
             items = items[1:]
-        elif items[0] == "bounded":
-            # boundedConvectionScheme handled by solvers via fvm.Sp
+        if items and items[0] == "Gauss":
             items = items[1:]
-            if items and items[0] == "Gauss":
-                items = items[1:]
         if not items:
             raise KeyError(f"divSchemes entry '{key}' has no "
                            f"interpolation scheme")
-        if len(items) == 1:
-            return items[0]
-        return tuple(items)
+        spec = items[0] if len(items) == 1 else tuple(items)
+        if bounded:
+            return ("bounded", spec)
+        return spec
 
     def grad_scheme(self, key: str = "default") -> str:
         d = self.fv_schemes.subdict("gradSchemes")

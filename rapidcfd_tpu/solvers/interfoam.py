@@ -125,6 +125,9 @@ def make_step(case: Case, consts, ctrl: PimpleControl):
             sng_rho = fvc.sn_grad(mesh, rho)
             phig = (sigma_kappa_snalpha(alpha) - ghf * sng_rho.data) \
                 * rAU_f * mesh.mag_sf
+            # no body-force flux through non-coupled boundaries
+            # (reference pairs this with fixedFluxPressure on p_rgh)
+            phig = phig.at[mesh.n_internal:].set(0.0)
             phi_hbya = SurfaceField(phi_hbya.data + phig, phi.dims,
                                     "phiHbyA")
 

@@ -1,0 +1,115 @@
+"""buoyantBoussinesqSimpleFoam: differentially-heated cavity."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rapidcfd_tpu.utils import logging as L
+from rapidcfd_tpu.utils.casegen import (_write, box_mesh, write_field)
+from rapidcfd_tpu.utils.dictionary import foamfile_header
+from rapidcfd_tpu.mesh.polymesh import write_polymesh
+
+
+@pytest.fixture(scope="module")
+def heated_cavity(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("buoy"))
+    mesh = box_mesh(16, 16, 1, size=(1.0, 1.0, 0.1), patch_spec={
+        "xmin": ("hotWall", "wall"), "xmax": ("coldWall", "wall"),
+        "ymin": ("floor", "wall"), "ymax": ("ceiling", "wall"),
+        "zmin": ("frontAndBack", "empty"),
+        "zmax": ("frontAndBack", "empty")})
+    write_polymesh(mesh, d)
+    _write(os.path.join(d, "system", "controlDict"),
+           foamfile_header("dictionary", "controlDict", "system"), """
+application buoyantBoussinesqSimpleFoam;
+startFrom startTime; startTime 0; stopAt endTime; endTime 100;
+deltaT 1; writeControl timeStep; writeInterval 100; writeFormat ascii;
+""")
+    _write(os.path.join(d, "system", "fvSchemes"),
+           foamfile_header("dictionary", "fvSchemes", "system"), """
+ddtSchemes { default steadyState; }
+gradSchemes { default Gauss linear; }
+divSchemes { default none; div(phi,U) bounded Gauss upwind;
+             div(phi,T) bounded Gauss upwind; }
+laplacianSchemes { default Gauss linear orthogonal; }
+interpolationSchemes { default linear; }
+snGradSchemes { default orthogonal; }
+""")
+    _write(os.path.join(d, "system", "fvSolution"),
+           foamfile_header("dictionary", "fvSolution", "system"), """
+solvers
+{
+    p_rgh { solver GAMG; smoother GaussSeidel; tolerance 1e-08;
+            relTol 0.05; }
+    "(U|T)" { solver smoothSolver; smoother symGaussSeidel;
+              tolerance 1e-07; relTol 0.1; }
+}
+SIMPLE { nNonOrthogonalCorrectors 0; pRefCell 0; pRefValue 0; }
+relaxationFactors
+{
+    fields { p_rgh 0.5; }
+    equations { U 0.5; T 0.5; }
+}
+""")
+    _write(os.path.join(d, "constant", "transportProperties"),
+           foamfile_header("dictionary", "transportProperties", "constant"),
+           """
+transportModel Newtonian;
+nu              nu [0 2 -1 0 0 0 0] 1e-03;
+beta            beta [0 0 0 -1 0 0 0] 3e-03;
+TRef            TRef [0 0 0 1 0 0 0] 300;
+Pr              Pr [0 0 0 0 0 0 0] 0.7;
+Prt             Prt [0 0 0 0 0 0 0] 0.85;
+""")
+    _write(os.path.join(d, "constant", "g"),
+           foamfile_header("uniformDimensionedVectorField", "g",
+                           "constant"),
+           "\ndimensions [0 1 -2 0 0 0 0];\nvalue (0 -9.81 0);\n")
+    _write(os.path.join(d, "constant", "RASProperties"),
+           foamfile_header("dictionary", "RASProperties", "constant"),
+           "\nRASModel laminar;\nturbulence off;\n")
+    wall_u = ("        type            fixedValue;\n"
+              "        value           uniform (0 0 0);\n")
+    write_field(d, "0", "U", "volVectorField", "[0 1 -1 0 0 0 0]",
+                "uniform (0 0 0)", {
+                    "hotWall": wall_u, "coldWall": wall_u,
+                    "floor": wall_u, "ceiling": wall_u,
+                    "frontAndBack": "        type            empty;\n"})
+    write_field(d, "0", "p_rgh", "volScalarField", "[0 2 -2 0 0 0 0]",
+                "uniform 0", {
+                    "hotWall": "        type            zeroGradient;\n",
+                    "coldWall": "        type            zeroGradient;\n",
+                    "floor": "        type            zeroGradient;\n",
+                    "ceiling": "        type            zeroGradient;\n",
+                    "frontAndBack": "        type            empty;\n"})
+    write_field(d, "0", "T", "volScalarField", "[0 0 0 1 0 0 0]",
+                "uniform 300", {
+                    "hotWall": "        type            fixedValue;\n"
+                               "        value           uniform 310;\n",
+                    "coldWall": "        type            fixedValue;\n"
+                                "        value           uniform 290;\n",
+                    "floor": "        type            zeroGradient;\n",
+                    "ceiling": "        type            zeroGradient;\n",
+                    "frontAndBack": "        type            empty;\n"})
+    return d
+
+
+def test_natural_convection_circulation(heated_cavity):
+    L.Info.enabled = False
+    from rapidcfd_tpu.solvers import buoyantfoam
+    case, U, p_rgh, T, phi, ts = buoyantfoam.run(heated_cavity,
+                                                 max_steps=60,
+                                                 write=False)
+    L.Info.enabled = True
+    u = np.asarray(U.data)
+    t = np.asarray(T.data)
+    assert np.isfinite(u).all() and np.isfinite(t).all()
+    assert 290.0 - 1e-6 <= t.min() and t.max() <= 310.0 + 1e-6
+    # buoyancy drives circulation: rising at the hot wall (u_y > 0),
+    # sinking at the cold wall (u_y < 0)
+    C = np.asarray(case.mesh.C)
+    hot_side = C[:, 0] < 0.2
+    cold_side = C[:, 0] > 0.8
+    assert u[hot_side, 1].mean() > 1e-4
+    assert u[cold_side, 1].mean() < -1e-4
