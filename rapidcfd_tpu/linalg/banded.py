@@ -1,0 +1,102 @@
+"""Banded MXU SpMV — the TPU-native replacement for the gather matvec.
+
+Arbitrary-index gathers are the one pattern TPUs execute poorly (the
+reference's texture-cached gather tricks, lduMatrixATmul.C, have no
+efficient XLA analogue: a (nCells,K) random gather costs ~300us at 10k
+cells). But after Cuthill-McKee renumbering every neighbour index lies
+within the matrix bandwidth b, so the off-diagonal product can be cast
+as a *block-banded dense matvec*:
+
+  - cells tiled in blocks of B=128 (the MXU lane width);
+  - each tile's neighbours live in a window of P=2*ceil(b/B)+1 blocks;
+  - the windowed operand is built from P shifted reshapes of the padded
+    vector (pure slices, no gathers);
+  - y_off = einsum('tbw,tw->tb', A_band, X_win) — a batched matmul the
+    MXU eats.
+
+The (nTiles, B, P*B) band matrix is scattered once per *solve* from the
+face coefficient arrays with static indices; every solver *iteration*
+is then gather-free. Falls back to the gather path when the bandwidth
+is too large (big 3D meshes — Pallas block-ELL is the planned follow-up)
+or when the mesh is a tracer (distributed shards).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+B = 128          # tile size (MXU/VPU lane width)
+MAX_P = 13       # give up beyond this window (memory ~ n*P*B floats)
+
+_BAND_CACHE: dict = {}
+
+
+def band_info(mesh):
+    """Static banded-layout indices for a mesh, or None if unsuitable."""
+    key = id(mesh.ell_coeff_idx)
+    if key in _BAND_CACHE:
+        return _BAND_CACHE[key]
+    try:
+        nbr = np.asarray(mesh.cell_nbr)
+        idx = np.asarray(mesh.ell_coeff_idx)
+    except jax.errors.TracerArrayConversionError:
+        return None  # distributed shard: mesh is traced; use gathers
+    n, K = nbr.shape
+    if n < 2 * B:
+        info = None  # tiny mesh: gather is fine and padding dominates
+        _BAND_CACHE[key] = info
+        return info
+    cells = np.arange(n)[:, None]
+    bandwidth = int(np.abs(nbr - cells).max()) if n else 0
+    half_blocks = (bandwidth + B - 1) // B
+    P = 2 * half_blocks + 1
+    if P > MAX_P:
+        _BAND_CACHE[key] = None
+        return None
+    n_tiles = (n + B - 1) // B
+    tile = cells // B
+    row = cells % B
+    # column inside the tile's window: nbr - tile*B + half_blocks*B
+    col = nbr - tile * B + half_blocks * B
+    assert (col >= 0).all() and (col < P * B).all()
+    # only slots with a real coefficient participate; pads point at the
+    # zero slot of the [upper|lower|0] array, so scattering their (zero)
+    # coefficient is harmless — keep all slots for a static scatter.
+    # cached as NUMPY: jnp constants created inside a jit trace must
+    # never be cached across traces
+    info = dict(
+        n=n, K=K, n_tiles=n_tiles, P=P, half=half_blocks,
+        tile=np.broadcast_to(tile, nbr.shape).astype(np.int32),
+        row=np.broadcast_to(row, nbr.shape).astype(np.int32),
+        col=col.astype(np.int32),
+    )
+    _BAND_CACHE[key] = info
+    return info
+
+
+def make_offdiag_mv(mesh, ell_coeffs):
+    """Returns x -> sum_k coeff[c,k]*x[nbr[c,k]] using the banded MXU
+    path, or None to signal the caller to use the gather fallback."""
+    info = band_info(mesh)
+    if info is None:
+        return None
+    n, n_tiles, P, half = info["n"], info["n_tiles"], info["P"], info["half"]
+    a_band = jnp.zeros((n_tiles, B, P * B), ell_coeffs.dtype)
+    a_band = a_band.at[info["tile"], info["row"], info["col"]].add(
+        ell_coeffs)
+    pad_tail = n_tiles * B - n
+
+    def offdiag_mv(x):
+        xp = jnp.concatenate([
+            jnp.zeros(half * B, x.dtype), x,
+            jnp.zeros(pad_tail + half * B, x.dtype)])
+        parts = [xp[s * B:s * B + n_tiles * B].reshape(n_tiles, B)
+                 for s in range(P)]
+        x_win = jnp.concatenate(parts, axis=1)           # (nT, P*B)
+        y = jnp.einsum("tbw,tw->tb", a_band, x_win,
+                       preferred_element_type=x.dtype)
+        return y.reshape(-1)[:n]
+
+    return offdiag_mv

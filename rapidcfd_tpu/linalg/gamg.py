@@ -270,10 +270,20 @@ def gamg_solve(mesh: MeshArrays, m, amul_fine, ell_fine, diag, source,
         mats.append(_coarsen_matrix(lv, d, lo, up, None))
     amuls = [amul_fine] + [
         _level_amul(lv, *mats[i + 1]) for i, lv in enumerate(levels)]
-    # spectral estimates for Chebyshev smoothing, once per solve
-    lam = [_lambda_max(amuls[i], mats[i][0], source if i == 0
-                       else jnp.ones(mats[i][0].shape[0], diag.dtype))
-           for i in range(len(mats))] if use_cheby else None
+    # Chebyshev spectral bound: rho(D^-1 A) <= 2 for the weakly
+    # diagonally-dominant FV matrices GAMG sees (row sums ~0), so a fixed
+    # bound avoids per-solve power iterations (~8 kernels/level); set
+    # chebyshev_power_iter for the general estimate.
+    if use_cheby:
+        if getattr(controls, "cheby_power_iter", False):
+            lam = [_lambda_max(amuls[i], mats[i][0], source if i == 0
+                               else jnp.ones(mats[i][0].shape[0],
+                                             diag.dtype))
+                   for i in range(len(mats))]
+        else:
+            lam = [jnp.asarray(2.0, diag.dtype)] * len(mats)
+    else:
+        lam = None
 
     def smooth(i, b, x, sweeps):
         if sweeps == 0:
@@ -335,17 +345,23 @@ def gamg_solve(mesh: MeshArrays, m, amul_fine, ell_fine, diag, source,
     nf = _norm_factor(amul_fine, psi0, source, apsi, v_ones)
     res0 = gsum(jnp.abs(source - apsi)) / nf
 
+    # fp32 runs stall above the requested tolerance; stop when the
+    # residual hasn't improved for a few cycles instead of burning maxIter
     def cond(carry):
-        x, it, res = carry
+        x, it, res, best, since_best = carry
         return (~_converged(res, res0, controls, it)) \
-            & (it < controls.max_iter)
+            & (it < controls.max_iter) & (since_best < 6)
 
     def body(carry):
-        x, it, res = carry
+        x, it, res, best, since_best = carry
         x = vcycle(x, source)
         res = gsum(jnp.abs(source - amul_fine(x))) / nf
-        return x, it + 1, res
+        improved = res < 0.97 * best
+        best = jnp.minimum(best, res)
+        since_best = jnp.where(improved, 0, since_best + 1)
+        return x, it + 1, res, best, since_best
 
-    x, it, res = lax.while_loop(cond, body,
-                                (psi0, jnp.asarray(0, jnp.int32), res0))
+    x, it, res, _, _ = lax.while_loop(
+        cond, body, (psi0, jnp.asarray(0, jnp.int32), res0, res0,
+                     jnp.asarray(0, jnp.int32)))
     return x, (res0, res, it)

@@ -37,10 +37,18 @@ def diagonal_precond(mesh, ell_coeffs, diag):
 
 @register("lduPreconditioner", "AINV", "DIC", "DILU", "FDIC")
 def ainv_precond(mesh, ell_coeffs, diag):
-    """Sparse approximate inverse: w = D^-1 r - D^-1 O D^-1 r (one gather
-    pass; reference: AINVPreconditioner.C:49-110)."""
+    """Sparse approximate inverse: w = D^-1 r - D^-1 O D^-1 r (one
+    off-diagonal product; reference: AINVPreconditioner.C:49-110). Uses
+    the banded MXU product when available."""
     from ..parallel.hooks import halo
+    from .banded import make_offdiag_mv
     rd = _safe_recip(diag)
+    off_mv = make_offdiag_mv(mesh, ell_coeffs)
+    if off_mv is not None:
+        def apply(r):
+            rdr = rd * r
+            return rdr - rd * off_mv(rdr)
+        return apply
 
     def apply(r):
         rdr = rd * r

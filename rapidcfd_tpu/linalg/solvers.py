@@ -107,6 +107,12 @@ SolverPerformance = tuple
 
 def _amul_fn(mesh: MeshArrays, ell_coeffs, diag):
     from ..parallel.hooks import halo
+    from .banded import make_offdiag_mv
+    off_mv = make_offdiag_mv(mesh, ell_coeffs)
+    if off_mv is not None:
+        def amul(x):
+            return diag * x + off_mv(x)
+        return amul
 
     def amul(x):
         xh = halo(x)
@@ -167,11 +173,12 @@ def _pcg(mesh, amul, ell, diag, source, psi0, c: SolverControls):
     res0 = gsum(jnp.abs(r0)) / nf
 
     def cond(carry):
-        psi, r, p, wr_old, it, res = carry
-        return (~_converged(res, res0, c, it)) & (it < c.max_iter)
+        psi, r, p, wr_old, it, res, best, since_best = carry
+        return (~_converged(res, res0, c, it)) & (it < c.max_iter) \
+            & (since_best < 20)
 
     def body(carry):
-        psi, r, p, wr_old, it, res = carry
+        psi, r, p, wr_old, it, res, best, since_best = carry
         w = precond(r)
         wr = gsum(w * r)
         beta = jnp.where(it == 0, 0.0, wr / jnp.where(wr_old == 0.0,
@@ -183,11 +190,16 @@ def _pcg(mesh, amul, ell, diag, source, psi0, c: SolverControls):
         psi = psi + alpha * p
         r = r - alpha * wa
         res = gsum(jnp.abs(r)) / nf
-        return psi, r, p, wr, it + 1, res
+        improved = res < 0.999 * best
+        best = jnp.minimum(best, res)
+        since_best = jnp.where(improved, 0, since_best + 1)
+        return psi, r, p, wr, it + 1, res, best, since_best
 
     init = (psi0, r0, jnp.zeros_like(psi0), jnp.asarray(0.0, psi0.dtype),
-            jnp.asarray(0, jnp.int32), res0)
-    psi, r, p, wr, it, res = lax.while_loop(cond, body, init)
+            jnp.asarray(0, jnp.int32), res0, res0,
+            jnp.asarray(0, jnp.int32))
+    out = lax.while_loop(cond, body, init)
+    psi, it, res = out[0], out[4], out[5]
     return psi, (res0, res, it)
 
 

@@ -52,7 +52,8 @@ def _strip_comments(text: str) -> str:
 
 
 def _parse_scalar_list(body: str, ncols: int) -> np.ndarray:
-    """Parse `N ( (x y z) ... )` or `N ( v ... )` into an (N,ncols) array."""
+    """Parse `N ( (x y z) ... )` or `N ( v ... )` into an (N,ncols) array.
+    Uses the native foamio parser when available (big meshes), else numpy."""
     body = _strip_comments(body)
     m = re.search(r"(\d+)\s*\(", body)
     if not m:
@@ -61,7 +62,11 @@ def _parse_scalar_list(body: str, ncols: int) -> np.ndarray:
     start = m.end()
     end = body.rfind(")")
     data = body[start:end]
-    arr = np.fromstring(data.replace("(", " ").replace(")", " "), sep=" ")
+    from ..utils import foamio_native
+    arr = foamio_native.parse_scalars(data, n * ncols)
+    if arr is None:
+        arr = np.fromstring(data.replace("(", " ").replace(")", " "),
+                            sep=" ")
     if ncols > 1:
         arr = arr.reshape(n, ncols)
     else:
@@ -76,7 +81,10 @@ def _parse_label_list(body: str) -> np.ndarray:
     m = re.search(r"(\d+)\s*\(", body)
     n = int(m.group(1))
     start, end = m.end(), body.rfind(")")
-    arr = np.fromstring(body[start:end], sep=" ").astype(np.int64)
+    from ..utils import foamio_native
+    arr = foamio_native.parse_labels(body[start:end], n)
+    if arr is None:
+        arr = np.fromstring(body[start:end], sep=" ").astype(np.int64)
     if arr.shape[0] != n:
         raise ValueError(f"expected {n} labels, got {arr.shape[0]}")
     return arr
@@ -91,6 +99,10 @@ def _parse_face_list(body: str) -> tuple[np.ndarray, np.ndarray]:
     m = re.search(r"(\d+)\s*\(", body)
     n = int(m.group(1))
     chunk = body[m.end():body.rfind(")")]
+    from ..utils import foamio_native
+    native = foamio_native.parse_faces(chunk, n)
+    if native is not None:
+        return native
     sizes = np.empty(n, dtype=np.int64)
     flats = []
     for i, fm in enumerate(_FACE_RE.finditer(chunk)):

@@ -261,6 +261,9 @@ def masked_grid_mesh(xs, ys, zs, mask, patch_rule) -> PolyMesh:
 def pitz_daily_case(case_dir: str, scale: int = 1,
                     u_in: float = 10.0, nu: float = 1e-05,
                     end_time: int = 500, model: str = "kEpsilon"):
+    # NOTE: the violent impulsive start of this case tolerates the
+    # boundedConvectionScheme correction with kEpsilon but not with
+    # kOmegaSST (near-wall omega stiffness); SST uses plain upwind.
     """Backward-facing-step case in the spirit of the pitzDaily tutorial
     (BASELINE config 2): ~6k cells at scale=1, kEpsilon + wall functions,
     GAMG pressure, SIMPLE with residualControl."""
@@ -311,22 +314,23 @@ writeFormat     ascii;
 writePrecision  6;
 runTimeModifiable true;
 """)
+    bnd = "bounded " if model != "kOmegaSST" else ""
     _write(os.path.join(case_dir, "system", "fvSchemes"),
-           foamfile_header("dictionary", "fvSchemes", "system"), """
-ddtSchemes      { default steadyState; }
-gradSchemes     { default Gauss linear; }
+           foamfile_header("dictionary", "fvSchemes", "system"), f"""
+ddtSchemes      {{ default steadyState; }}
+gradSchemes     {{ default Gauss linear; }}
 divSchemes
-{
+{{
     default         none;
-    div(phi,U)      bounded Gauss upwind;
-    div(phi,k)      bounded Gauss upwind;
-    div(phi,epsilon) bounded Gauss upwind;
-    div(phi,omega)  bounded Gauss upwind;
+    div(phi,U)      {bnd}Gauss upwind;
+    div(phi,k)      {bnd}Gauss upwind;
+    div(phi,epsilon) {bnd}Gauss upwind;
+    div(phi,omega)  {bnd}Gauss upwind;
     div((nuEff*dev(T(grad(U))))) Gauss linear;
-}
-laplacianSchemes { default Gauss linear orthogonal; }
-interpolationSchemes { default linear; }
-snGradSchemes   { default orthogonal; }
+}}
+laplacianSchemes {{ default Gauss linear orthogonal; }}
+interpolationSchemes {{ default linear; }}
+snGradSchemes   {{ default orthogonal; }}
 """)
     _write(os.path.join(case_dir, "system", "fvSolution"),
            foamfile_header("dictionary", "fvSolution", "system"), """
