@@ -19,9 +19,19 @@ from ..mesh.mesharrays import MeshArrays
 from ..utils.registry import register, lookup
 
 
+def _unwrap(scheme):
+    """('bounded', inner) is an fvm-only marker; interpolation uses the
+    inner scheme."""
+    if isinstance(scheme, tuple) and len(scheme) == 2 \
+            and scheme[0] == "bounded":
+        return scheme[1]
+    return scheme
+
+
 def interpolate_internal(mesh: MeshArrays, vf: VolField, scheme="linear",
                          phi: SurfaceField | None = None) -> jnp.ndarray:
     """Internal-face values by the named scheme."""
+    scheme = _unwrap(scheme)
     if isinstance(scheme, tuple):
         name, args = scheme[0], scheme[1:]
     else:
@@ -39,6 +49,7 @@ def interpolate_internal(mesh: MeshArrays, vf: VolField, scheme="linear",
 def scheme_weights(mesh: MeshArrays, vf: VolField, scheme="linear",
                    phi: SurfaceField | None = None) -> jnp.ndarray:
     """Owner weights on internal faces (used by fvm::div assembly)."""
+    scheme = _unwrap(scheme)
     if isinstance(scheme, tuple):
         name, args = scheme[0], scheme[1:]
     else:
