@@ -89,14 +89,18 @@ def make_offdiag_mv(mesh, ell_coeffs):
     pad_tail = n_tiles * B - n
 
     def offdiag_mv(x):
+        two_d = x.ndim == 2
+        vec = x if two_d else x[:, None]
+        m = vec.shape[1]
         xp = jnp.concatenate([
-            jnp.zeros(half * B, x.dtype), x,
-            jnp.zeros(pad_tail + half * B, x.dtype)])
-        parts = [xp[s * B:s * B + n_tiles * B].reshape(n_tiles, B)
+            jnp.zeros((half * B, m), x.dtype), vec,
+            jnp.zeros((pad_tail + half * B, m), x.dtype)])
+        parts = [xp[s * B:s * B + n_tiles * B].reshape(n_tiles, B, m)
                  for s in range(P)]
-        x_win = jnp.concatenate(parts, axis=1)           # (nT, P*B)
-        y = jnp.einsum("tbw,tw->tb", a_band, x_win,
+        x_win = jnp.concatenate(parts, axis=1)           # (nT, P*B, m)
+        y = jnp.einsum("tbw,twm->tbm", a_band, x_win,
                        preferred_element_type=x.dtype)
-        return y.reshape(-1)[:n]
+        y = y.reshape(-1, m)[:n]
+        return y if two_d else y[:, 0]
 
     return offdiag_mv

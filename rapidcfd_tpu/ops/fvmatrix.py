@@ -122,6 +122,22 @@ class FvMatrix:
             [self.upper, self.lower, jnp.zeros(1, self.upper.dtype)])
         return jnp.take(cat, mesh.ell_coeff_idx, axis=0)
 
+    def component_system_all(self, mesh: MeshArrays):
+        """(diag (n,m), source (n,m)) for a column-batched vector solve
+        (patch internal coeffs differ per component, e.g. symmetry)."""
+        m_comp = self.source.shape[1]
+        diag = jnp.broadcast_to(self.diag[:, None],
+                                (self.diag.shape[0], m_comp))
+        src = self.source
+        for p, ic, bc in zip(mesh.patches, self.internal_coeffs,
+                             self.boundary_coeffs):
+            if p.is_empty or p.size == 0:
+                continue
+            fc = mesh.patch_face_cells(p)
+            diag = diag.at[fc].add(ic)
+            src = src.at[fc].add(bc)
+        return diag, src
+
     def component_system(self, mesh: MeshArrays, cmpt: int | None):
         """(diag, source) for one component with patch coefficients folded
         in (reference: addBoundaryDiag/addBoundarySource before solve)."""

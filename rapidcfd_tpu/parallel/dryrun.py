@@ -56,7 +56,7 @@ def make_distributed_step(dec: Decomposition, device_mesh: Mesh, nu,
 
         def gsum_fn(x):
             m = own.reshape(own.shape + (1,) * (x.ndim - 1))
-            return jax.lax.psum((x * m).sum(), AXIS)
+            return jax.lax.psum((x * m).sum(axis=0), AXIS)
 
         def gmax_fn(x):
             m = own > 0.5
