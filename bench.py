@@ -58,7 +58,7 @@ def main():
 
     U = case.read_field("U")
     p = case.read_field("p")
-    phi = fvc.flux(case.mesh, U)
+    phi = jax.jit(lambda u: fvc.flux(case.mesh, u))(U)
 
     for _ in range(args.warmup):
         U, p, phi, stats = step(U, p, phi, dt)

@@ -25,17 +25,21 @@ _BC_DATA_KEYS = ("value", "gradient", "refValue", "refGradient",
 
 
 def _parse_value(entry, n: int, dtype):
-    """Parse `uniform v`, `uniform (x y z)`, `nonuniform List<T> N (...)`."""
+    """Parse `uniform v`, `uniform (x y z)`, `nonuniform List<T> N (...)`.
+    Returns NUMPY (field construction stays host-side; a single jitted
+    boundary correction materializes on device — avoids the per-eager-op
+    dispatch cost of remote TPU backends)."""
+    npdt = np.dtype(str(np.dtype(dtype)))
     if isinstance(entry, (int, float)):
-        return jnp.full((n,), float(entry), dtype)
+        return np.full((n,), float(entry), npdt)
     if isinstance(entry, tuple):
         items = list(entry)
         if items[0] == "uniform":
             v = items[1]
             if isinstance(v, list):
-                return jnp.broadcast_to(
-                    jnp.asarray(v, dtype), (n, len(v))).copy()
-            return jnp.full((n,), float(v), dtype)
+                return np.broadcast_to(
+                    np.asarray(v, npdt), (n, len(v))).copy()
+            return np.full((n,), float(v), npdt)
         if items[0] == "nonuniform":
             payload = items[-1]
             if isinstance(payload, int):  # `nonuniform List<scalar> 0 ()`
@@ -47,10 +51,10 @@ def _parse_value(entry, n: int, dtype):
                 raise ValueError(
                     f"nonuniform field has {arr.shape[0]} entries, "
                     f"expected {n}")
-            return jnp.asarray(arr, dtype)
+            return arr.astype(npdt)
     if isinstance(entry, list):
-        return jnp.broadcast_to(jnp.asarray(entry, dtype),
-                                (n, len(entry))).copy()
+        return np.broadcast_to(np.asarray(entry, npdt),
+                               (n, len(entry))).copy()
     raise ValueError(f"cannot parse field value: {entry!r}")
 
 
@@ -64,13 +68,13 @@ def read_vol_field(case_dir: str, time: str, name: str, mesh: MeshArrays,
     assert isinstance(dims, DimensionSet)
     data = _parse_value(d.lookup("internalField", required=True),
                         mesh.n_cells, dtype)
-    # file order -> device (renumbered) order
-    data = jnp.asarray(np.asarray(data)[maps.cell_perm])
+    # file order -> device (renumbered) order (numpy, host-side)
+    data = data[maps.cell_perm]
 
     bfield = d.subdict("boundaryField")
     bcs, bcdata = [], []
     rank_shape = data.shape[1:]
-    bvalues = jnp.zeros((mesh.n_boundary,) + rank_shape, dtype)
+    bvalues = np.zeros((mesh.n_boundary,) + rank_shape, data.dtype)
     for i, patch in enumerate(mesh.patches):
         pd = bfield.lookup(patch.name)
         if pd is None:
@@ -82,15 +86,17 @@ def read_vol_field(case_dir: str, time: str, name: str, mesh: MeshArrays,
         for key in _BC_DATA_KEYS:
             if pd.lookup(key) is not None:
                 v = _parse_value(pd.lookup(key), patch.size, dtype)
-                bd[key] = v
+                bd[key] = jnp.asarray(v)
         bcs.append(bc)
         bcdata.append(bd)
         if "value" in bd:
-            bvalues = bvalues.at[
-                patch.bstart:patch.bstart + patch.size].set(bd["value"])
+            bvalues[patch.bstart:patch.bstart + patch.size] =                 np.asarray(bd["value"])
 
-    f = VolField(data, bvalues, tuple(bcs), dims, name, tuple(bcdata))
-    return f.correct_boundary_conditions(mesh)
+    f = VolField(jnp.asarray(data), jnp.asarray(bvalues), tuple(bcs),
+                 dims, name, tuple(bcdata))
+    # one jitted program instead of ~3 eager ops per patch
+    import jax as _jax
+    return _jax.jit(lambda ff: ff.correct_boundary_conditions(mesh))(f)
 
 
 def _fmt_scalar(v: float, prec: int = 8) -> str:
