@@ -1,0 +1,57 @@
+"""Solver dispatcher: `python -m rapidcfd_tpu [-case DIR] [solver]`.
+
+Without an explicit solver name, reads `application` from
+system/controlDict (the reference's convention) and runs the matching
+solver.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+SOLVERS = {
+    "icoFoam": ("rapidcfd_tpu.solvers.icofoam", {}),
+    "simpleFoam": ("rapidcfd_tpu.solvers.simplefoam", {}),
+    "pimpleFoam": ("rapidcfd_tpu.solvers.pimplefoam", {}),
+    "pisoFoam": ("rapidcfd_tpu.solvers.pimplefoam", {"piso_mode": True}),
+    "sonicFoam": ("rapidcfd_tpu.solvers.sonicfoam", {}),
+    "rhoSimpleFoam": ("rapidcfd_tpu.solvers.rhosimplefoam", {}),
+    "interFoam": ("rapidcfd_tpu.solvers.interfoam", {}),
+    "buoyantBoussinesqSimpleFoam": ("rapidcfd_tpu.solvers.buoyantfoam", {}),
+    "laplacianFoam": ("rapidcfd_tpu.solvers.basic",
+                      {"_fn": "run_laplacian_foam"}),
+    "scalarTransportFoam": ("rapidcfd_tpu.solvers.basic",
+                            {"_fn": "run_scalar_transport_foam"}),
+    "potentialFoam": ("rapidcfd_tpu.solvers.basic",
+                      {"_fn": "run_potential_foam"}),
+}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="rapidcfd_tpu")
+    ap.add_argument("solver", nargs="?", default=None,
+                    help="solver name (default: controlDict application)")
+    ap.add_argument("-case", dest="case", default=".")
+    ap.add_argument("-noWrite", action="store_true")
+    args = ap.parse_args(argv)
+
+    name = args.solver
+    if name is None:
+        from rapidcfd_tpu.utils.dictionary import parse_file
+        cd = parse_file(os.path.join(args.case, "system", "controlDict"))
+        name = cd.word("application")
+    if name not in SOLVERS:
+        known = ", ".join(sorted(SOLVERS))
+        sys.exit(f"unknown solver '{name}'. Available: {known}")
+    mod_name, kw = SOLVERS[name]
+    import importlib
+    mod = importlib.import_module(mod_name)
+    kw = dict(kw)
+    fn = getattr(mod, kw.pop("_fn", "run"))
+    fn(args.case, write=not args.noWrite, **kw)
+
+
+if __name__ == "__main__":
+    main()
