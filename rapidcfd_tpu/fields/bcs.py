@@ -299,3 +299,78 @@ class InletOutlet(Mixed):
 def make_bc(type_word: str, patch_idx: int) -> BC:
     cls = lookup("fvPatchField", type_word)
     return cls(patch_idx)
+
+
+@register("fvPatchField", "totalPressure")
+@dataclass(frozen=True)
+class TotalPressure(BC):
+    """p = p0 - 0.5|U|^2 on inflow, p0 on outflow (incompressible form;
+    reference: derived/totalPressure). env must carry 'U' and 'phi'."""
+    preserves_type = True
+
+    def evaluate(self, mesh, patch, field, bd, env=None):
+        p0 = jnp.broadcast_to(bd["p0"], (patch.size,))
+        if env is None or "U" not in env or "phi" not in env:
+            return p0
+        sl = slice(patch.bstart, patch.bstart + patch.size)
+        u_b = env["U"].bvalues[sl]
+        phi_b = env["phi"].data[patch.start:patch.start + patch.size]
+        dyn = 0.5 * (u_b * u_b).sum(-1)
+        return jnp.where(phi_b >= 0.0, p0, p0 - dyn)
+
+    def value_internal_coeff(self, mesh, patch, field, bd, env=None):
+        return jnp.zeros(patch.size)
+
+    def gradient_internal_coeff(self, mesh, patch, field, bd, env=None):
+        return -mesh.patch_delta_coeffs(patch)
+
+
+@register("fvPatchField", "pressureInletOutletVelocity")
+@dataclass(frozen=True)
+class PressureInletOutletVelocity(BC):
+    """U on pressure boundaries: zeroGradient on outflow; on inflow the
+    face-normal velocity follows the flux (reference:
+    derived/pressureInletOutletVelocity). env must carry 'phi'."""
+    preserves_type = True
+
+    def evaluate(self, mesh, patch, field, bd, env=None):
+        psi_c = field.patch_internal(mesh, patch)
+        if env is None or "phi" not in env:
+            return psi_c
+        phi_b = env["phi"].data[patch.start:patch.start + patch.size]
+        n = mesh.patch_normals(patch)
+        u_in = n * (phi_b / jnp.maximum(
+            mesh.patch_mag_sf(patch), 1e-300))[:, None]
+        return jnp.where((phi_b >= 0.0)[:, None], psi_c, u_in)
+
+    def value_internal_coeff(self, mesh, patch, field, bd, env=None):
+        if env is None or "phi" not in env:
+            return jnp.ones((patch.size, 1))
+        phi_b = env["phi"].data[patch.start:patch.start + patch.size]
+        return (phi_b >= 0.0).astype(field.data.dtype)[:, None]
+
+    def gradient_internal_coeff(self, mesh, patch, field, bd, env=None):
+        vic = self.value_internal_coeff(mesh, patch, field, bd, env)
+        return (vic - 1.0) * mesh.patch_delta_coeffs(patch)[:, None]
+
+
+@register("fvPatchField", "flowRateInletVelocity")
+@dataclass(frozen=True)
+class FlowRateInletVelocity(BC):
+    """Inlet velocity from a prescribed volumetric flow rate (reference:
+    derived/flowRateInletVelocity, constant-rate form)."""
+    preserves_type = True
+    fixes_value = True
+
+    def evaluate(self, mesh, patch, field, bd, env=None):
+        q = bd["volumetricFlowRate"]
+        q = q if jnp.ndim(q) == 0 else q.reshape(-1)[0]
+        area = mesh.patch_mag_sf(patch).sum()
+        n = mesh.patch_normals(patch)
+        return -n * (q / jnp.maximum(area, 1e-300))
+
+    def value_internal_coeff(self, mesh, patch, field, bd, env=None):
+        return jnp.zeros((patch.size, 1))
+
+    def gradient_internal_coeff(self, mesh, patch, field, bd, env=None):
+        return -mesh.patch_delta_coeffs(patch)[:, None]

@@ -21,7 +21,8 @@ from .bcs import Calculated, make_bc
 from .field import VolField
 
 _BC_DATA_KEYS = ("value", "gradient", "refValue", "refGradient",
-                 "valueFraction", "inletValue", "outletValue")
+                 "valueFraction", "inletValue", "outletValue", "p0",
+                 "volumetricFlowRate")
 
 
 def _parse_value(entry, n: int, dtype):
@@ -156,3 +157,55 @@ def write_vol_field(field: VolField, case_dir: str, time: str,
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         f.write(foamfile_header(cls, field.name, time) + "".join(lines))
+
+
+# ---------------------------------------------------------------------------
+# surface fields (face fluxes) — checkpoint parity for phi
+# ---------------------------------------------------------------------------
+
+def write_surface_field(sf, case_dir: str, time: str, mesh: MeshArrays,
+                        maps: MeshMaps, prec: int = 8):
+    """Write a SurfaceField (e.g. phi) as a surfaceScalarField file
+    (reference: restart reads phi if present; createPhi.H otherwise)."""
+    data = maps.faces_to_file(np.asarray(sf.data))
+    n_int = mesh.n_internal
+    lines = [f"\ndimensions      {_dims_str(sf.dims)};\n\n",
+             f"internalField   {_body_value(data[:n_int], prec)};\n\n",
+             "boundaryField\n{\n"]
+    for patch in mesh.patches:
+        pb = data[patch.start:patch.start + patch.size]
+        lines.append(f"    {patch.name}\n    {{\n"
+                     f"        type            calculated;\n"
+                     f"        value           {_body_value(pb, prec)};\n"
+                     "    }\n")
+    lines.append("}\n")
+    path = os.path.join(case_dir, time, sf.name or "phi")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(foamfile_header("surfaceScalarField", sf.name or "phi",
+                                time) + "".join(lines))
+
+
+def read_surface_field(case_dir: str, time: str, name: str,
+                       mesh: MeshArrays, maps: MeshMaps, dtype=None):
+    """Read a surfaceScalarField written by write_surface_field (or the
+    reference): internal values + per-patch boundary values."""
+    from ..fields.field import SurfaceField
+    if dtype is None:
+        from ..mesh.mesharrays import default_dtype
+        dtype = default_dtype()
+    d = parse_file(os.path.join(case_dir, time, name))
+    dims = d.lookup("dimensions", required=True)
+    internal = np.asarray(_parse_value(
+        d.lookup("internalField", required=True), mesh.n_internal, dtype))
+    data = np.zeros(mesh.n_faces, internal.dtype)
+    data[:mesh.n_internal] = internal
+    bfield = d.subdict("boundaryField")
+    for patch in mesh.patches:
+        pd = bfield.lookup(patch.name)
+        if pd is None or pd.lookup("value") is None:
+            continue
+        data[patch.start:patch.start + patch.size] = np.asarray(
+            _parse_value(pd.lookup("value"), patch.size, dtype))
+    data = maps.faces_to_device(data)
+    return SurfaceField(jnp.asarray(data), dims, name)

@@ -252,7 +252,8 @@ class KEpsilon:
         eps_eqn = eps_eqn.equals(rhs_eps)
         eps_eqn = eps_eqn.relax(mesh, self.eps_relax)
         eps_eqn = eps_eqn.set_values(mesh, eps_fix, eps_vals)
-        eps_new, eps_perf = solve(mesh, eps_eqn, self.eps_controls)
+        eps_new, eps_perf = solve(mesh, eps_eqn, self.eps_controls,
+                                  env={"phi": phi})
         eps_new = bound(eps_new, self.eps_min)
 
         # k equation
@@ -267,7 +268,8 @@ class KEpsilon:
                      eps_new.data / jnp.maximum(k.data, self.k_min)), k))
         k_eqn = k_eqn.equals(rhs_k)
         k_eqn = k_eqn.relax(mesh, self.k_relax)
-        k_new, k_perf = solve(mesh, k_eqn, self.k_controls)
+        k_new, k_perf = solve(mesh, k_eqn, self.k_controls,
+                              env={"phi": phi})
         k_new = bound(k_new, self.k_min)
 
         # nut update + wall functions
@@ -444,7 +446,8 @@ class KOmegaSST:
         om_eqn = om_eqn.equals(rhs_om)
         om_eqn = om_eqn.relax(mesh, self.omega_relax)
         om_eqn = om_eqn.set_values(mesh, om_fix, om_vals)
-        omega_new, om_perf = solve(mesh, om_eqn, self.omega_controls)
+        omega_new, om_perf = solve(mesh, om_eqn, self.omega_controls,
+                                   env={"phi": phi})
         omega_new = bound(omega_new, self.omega_min)
 
         # k equation
@@ -459,7 +462,8 @@ class KOmegaSST:
                      self.betaStar * omega_new.data), k))
         k_eqn = k_eqn.equals(rhs_k)
         k_eqn = k_eqn.relax(mesh, self.k_relax)
-        k_new, k_perf = solve(mesh, k_eqn, self.k_controls)
+        k_new, k_perf = solve(mesh, k_eqn, self.k_controls,
+                              env={"phi": phi})
         k_new = bound(k_new, self.k_min)
 
         nut_data = self.a1 * k_new.data / jnp.maximum(

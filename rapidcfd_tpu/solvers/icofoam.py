@@ -54,7 +54,8 @@ def piso_step(mesh, U: VolField, p: VolField, phi: SurfaceField, dt, nu,
     UEqn = (fvm.ddt(mesh, U, dt)
             + fvm.div(mesh, phi, U, div_scheme)
             - fvm.laplacian(mesh, nu, U, lap_corr))
-    U, u_perf = solve(mesh, UEqn == (-fvc.grad(mesh, p)), u_controls)
+    U, u_perf = solve(mesh, UEqn == (-fvc.grad(mesh, p)),
+                      u_controls, env={"phi": phi})
 
     p_perf_all = []
     for corr in range(n_correctors):
@@ -78,7 +79,8 @@ def piso_step(mesh, U: VolField, p: VolField, phi: SurfaceField, dt, nu,
         phi = phi_hbya - pEqn.replace(psi=p).flux(mesh)
         grad_p = fvc.grad(mesh, p)
         U_star = HbyA - rAU * grad_p
-        U = U.replace(data=U_star.data).correct_boundary_conditions(mesh)
+        U = U.replace(data=U_star.data).correct_boundary_conditions(
+            mesh, env={"phi": phi})
 
     local_err, glob_err = continuity_errors(mesh, phi)
     co_mean, co_max = courant_number(mesh, phi, dt)
@@ -123,7 +125,12 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
     info("Reading field U\n")
     U = case.read_field("U")
     info("Reading/calculating face flux field phi\n")
-    phi = fvc.flux(mesh, U)
+    if case.field_exists("phi"):
+        from ..fields.io import read_surface_field
+        phi = read_surface_field(case.dir, case.time.name, "phi", mesh,
+                                 case.maps)
+    else:
+        phi = jax.jit(lambda u: fvc.flux(mesh, u))(U)
 
     step = make_step(case, nu, n_correctors, n_non_orth,
                      p_ref_cell, p_ref_value)
@@ -155,6 +162,9 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
         timer.log()
 
         if write and case.time.write_time():
+            from ..fields.io import write_surface_field
+            write_surface_field(phi, case.dir, case.time.name, mesh,
+                                case.maps)
             case.write_fields([U, p])
         n += 1
         if max_steps and n >= max_steps:

@@ -64,7 +64,8 @@ def make_step(case: Case, transport, turb, ctrl, piso_mode: bool):
             if momentum_predictor:
                 U, u_perf = solve(
                     mesh, UEqn == (-fvc.grad(mesh, p)),
-                    u_final if final_outer else u_controls)
+                    u_final if final_outer else u_controls,
+                    env={"phi": phi})
 
             for corr in range(n_corr):
                 UEqn_c = UEqn.replace(psi=U)
@@ -86,7 +87,7 @@ def make_step(case: Case, transport, turb, ctrl, piso_mode: bool):
                 phi = phi_hbya - pEqn.replace(psi=p).flux(mesh)
                 U_star = HbyA - rAU * fvc.grad(mesh, p)
                 U = U.replace(data=U_star.data) \
-                    .correct_boundary_conditions(mesh)
+                    .correct_boundary_conditions(mesh, env={"phi": phi})
 
             turb_state, turb_perf = turb.correct(mesh, turb_state, U,
                                                  phi, nu, dt=dt)

@@ -67,7 +67,8 @@ def make_step(case: Case, transport, turb, simple: SimpleControl):
         UEqn = fv_options(mesh, "U", UEqn, {"nu": nu})
         UEqn = UEqn.relax(mesh, u_relax)
         UEqn = fv_options.constrain(mesh, "U", UEqn)
-        U, u_perf = solve(mesh, UEqn == (-fvc.grad(mesh, p)), u_controls)
+        U, u_perf = solve(mesh, UEqn == (-fvc.grad(mesh, p)),
+                          u_controls, env={"phi": phi})
 
         # pressure equation (pEqn.H)
         UEqn_c = UEqn.replace(psi=U)
@@ -91,7 +92,8 @@ def make_step(case: Case, transport, turb, simple: SimpleControl):
         # explicit relaxation of p, then momentum correction
         p = relax_field(p, p_prev, p_relax)
         U_star = HbyA - rAU * fvc.grad(mesh, p)
-        U = U.replace(data=U_star.data).correct_boundary_conditions(mesh)
+        U = U.replace(data=U_star.data).correct_boundary_conditions(
+            mesh, env={"phi": phi})
 
         turb_state, turb_perf = turb.correct(mesh, turb_state, U, phi, nu)
 
