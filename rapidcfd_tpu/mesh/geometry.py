@@ -61,18 +61,24 @@ def face_centres_and_areas(mesh: PolyMesh) -> tuple[np.ndarray, np.ndarray]:
 
 
 def cell_centres_and_vols(mesh: PolyMesh, face_ctrs: np.ndarray,
-                          face_areas: np.ndarray
+                          face_areas: np.ndarray,
+                          nei_face_ctrs: np.ndarray | None = None
                           ) -> tuple[np.ndarray, np.ndarray]:
+    """nei_face_ctrs: per-internal-face centre seen from the NEIGHBOUR
+    side — differs from face_ctrs only for merged cyclic faces, where the
+    neighbour cell's physical face sits at the matched partner location."""
     nc = mesh.n_cells
     own, nei = mesh.owner, mesh.neighbour
     n_int = mesh.n_internal_faces
+    if nei_face_ctrs is None:
+        nei_face_ctrs = face_ctrs[:n_int]
 
     # estimated cell centre = average of face centres
     c_est = np.zeros((nc, 3))
     n_cell_faces = np.zeros(nc)
     np.add.at(c_est, own, face_ctrs)
     np.add.at(n_cell_faces, own, 1.0)
-    np.add.at(c_est, nei, face_ctrs[:n_int])
+    np.add.at(c_est, nei, nei_face_ctrs)
     np.add.at(n_cell_faces, nei, 1.0)
     c_est /= n_cell_faces[:, None]
 
@@ -87,7 +93,7 @@ def cell_centres_and_vols(mesh: PolyMesh, face_ctrs: np.ndarray,
         np.add.at(ctrs, cells, pyr3[:, None] * pc)
 
     accumulate(own, face_ctrs, face_areas, 1.0)
-    accumulate(nei, face_ctrs[:n_int], face_areas[:n_int], -1.0)
+    accumulate(nei, nei_face_ctrs, face_areas[:n_int], -1.0)
 
     ctrs /= np.maximum(vols, 1e-300)[:, None]
     vols /= 3.0

@@ -196,16 +196,53 @@ def build_mesh_arrays(mesh: PolyMesh, *, renumber: bool = True,
     """
     if dtype is None:
         dtype = default_dtype()
+
+    # cyclic patches: merge matched pairs into coupled internal faces
+    # BEFORE renumbering so the periodic edges inform the bandwidth
+    from .cyclic import cyclic_interpolation_override, merge_cyclic
+    partner = None
+    a_cell = None
+    face_map0 = np.arange(mesh.n_faces, dtype=np.int64)
+    if any(p.type == "cyclic" for p in mesh.patches):
+        ctrs0, _ = face_centres_and_areas(mesh)
+        mesh, fm0, partner, a_cell = merge_cyclic(mesh, ctrs0)
+        if fm0 is not None:
+            face_map0 = fm0
+
     cell_perm = np.arange(mesh.n_cells, dtype=np.int64)
     face_perm = np.arange(mesh.n_faces, dtype=np.int64)
     if renumber and mesh.n_internal_faces > 0:
         cell_perm = cuthill_mckee(mesh)
         mesh, face_perm = renumber_mesh(mesh, cell_perm,
                                         return_face_order=True)
+        if partner is not None:
+            partner = partner[face_perm]
+            inv = np.empty(mesh.n_cells, dtype=np.int64)
+            inv[cell_perm] = np.arange(mesh.n_cells)
+            a_cell = a_cell[face_perm]
+            a_cell = np.where(a_cell >= 0, inv[np.maximum(a_cell, 0)], -1)
+    face_perm = face_map0[face_perm]
 
     Cf, Sf = face_centres_and_areas(mesh)
-    C, V = cell_centres_and_vols(mesh, Cf, Sf)
+    own_ctrs = None
+    nei_ctrs = None
+    if partner is not None:
+        n_int0 = mesh.n_internal_faces
+        own_ctrs = Cf.copy()
+        nei_ctrs = Cf[:n_int0].copy()
+        cyc = a_cell[:n_int0] >= 0
+        own_is_a = mesh.owner[:n_int0] == a_cell[:n_int0]
+        # the cell NOT holding the A geometry sees the partner centre
+        sel_o = cyc & ~own_is_a
+        sel_n = cyc & own_is_a
+        own_ctrs[:n_int0][sel_o] = partner[:n_int0][sel_o]
+        nei_ctrs[sel_n] = partner[:n_int0][sel_n]
+    C, V = cell_centres_and_vols(mesh, Cf if own_ctrs is None else own_ctrs,
+                                 Sf, nei_ctrs)
     coeffs = interpolation_coeffs(mesh, C, Cf, Sf)
+    if partner is not None:
+        coeffs = cyclic_interpolation_override(mesh, partner, a_cell, C,
+                                               Cf, Sf, coeffs)
 
     nc, nf, n_int = mesh.n_cells, mesh.n_faces, mesh.n_internal_faces
     own, nei = mesh.owner, mesh.neighbour

@@ -230,7 +230,12 @@ def write_polymesh(mesh: PolyMesh, case_dir: str, region: str = ""):
 
     pb = [f"\n{len(mesh.patches)}\n("]
     for p in mesh.patches:
+        nbr = ""
+        if p.extra and p.extra.lookup("neighbourPatch") is not None:
+            nbr = (f"        neighbourPatch  "
+                   f"{p.extra.word('neighbourPatch')};\n")
         pb.append(f"    {p.name}\n    {{\n        type            {p.type};\n"
+                  f"{nbr}"
                   f"        nFaces          {p.n_faces};\n"
                   f"        startFace       {p.start_face};\n    }}")
     pb.append(")\n")

@@ -110,15 +110,20 @@ def box_mesh(nx: int, ny: int, nz: int,
                                        [nid(i, j, nz), nid(i + 1, j, nz),
                                         nid(i + 1, j + 1, nz), nid(i, j + 1, nz)]))
 
-    # merge sides into named patches, ordered by patch_spec insertion
+    # merge sides into named patches, ordered by patch_spec insertion;
+    # entries may be (name, type) or (name, 'cyclic', neighbourPatch)
     patch_order: list[str] = []
     patch_type: dict[str, str] = {}
+    patch_nbr: dict[str, str] = {}
     patch_sides: dict[str, list[str]] = {}
-    for s, (name, typ) in patch_spec.items():
+    for s, spec in patch_spec.items():
+        name, typ = spec[0], spec[1]
         if name not in patch_type:
             patch_order.append(name)
             patch_type[name] = typ
             patch_sides[name] = []
+            if len(spec) > 2:
+                patch_nbr[name] = spec[2]
         patch_sides[name].append(s)
 
     owners = [t[0] for t in int_faces]
@@ -131,8 +136,12 @@ def box_mesh(nx: int, ny: int, nz: int,
             for own_c, fpts in side_faces[s]:
                 owners.append(own_c)
                 all_faces.append(fpts)
+        from .dictionary import Dictionary as _D
+        extra = _D()
+        if name in patch_nbr:
+            extra["neighbourPatch"] = patch_nbr[name]
         patches.append(BoundaryPatch(name, patch_type[name], start,
-                                     len(all_faces) - start))
+                                     len(all_faces) - start, extra))
 
     flat = np.array([p for f in all_faces for p in f], dtype=np.int64)
     offsets = np.zeros(len(all_faces) + 1, dtype=np.int64)
