@@ -13,6 +13,12 @@ import sys
 
 SOLVERS = {
     "icoFoam": ("rapidcfd_tpu.solvers.icofoam", {}),
+    "nonNewtonianIcoFoam": ("rapidcfd_tpu.solvers.icofoam",
+                            {"non_newtonian": True}),
+    "electrostaticFoam": ("rapidcfd_tpu.solvers.electromagnetics",
+                          {"_fn": "run_electrostatic_foam"}),
+    "mhdFoam": ("rapidcfd_tpu.solvers.electromagnetics",
+                {"_fn": "run_mhd_foam"}),
     "simpleFoam": ("rapidcfd_tpu.solvers.simplefoam", {}),
     "pimpleFoam": ("rapidcfd_tpu.solvers.pimplefoam", {}),
     "pisoFoam": ("rapidcfd_tpu.solvers.pimplefoam", {"piso_mode": True}),

@@ -41,6 +41,11 @@ class BC:
     #: complement of the reference's fvPatchField::assignable(); used by
     #: constrainHbyA-style flux constraints)
     fixes_value = False
+    # True when the BC pins the solution level (Dirichlet-like), removing
+    # the Neumann nullspace — the reference's needReference predicate
+    # (cfdTools/general/findRefCell). Distinct from fixes_value, which
+    # also covers constraint patches (symmetry) for constrainHbyA.
+    fixes_level = False
 
     # -- default hook implementations ---------------------------------------
     def evaluate(self, mesh, patch, field, bd, env=None):
@@ -108,6 +113,7 @@ class Calculated(BC):
 @register("fvPatchField", "fixedValue")
 @dataclass(frozen=True)
 class FixedValue(BC):
+    fixes_level = True
     preserves_type = True
     fixes_value = True
 
@@ -307,6 +313,7 @@ class TotalPressure(BC):
     """p = p0 - 0.5|U|^2 on inflow, p0 on outflow (incompressible form;
     reference: derived/totalPressure). env must carry 'U' and 'phi'."""
     preserves_type = True
+    fixes_level = True
 
     def evaluate(self, mesh, patch, field, bd, env=None):
         p0 = jnp.broadcast_to(bd["p0"], (patch.size,))

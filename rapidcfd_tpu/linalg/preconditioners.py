@@ -52,6 +52,7 @@ def ainv_precond(mesh, ell_coeffs, diag):
 
     def apply(r):
         rdr = rd * r
-        off = (ell_coeffs * jnp.take(halo(rdr), mesh.cell_nbr, axis=0)).sum(1)
+        c = ell_coeffs[..., None] if r.ndim == 2 else ell_coeffs
+        off = (c * jnp.take(halo(rdr), mesh.cell_nbr, axis=0)).sum(1)
         return rdr - rd * off
     return apply

@@ -155,16 +155,23 @@ class Laminar:
 
 @register("RASModel", "kEpsilon")
 class KEpsilon:
-    """Standard k-epsilon (reference: incompressible/RAS/kEpsilon)."""
+    """Standard k-epsilon (reference: incompressible/RAS/kEpsilon).
+
+    The epsilon-equation production/destruction and the nut closure are
+    overridable hooks so the RNG and realizable variants share the whole
+    assembly/solve/wall-function machinery."""
     needs = ("k", "epsilon", "nut")
+    Cmu_default, C1_default, C2_default = 0.09, 1.44, 1.92
+    sigmak_default, sigmaEps_default = 1.0, 1.3
 
     def __init__(self, case, coeffs: Dictionary):
         self.case = case
         c = coeffs or Dictionary()
-        self.Cmu = c.scalar("Cmu", 0.09)
-        self.C1 = c.scalar("C1", 1.44)
-        self.C2 = c.scalar("C2", 1.92)
-        self.sigma_eps = c.scalar("sigmaEps", 1.3)
+        self.Cmu = c.scalar("Cmu", self.Cmu_default)
+        self.C1 = c.scalar("C1", self.C1_default)
+        self.C2 = c.scalar("C2", self.C2_default)
+        self.sigma_k = c.scalar("sigmak", self.sigmak_default)
+        self.sigma_eps = c.scalar("sigmaEps", self.sigmaEps_default)
         self.k_min = 1e-15
         self.eps_min = 1e-15
         self.k_controls = case.solver_controls("k")
@@ -234,21 +241,19 @@ class KEpsilon:
         G, eps_fix, eps_vals = self._wall_fix(mesh, state, U, nu, G)
 
         nu_eff_eps = self._dcoeff(mesh, state, nu, self.sigma_eps)
-        nu_eff_k = self._dcoeff(mesh, state, nu, 1.0)
+        nu_eff_k = self._dcoeff(mesh, state, nu, self.sigma_k)
         ddt_scheme = "steadyState" if dt is None else self.ddt_scheme
 
         # epsilon equation
-        eps_dims = eps.dims * DimensionSet.of(0, 3) / DimensionSet.of(0, 0, 1)
         rhs_eps = eps.with_calculated_bcs(
-            self.C1 * G * eps.data / jnp.maximum(k.data, self.k_min),
+            self._eps_prod(mesh, U, G, k, eps, s2),
             jnp.zeros_like(eps.bvalues), eps.dims / DimensionSet.of(0, 0, 1))
         eps_eqn = (fvm.ddt(mesh, eps, dt or 1.0, ddt_scheme)
                    + fvm.div(mesh, phi, eps, self.div_eps)
                    - fvm.laplacian(mesh, nu_eff_eps, eps, self.lap_corr)
                    + fvm.Sp(mesh, Dimensioned(
-                       "C2*eps/k", _RTIME,
-                       self.C2 * eps.data
-                       / jnp.maximum(k.data, self.k_min)), eps))
+                       "epsDest", _RTIME,
+                       self._eps_dest(mesh, U, k, eps, nu)), eps))
         eps_eqn = eps_eqn.equals(rhs_eps)
         eps_eqn = eps_eqn.relax(mesh, self.eps_relax)
         eps_eqn = eps_eqn.set_values(mesh, eps_fix, eps_vals)
@@ -273,14 +278,24 @@ class KEpsilon:
         k_new = bound(k_new, self.k_min)
 
         # nut update + wall functions
-        nut_data = self.Cmu * k_new.data ** 2 \
-            / jnp.maximum(eps_new.data, self.eps_min)
+        nut_data = self._nut_from(mesh, U, k_new, eps_new)
         nut_new = nut.replace(data=nut_data).correct_boundary_conditions(
             mesh, env={"k": k_new, "nu": nu})
 
         new_state = dict(k=k_new, epsilon=eps_new, nut=nut_new)
         perf = {"k": k_perf[0], "epsilon": eps_perf[0]}
         return new_state, perf
+
+    # -- variant hooks -------------------------------------------------------
+    def _eps_prod(self, mesh, U, G, k, eps, s2):
+        return self.C1 * G * eps.data / jnp.maximum(k.data, self.k_min)
+
+    def _eps_dest(self, mesh, U, k, eps, nu):
+        return self.C2 * eps.data / jnp.maximum(k.data, self.k_min)
+
+    def _nut_from(self, mesh, U, k, eps):
+        return self.Cmu * k.data ** 2 \
+            / jnp.maximum(eps.data, self.eps_min)
 
     def _dcoeff(self, mesh, state, nu, sigma_inv_denom):
         """DkEff/DepsilonEff = nut/sigma + nu as a face-interpolatable
@@ -293,6 +308,171 @@ class KEpsilon:
             data = nut.data / sigma_inv_denom + nu.data
             bval = nut.bvalues / sigma_inv_denom + nu.bvalues
         return nut.with_calculated_bcs(data, bval, dim_viscosity, "Deff")
+
+
+@register("RASModel", "RNGkEpsilon")
+class RNGkEpsilon(KEpsilon):
+    """RNG k-epsilon (reference: incompressible/RAS/RNGkEpsilon/
+    RNGkEpsilon.C:272-298): epsilon production coefficient becomes
+    C1 - eta(1-eta/eta0)/(1+beta*eta^3) with eta = |S| k/epsilon."""
+    Cmu_default, C1_default, C2_default = 0.0845, 1.42, 1.68
+    sigmak_default, sigmaEps_default = 0.71942, 0.71942
+
+    def __init__(self, case, coeffs: Dictionary):
+        super().__init__(case, coeffs)
+        c = coeffs or Dictionary()
+        self.eta0 = c.scalar("eta0", 4.38)
+        self.beta = c.scalar("beta", 0.012)
+
+    def _eps_prod(self, mesh, U, G, k, eps, s2):
+        eps_pos = jnp.maximum(eps.data, self.eps_min)
+        eta = jnp.sqrt(jnp.maximum(s2, 0.0)) * k.data / eps_pos
+        R = eta * (1.0 - eta / self.eta0) / (1.0 + self.beta * eta ** 3)
+        return (self.C1 - R) * G * eps.data \
+            / jnp.maximum(k.data, self.k_min)
+
+
+@register("RASModel", "realizableKE")
+class RealizableKE(KEpsilon):
+    """Realizable k-epsilon (reference: incompressible/RAS/realizableKE/
+    realizableKE.C:47-86,288-346): variable Cmu from the realizability
+    bound, eta-based C1, and eps destruction C2*eps/(k+sqrt(nu*eps))."""
+    Cmu_default, C1_default, C2_default = 0.09, 1.44, 1.9
+    sigmak_default, sigmaEps_default = 1.0, 1.2
+
+    def __init__(self, case, coeffs: Dictionary):
+        super().__init__(case, coeffs)
+        c = coeffs or Dictionary()
+        self.A0 = c.scalar("A0", 4.0)
+
+    @staticmethod
+    def _dev_symm_s2(mesh, U):
+        g = fvc.grad(mesh, U).data
+        sym = 0.5 * (g + jnp.swapaxes(g, 1, 2))
+        tr = sym[..., 0, 0] + sym[..., 1, 1] + sym[..., 2, 2]
+        dev = sym - (tr / 3.0)[:, None, None] * jnp.eye(3, dtype=g.dtype)
+        skw = 0.5 * (g - jnp.swapaxes(g, 1, 2))
+        return dev, 2.0 * (dev * dev).sum((-2, -1)), \
+            (skw * skw).sum((-2, -1))
+
+    def _eps_prod(self, mesh, U, G, k, eps, s2):
+        _, s2d, _ = self._dev_symm_s2(mesh, U)
+        mag_s = jnp.sqrt(jnp.maximum(s2d, 0.0))
+        eta = mag_s * k.data / jnp.maximum(eps.data, self.eps_min)
+        c1 = jnp.maximum(eta / (5.0 + eta), 0.43)
+        return c1 * mag_s * eps.data
+
+    def _eps_dest(self, mesh, U, k, eps, nu):
+        nu_c = nu.value if isinstance(nu, Dimensioned) else nu.data
+        eps_pos = jnp.maximum(eps.data, 0.0)
+        return self.C2 * eps.data \
+            / (jnp.maximum(k.data, self.k_min)
+               + jnp.sqrt(nu_c * eps_pos))
+
+    def _nut_from(self, mesh, U, k, eps):
+        dev, s2d, sk2 = self._dev_symm_s2(mesh, U)
+        mag_s = jnp.sqrt(jnp.maximum(s2d, 0.0))
+        eps_pos = jnp.maximum(eps.data, self.eps_min)
+        # W = 2*sqrt(2) (S.S):S / (|S| S2), A_s = sqrt(6) cos(phi/3)
+        sss = jnp.einsum("nij,njk,nki->n", dev, dev, dev)
+        W = 2.0 * jnp.sqrt(2.0) * sss / (mag_s * s2d + 1e-30)
+        phi_s = jnp.arccos(jnp.clip(jnp.sqrt(6.0) * W, -1.0, 1.0)) / 3.0
+        As = jnp.sqrt(6.0) * jnp.cos(phi_s)
+        Us = jnp.sqrt(s2d / 2.0 + sk2)
+        r_cmu = 1.0 / (self.A0 + As * Us * k.data / eps_pos)
+        return r_cmu * k.data ** 2 / eps_pos
+
+
+@register("RASModel", "kOmega")
+class KOmega:
+    """Wilcox k-omega (reference: incompressible/RAS/kOmega/kOmega.C:
+    253-281): omega production alpha*G*omega/k, destruction beta*omega^2,
+    nut = k/omega."""
+    needs = ("k", "omega", "nut")
+
+    def __init__(self, case, coeffs: Dictionary):
+        self.case = case
+        c = coeffs or Dictionary()
+        self.Cmu = c.scalar("Cmu", 0.09)
+        self.beta = c.scalar("beta", 0.072)
+        self.alpha = c.scalar("alpha", 0.52)
+        self.alpha_k = c.scalar("alphaK", 0.5)
+        self.alpha_omega = c.scalar("alphaOmega", 0.5)
+        self.k_min = 1e-15
+        self.omega_min = 1e-10
+        self.k_controls = case.solver_controls("k")
+        self.omega_controls = case.solver_controls("omega")
+        self.k_relax = case.relaxation_factor("k", default=0.7)
+        self.omega_relax = case.relaxation_factor("omega", default=0.7)
+        self.div_k = case.div_scheme("div(phi,k)")
+        try:
+            self.div_omega = case.div_scheme("div(phi,omega)")
+        except KeyError:
+            self.div_omega = self.div_k
+        self.lap_corr = case.laplacian_scheme()
+        self.ddt_scheme = case.ddt_scheme()
+        self.beta1 = self.beta  # viscous-sublayer omega in the wall fix
+
+    def init_state(self, U):
+        return {name: self.case.read_field(name) for name in self.needs}
+
+    def nut(self, state):
+        return state["nut"]
+
+    nu_eff = KEpsilon.nu_eff
+    _dcoeff = KEpsilon._dcoeff
+
+    def _wall_fix(self, mesh, state, U, nu, G):
+        return KOmegaSST._wall_fix(self, mesh, state, U, nu, G)
+
+    def correct(self, mesh, state, U, phi, nu, dt=None):
+        k, omega, nut = state["k"], state["omega"], state["nut"]
+        ddt_scheme = "steadyState" if dt is None else self.ddt_scheme
+        s2 = magsqr_symm_grad(mesh, U)
+        G = nut.data * s2
+        G, om_fix, om_vals = self._wall_fix(mesh, state, U, nu, G)
+
+        d_om = self._dcoeff(mesh, state, nu, 1.0 / self.alpha_omega)
+        d_k = self._dcoeff(mesh, state, nu, 1.0 / self.alpha_k)
+        k_pos = jnp.maximum(k.data, self.k_min)
+        om_pos = jnp.maximum(omega.data, self.omega_min)
+
+        rhs_om = omega.with_calculated_bcs(
+            self.alpha * G * omega.data / k_pos,
+            jnp.zeros_like(omega.bvalues),
+            omega.dims / DimensionSet.of(0, 0, 1))
+        om_eqn = (fvm.ddt(mesh, omega, dt or 1.0, ddt_scheme)
+                  + fvm.div(mesh, phi, omega, self.div_omega)
+                  - fvm.laplacian(mesh, d_om, omega, self.lap_corr)
+                  + fvm.Sp(mesh, Dimensioned("beta*omega", _RTIME,
+                                             self.beta * om_pos), omega))
+        om_eqn = om_eqn.equals(rhs_om)
+        om_eqn = om_eqn.relax(mesh, self.omega_relax)
+        om_eqn = om_eqn.set_values(mesh, om_fix, om_vals)
+        omega_new, om_perf = solve(mesh, om_eqn, self.omega_controls,
+                                   env={"phi": phi})
+        omega_new = bound(omega_new, self.omega_min)
+
+        rhs_k = k.with_calculated_bcs(
+            G, jnp.zeros_like(k.bvalues),
+            k.dims / DimensionSet.of(0, 0, 1))
+        k_eqn = (fvm.ddt(mesh, k, dt or 1.0, ddt_scheme)
+                 + fvm.div(mesh, phi, k, self.div_k)
+                 - fvm.laplacian(mesh, d_k, k, self.lap_corr)
+                 + fvm.Sp(mesh, Dimensioned(
+                     "Cmu*omega", _RTIME,
+                     self.Cmu * omega_new.data), k))
+        k_eqn = k_eqn.equals(rhs_k)
+        k_eqn = k_eqn.relax(mesh, self.k_relax)
+        k_new, k_perf = solve(mesh, k_eqn, self.k_controls,
+                              env={"phi": phi})
+        k_new = bound(k_new, self.k_min)
+
+        nut_data = k_new.data / jnp.maximum(omega_new.data, self.omega_min)
+        nut_new = nut.replace(data=nut_data).correct_boundary_conditions(
+            mesh, env={"k": k_new, "nu": nu})
+        new_state = dict(k=k_new, omega=omega_new, nut=nut_new)
+        return new_state, {"omega": om_perf[0], "k": k_perf[0]}
 
 
 def wall_distance(case) -> jnp.ndarray:

@@ -254,9 +254,16 @@ class FvMatrix:
             upper=self.upper * keep, lower=self.lower * keep, source=src,
             symmetric=False)
 
-    def set_reference(self, cell, value, weight=1.0) -> "FvMatrix":
-        """Pin psi at one cell (fvMatrix::setReference). In distributed
+    def set_reference(self, cell, value, weight=1.0,
+                      force: bool = False) -> "FvMatrix":
+        """Pin psi at one cell (fvMatrix::setReference). Applied only when
+        the matrix actually has a nullspace — i.e. no boundary condition
+        fixes the value (the reference's needReference guard,
+        cfdTools/general/findRefCell) — unless force=True. In distributed
         runs weight is 1.0 only on the shard owning the reference cell."""
+        if not force and any(getattr(bc, "fixes_level", False)
+                             for bc in self.psi.bcs):
+            return self
         dc = self.diag[cell] * weight
         src = self.source.at[cell].add(dc * value)
         return self.replace(diag=self.diag.at[cell].add(dc), source=src)

@@ -89,8 +89,11 @@ def piso_step(mesh, U: VolField, p: VolField, phi: SurfaceField, dt, nu,
     return U, p, phi, stats
 
 
-def make_step(case: Case, nu: Dimensioned, n_correctors: int,
+def make_step(case: Case, nu, n_correctors: int,
               n_non_orth: int, p_ref_cell: int, p_ref_value: float):
+    """nu: a Dimensioned constant, or a callable U -> VolField for
+    non-Newtonian viscosity models (reference:
+    applications/solvers/incompressible/nonNewtonianIcoFoam)."""
     mesh = case.mesh
     kw = dict(
         div_scheme=case.div_scheme("div(phi,U)"),
@@ -100,19 +103,26 @@ def make_step(case: Case, nu: Dimensioned, n_correctors: int,
         p_final_controls=case.solver_controls("p", final=True),
         n_correctors=n_correctors, n_non_orth=n_non_orth,
         p_ref_cell=p_ref_cell, p_ref_value=p_ref_value)
+    nu_fn = nu if callable(nu) else (lambda U: nu)
 
     @jax.jit
     def step(U: VolField, p: VolField, phi: SurfaceField, dt):
-        return piso_step(mesh, U, p, phi, dt, nu, **kw)
+        return piso_step(mesh, U, p, phi, dt, nu_fn(U), **kw)
 
     return step
 
 
-def run(case_dir: str, write: bool = True, max_steps: int | None = None):
+def run(case_dir: str, write: bool = True, max_steps: int | None = None,
+        non_newtonian: bool = False):
     case = Case(case_dir)
     mesh = case.mesh
     tp = case.transport_properties()
-    nu = Dimensioned.from_entry(tp.lookup("nu", required=True), "nu")
+    if non_newtonian:
+        from ..models.transport import SinglePhaseTransportModel
+        model = SinglePhaseTransportModel(tp)
+        nu = partial(model.nu, mesh)
+    else:
+        nu = Dimensioned.from_entry(tp.lookup("nu", required=True), "nu")
 
     piso = case.algo_dict("PISO")
     n_correctors = int(piso.scalar("nCorrectors", 1))

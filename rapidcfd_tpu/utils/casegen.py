@@ -323,7 +323,7 @@ writeFormat     ascii;
 writePrecision  6;
 runTimeModifiable true;
 """)
-    bnd = "bounded " if model != "kOmegaSST" else ""
+    bnd = "bounded " if "kOmega" not in model else ""
     _write(os.path.join(case_dir, "system", "fvSchemes"),
            foamfile_header("dictionary", "fvSchemes", "system"), f"""
 ddtSchemes      {{ default steadyState; }}
@@ -421,7 +421,7 @@ printCoeffs     on;
                     "lowerWall": "        type            kqRWallFunction;\n"
                                  f"        value           uniform {k_in};\n",
                     "frontAndBack": "        type            empty;\n"})
-    if model == "kOmegaSST":
+    if "kOmega" in model:
         om_in = eps_in / (0.09 * k_in)
         write_field(case_dir, "0", "omega", "volScalarField",
                     "[0 0 -1 0 0 0 0]", f"uniform {om_in}", {
