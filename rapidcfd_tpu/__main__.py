@@ -19,11 +19,15 @@ SOLVERS = {
                           {"_fn": "run_electrostatic_foam"}),
     "mhdFoam": ("rapidcfd_tpu.solvers.electromagnetics",
                 {"_fn": "run_mhd_foam"}),
+    "shallowWaterFoam": ("rapidcfd_tpu.solvers.shallowwater", {}),
+    "solidDisplacementFoam": ("rapidcfd_tpu.solvers.soliddisplacement",
+                              {}),
     "simpleFoam": ("rapidcfd_tpu.solvers.simplefoam", {}),
     "pimpleFoam": ("rapidcfd_tpu.solvers.pimplefoam", {}),
     "pisoFoam": ("rapidcfd_tpu.solvers.pimplefoam", {"piso_mode": True}),
     "sonicFoam": ("rapidcfd_tpu.solvers.sonicfoam", {}),
     "rhoSimpleFoam": ("rapidcfd_tpu.solvers.rhosimplefoam", {}),
+    "rhoPimpleFoam": ("rapidcfd_tpu.solvers.rhopimplefoam", {}),
     "interFoam": ("rapidcfd_tpu.solvers.interfoam", {}),
     "buoyantBoussinesqSimpleFoam": ("rapidcfd_tpu.solvers.buoyantfoam", {}),
     "laplacianFoam": ("rapidcfd_tpu.solvers.basic",

@@ -88,6 +88,20 @@ def ddt(mesh: MeshArrays, vf: VolField, dt, scheme: str = "Euler",
 # convection
 # ---------------------------------------------------------------------------
 
+def d2dt2(mesh: MeshArrays, vf: VolField, dt) -> FvMatrix:
+    """fvm::d2dt2 (reference: finiteVolume/d2dt2Schemes/EulerD2dt2Scheme):
+    (psi - 2 psi_old + psi_oldold) * V / dt^2, implicit in psi. The field
+    must carry two old-time levels (store_old(levels=2))."""
+    if vf.old is None or vf.old.old is None:
+        raise ValueError(f"d2dt2({vf.name}): needs two old-time levels")
+    m = FvMatrix.zeros(mesh, vf, vf.dims * _VOL / (_TIME * _TIME),
+                       symmetric=True)
+    diag = mesh.V / (dt * dt)
+    src = _ext(diag, vf.old.data) \
+        * (2.0 * vf.old.data - vf.old.old.data)
+    return m.replace(diag=diag, source=src)
+
+
 def div(mesh: MeshArrays, phi: SurfaceField, vf: VolField,
         scheme="linear") -> FvMatrix:
     """fvm::div(phi, psi) — Gauss convection (reference:

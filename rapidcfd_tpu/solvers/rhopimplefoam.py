@@ -1,0 +1,205 @@
+"""rhoPimpleFoam — transient compressible PIMPLE solver (subsonic form).
+
+Capability parity with the reference solver (reference:
+applications/solvers/compressible/rhoPimpleFoam/rhoPimpleFoam.C with
+UEqn.H/EEqn.H/pEqn.H, non-transonic branch): mass-flux momentum, sensible
+enthalpy energy with dpdt and kinetic-energy terms, psi-based pressure
+with ddt(psi,p). Transonic cases are covered by sonicFoam's phid form.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..fields.field import Dimensioned, SurfaceField, VolField
+from ..linalg import solve
+from ..linalg.solvers import gsum
+from ..models.thermo import PsiThermo, read_thermo
+from ..ops import fvc, fvm
+from ..utils.dimensions import DimensionSet, dim_density
+from ..utils.logging import (ExecutionTimer, info, log_continuity,
+                             log_courant, log_solve)
+from .case import Case
+from .controls import PimpleControl
+from .icofoam import courant_number
+
+
+def make_step(case: Case, thermo: PsiThermo, ctrl: PimpleControl):
+    mesh = case.mesh
+    m = thermo.model
+    div_u = case.div_scheme("div(phi,U)")
+    try:
+        div_h = case.div_scheme("div(phi,h)")
+    except KeyError:
+        div_h = div_u
+    try:
+        div_k = case.div_scheme("div(phi,K)")
+    except KeyError:
+        div_k = div_h
+    lap_corr = case.laplacian_scheme()
+    ddt_scheme = case.ddt_scheme()
+    u_controls = case.solver_controls("U")
+    u_final = case.solver_controls("U", final=True)
+    p_controls = case.solver_controls("p")
+    p_final = case.solver_controls("p", final=True)
+    h_controls = case.solver_controls("h")
+    n_outer = ctrl.n_outer
+    n_corr = ctrl.n_correctors
+    n_non_orth = ctrl.n_non_orth
+    p_min = float(ctrl.dict.scalar("pMin", 0.0))
+    t_min = float(ctrl.dict.scalar("TMin", 0.0))
+
+    @jax.jit
+    def step(U: VolField, p: VolField, T: VolField, rho: VolField,
+             phi: SurfaceField, dt):
+        U = U.store_old()
+        p = p.store_old()
+        T = T.store_old()
+        rho = rho.store_old()
+
+        # ---- rhoEqn.H
+        rho = rho.replace(
+            data=rho.old.data - dt * fvc.div(mesh, phi).data) \
+            .correct_boundary_conditions(mesh)
+
+        u_perf = h_perf = None
+        p_perf_all = []
+        for outer in range(n_outer):
+            final_outer = outer == n_outer - 1
+
+            # ---- UEqn.H
+            mu_f = Dimensioned("mu", DimensionSet.of(1, -1, -1),
+                               m.mu(fvc.face_values(mesh, T)))
+            UEqn = (fvm.ddt(mesh, U, dt, ddt_scheme, coeff=rho)
+                    + fvm.div(mesh, phi, U, div_u)
+                    - fvm.laplacian(mesh, mu_f, U, lap_corr))
+            U, u_perf = solve(mesh, UEqn == (-fvc.grad(mesh, p)),
+                              u_final if final_outer else u_controls)
+
+            # ---- EEqn.H: sensible enthalpy with K and dpdt
+            h = thermo.he_field(mesh, T, "h").replace(old=None)
+            h = h.replace(old=thermo.he_field(mesh, T.old, "h")
+                          .replace(old=None))
+            alpha_f = Dimensioned("alpha", DimensionSet.of(1, -1, -1),
+                                  m.alpha_h(fvc.face_values(mesh, T)))
+            K = h.with_calculated_bcs(
+                0.5 * (U.data * U.data).sum(-1),
+                0.5 * (U.bvalues * U.bvalues).sum(-1), h.dims, "K")
+            K_old = 0.5 * (U.old.data * U.old.data).sum(-1)
+            ddt_rhoK = (rho.data * K.data - rho.old.data * K_old) / dt
+            dpdt = (p.data - p.old.data) / dt
+            rhs = h.with_calculated_bcs(
+                dpdt - ddt_rhoK - fvc.div(mesh, phi, K, div_k).data,
+                jnp.zeros_like(h.bvalues),
+                h.dims * dim_density / DimensionSet.of(0, 0, 1))
+            hEqn = (fvm.ddt(mesh, h, dt, ddt_scheme, coeff=rho)
+                    + fvm.div(mesh, phi, h, div_h)
+                    - fvm.laplacian(mesh, alpha_f, h, lap_corr))
+            h, h_perf = solve(mesh, hEqn.equals(rhs), h_controls)
+            T = thermo.update_t(mesh, T, h)
+            if t_min > 0:
+                T = T.replace(data=jnp.maximum(T.data, t_min),
+                              bvalues=jnp.maximum(T.bvalues, t_min))
+
+            psi = T.with_calculated_bcs(
+                m.psi(T.data), m.psi(T.bvalues),
+                DimensionSet.of(0, -2, 2), "psi")
+            psi = psi.replace(old=T.old.with_calculated_bcs(
+                m.psi(T.old.data), m.psi(T.old.bvalues),
+                DimensionSet.of(0, -2, 2), "psi").replace(old=None))
+
+            # ---- pEqn.H (subsonic)
+            for corr in range(n_corr):
+                rho = rho.replace(data=m.rho(p.data, T.data),
+                                  bvalues=m.rho(p.bvalues, T.bvalues))
+                UEqn_c = UEqn.replace(psi=U)
+                rAU = 1.0 / UEqn_c.A(mesh)
+                HbyA = fvc.constrain_hbya(mesh, rAU * UEqn_c.H(mesh), U)
+                rho_f = fvc.face_values(mesh, rho)
+                phi_hbya = SurfaceField(
+                    rho_f * fvc.flux(mesh, HbyA).data,
+                    DimensionSet.of(1, 0, -1), "phiHbyA")
+                rho_rau = rho * rAU
+                for north in range(n_non_orth + 1):
+                    final = (final_outer and corr == n_corr - 1
+                             and north == n_non_orth)
+                    pEqn = (fvm.ddt(mesh, p, dt, ddt_scheme, coeff=psi)
+                            - fvm.laplacian(mesh, rho_rau, p, lap_corr))
+                    pEqn = pEqn.equals(-fvc.div(mesh, phi_hbya))
+                    p, p_perf = solve(mesh, pEqn,
+                                      p_final if final else p_controls)
+                    p_perf_all.append(p_perf[0])
+                if p_min > 0:
+                    p = p.replace(data=jnp.maximum(p.data, p_min),
+                                  bvalues=jnp.maximum(p.bvalues, p_min))
+                phi = phi_hbya - pEqn.replace(psi=p).flux(mesh)
+                U_star = HbyA - rAU * fvc.grad(mesh, p)
+                U = U.replace(data=U_star.data) \
+                    .correct_boundary_conditions(mesh)
+                rho = rho.replace(data=m.rho(p.data, T.data),
+                                  bvalues=m.rho(p.bvalues, T.bvalues))
+
+        cont = (rho.data - rho.old.data) / dt + fvc.div(mesh, phi).data
+        local_err = gsum(jnp.abs(cont) * mesh.V)
+        glob_err = gsum(cont * mesh.V)
+        co = courant_number(mesh, phi / fvc.interpolate(mesh, rho), dt)
+        stats = dict(u_perf=u_perf, h_perf=h_perf,
+                     p_perf=tuple(p_perf_all),
+                     cont=(local_err, glob_err), co=co)
+        return U, p, T, rho, phi, stats
+
+    return step
+
+
+def run(case_dir: str, write: bool = True, max_steps: int | None = None):
+    case = Case(case_dir)
+    mesh = case.mesh
+    thermo_model = read_thermo(case.constant_dict(
+        "thermophysicalProperties"))
+    thermo = PsiThermo(case, thermo_model)
+    m = thermo_model
+    info(f"Perfect gas: R={m.r:.6g} Cp={m.cp:.6g} gamma={m.gamma:.4g}\n")
+
+    p = case.read_field("p")
+    T = case.read_field("T")
+    U = case.read_field("U")
+    rho = T.with_calculated_bcs(m.rho(p.data, T.data),
+                                m.rho(p.bvalues, T.bvalues),
+                                dim_density, "rho")
+    rho_f = fvc.face_values(mesh, rho)
+    phi = SurfaceField(rho_f * fvc.flux(mesh, U).data,
+                       DimensionSet.of(1, 0, -1), "phi")
+
+    ctrl = PimpleControl(case)
+    step = make_step(case, thermo, ctrl)
+    timer = ExecutionTimer()
+    cumulative_err = 0.0
+
+    info("\nStarting time loop\n")
+    n = 0
+    while case.time.loop():
+        info(f"Time = {case.time.name}\n")
+        U, p, T, rho, phi, stats = step(U, p, T, rho, phi,
+                                        case.time.delta_t)
+        log_courant(*stats["co"])
+        for cmpt, perf in zip("xyz", stats["u_perf"]):
+            log_solve(case.solver_controls("U").solver, f"U{cmpt}",
+                      perf[0], perf[1], perf[2])
+        log_solve(case.solver_controls("h").solver, "h",
+                  stats["h_perf"][0][0], stats["h_perf"][0][1],
+                  stats["h_perf"][0][2])
+        for perf in stats["p_perf"]:
+            log_solve(case.solver_controls("p").solver, "p",
+                      perf[0], perf[1], perf[2])
+        local_err, glob_err = stats["cont"]
+        cumulative_err += float(glob_err)
+        log_continuity(cumulative_err, local_err, glob_err)
+        timer.log()
+        if write and case.time.write_time():
+            case.write_fields([U, p, T, rho.replace(name="rho")])
+        n += 1
+        if max_steps and n >= max_steps:
+            break
+    info("End\n")
+    return case, U, p, T, rho, phi

@@ -62,3 +62,67 @@ def test_rhosimplefoam_heated_channel(tmp_path_factory):
     m = 8314.47 / 28.9
     pp = np.asarray(p.data)
     assert np.allclose(r, pp / (m * t), rtol=1e-10)
+
+
+def test_rhopimplefoam_transient_channel(tmp_path_factory):
+    """rhoPimpleFoam on the heated channel: transient startup stays
+    bounded, pressure stays near ambient, walls heat the gas."""
+    import os
+    from rapidcfd_tpu.utils.casegen import _write
+    from rapidcfd_tpu.utils.dictionary import foamfile_header
+    d = str(tmp_path_factory.mktemp("hotch_t"))
+    hot_channel_case(d)
+    _write(os.path.join(d, "system", "controlDict"),
+           foamfile_header("dictionary", "controlDict", "system"), """
+application rhoPimpleFoam; startFrom startTime; startTime 0;
+stopAt endTime; endTime 0.01; deltaT 0.0002;
+writeControl timeStep; writeInterval 1000; writeFormat ascii;
+""")
+    _write(os.path.join(d, "system", "fvSchemes"),
+           foamfile_header("dictionary", "fvSchemes", "system"), """
+ddtSchemes { default Euler; }
+gradSchemes { default Gauss linear; }
+divSchemes
+{
+    default none;
+    div(phi,U) Gauss upwind;
+    div(phi,h) Gauss upwind;
+    div(phi,K) Gauss upwind;
+}
+laplacianSchemes { default Gauss linear orthogonal; }
+interpolationSchemes { default linear; }
+snGradSchemes { default orthogonal; }
+""")
+    _write(os.path.join(d, "system", "fvSolution"),
+           foamfile_header("dictionary", "fvSolution", "system"), """
+solvers
+{
+    p      { solver PCG; preconditioner DIC; tolerance 1e-08; relTol 0.01; }
+    pFinal { solver PCG; preconditioner DIC; tolerance 1e-08; relTol 0; }
+    "(U|h)" { solver smoothSolver; smoother symGaussSeidel;
+              tolerance 1e-08; relTol 0; }
+    "(U|h)Final" { solver smoothSolver; smoother symGaussSeidel;
+                   tolerance 1e-08; relTol 0; }
+}
+PIMPLE { nOuterCorrectors 1; nCorrectors 2;
+         nNonOrthogonalCorrectors 0; }
+""")
+    L.Info.enabled = False
+    from rapidcfd_tpu.solvers import rhopimplefoam
+    case, U, p, T, rho, phi = rhopimplefoam.run(d, write=False)
+    L.Info.enabled = True
+    u = np.asarray(U.data)
+    pp = np.asarray(p.data)
+    t = np.asarray(T.data)
+    assert np.isfinite(u).all() and np.isfinite(pp).all()
+    assert np.isfinite(t).all()
+    # subsonic channel: no blow-up, pressure stays near 1 bar
+    assert np.abs(u).max() < 30.0
+    assert 0.9e5 < pp.min() and pp.max() < 1.1e5
+    # hot walls (350 K) start heating the near-wall gas above the 300 K
+    # inflow (short run: conduction only reaches the first cell layer)
+    assert t.max() > 300.05
+    assert t.max() <= 350.0 + 1.0
+    # density follows the EOS
+    r = np.asarray(rho.data)
+    assert np.allclose(r, pp / ((8314.47 / 28.9) * t), rtol=1e-3)
