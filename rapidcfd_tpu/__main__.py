@@ -28,6 +28,7 @@ SOLVERS = {
     "sonicFoam": ("rapidcfd_tpu.solvers.sonicfoam", {}),
     "rhoSimpleFoam": ("rapidcfd_tpu.solvers.rhosimplefoam", {}),
     "rhoPimpleFoam": ("rapidcfd_tpu.solvers.rhopimplefoam", {}),
+    "rhoCentralFoam": ("rapidcfd_tpu.solvers.rhocentralfoam", {}),
     "interFoam": ("rapidcfd_tpu.solvers.interfoam", {}),
     "buoyantBoussinesqSimpleFoam": ("rapidcfd_tpu.solvers.buoyantfoam", {}),
     "laplacianFoam": ("rapidcfd_tpu.solvers.basic",

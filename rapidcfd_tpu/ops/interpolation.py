@@ -140,7 +140,10 @@ def _limited_weights(mesh, phi, limiter_psi):
 
 
 def _make_limited(name, limiter):
-    @register("surfaceInterpolation", name)
+    # the reference's "V" variants (vanLeerV, ...) limit all components
+    # with one scalar limiter; _face_r already contracts vectors that
+    # way, so the V name is an alias
+    @register("surfaceInterpolation", name, name + "V")
     def _scheme(mesh, vf, phi, *args):
         if phi is None:
             raise ValueError(f"{name} interpolation requires a flux field")

@@ -126,3 +126,98 @@ PIMPLE { nOuterCorrectors 1; nCorrectors 2;
     # density follows the EOS
     r = np.asarray(rho.data)
     assert np.allclose(r, pp / ((8314.47 / 28.9) * t), rtol=1e-3)
+
+
+def test_rhocentralfoam_mach3_step(tmp_path_factory):
+    """rhoCentralFoam (Kurganov) on the Mach-3 forward step: bow shock
+    forms, fields bounded, upstream state preserved."""
+    import os
+    from rapidcfd_tpu.utils.casegen import _write
+    from rapidcfd_tpu.utils.dictionary import foamfile_header
+    d = str(tmp_path_factory.mktemp("fstep_kt"))
+    forward_step_case(d)
+    _write(os.path.join(d, "system", "controlDict"),
+           foamfile_header("dictionary", "controlDict", "system"), """
+application rhoCentralFoam; startFrom startTime; startTime 0;
+stopAt endTime; endTime 1.0; deltaT 0.002;
+writeControl timeStep; writeInterval 10000; writeFormat ascii;
+""")
+    _write(os.path.join(d, "system", "fvSchemes"),
+           foamfile_header("dictionary", "fvSchemes", "system"), """
+fluxScheme      Kurganov;
+ddtSchemes { default Euler; }
+gradSchemes { default Gauss linear; }
+divSchemes { default none; }
+laplacianSchemes { default Gauss linear corrected; }
+interpolationSchemes
+{
+    default         linear;
+    reconstruct(rho) vanLeer;
+    reconstruct(U)  vanLeerV;
+    reconstruct(T)  vanLeer;
+}
+snGradSchemes { default corrected; }
+""")
+    L.Info.enabled = False
+    from rapidcfd_tpu.solvers import rhocentralfoam
+    case, U, p, T, phi = rhocentralfoam.run(d, max_steps=150, write=False)
+    L.Info.enabled = True
+    pp = np.asarray(p.data)
+    t = np.asarray(T.data)
+    u = np.asarray(U.data)
+    assert np.isfinite(pp).all() and np.isfinite(t).all()
+    assert np.isfinite(u).all()
+    # bow shock compression (analytic normal-shock ratio at M=3 is 10.3)
+    assert pp.max() > 3.0
+    assert t.max() > 1.5
+    # positivity (the central-upwind scheme is positivity-friendly here)
+    assert pp.min() > 0.0 and t.min() > 0.0
+    # upstream unaffected
+    C = np.asarray(case.mesh.C)
+    upstream = C[:, 0] < 0.1
+    assert np.allclose(pp[upstream], 1.0, atol=0.2)
+    assert np.allclose(u[upstream, 0], 3.0, atol=0.3)
+
+
+def test_rhocentralfoam_viscous_path(tmp_path_factory):
+    """Viscous branch (muEff laplacian + tauMC + sigmaDotU): stable and
+    shock still forms with diffused gradients."""
+    import os
+    from rapidcfd_tpu.utils.casegen import _write
+    from rapidcfd_tpu.utils.dictionary import foamfile_header
+    d = str(tmp_path_factory.mktemp("fstep_v"))
+    forward_step_case(d)
+    # switch to rhoCentralFoam with nonzero viscosity
+    tp = os.path.join(d, "constant", "thermophysicalProperties")
+    s = open(tp).read().replace("mu 0;", "mu 0.002;")
+    open(tp, "w").write(s)
+    _write(os.path.join(d, "system", "controlDict"),
+           foamfile_header("dictionary", "controlDict", "system"), """
+application rhoCentralFoam; startFrom startTime; startTime 0;
+stopAt endTime; endTime 1.0; deltaT 0.002;
+writeControl timeStep; writeInterval 10000; writeFormat ascii;
+""")
+    _write(os.path.join(d, "system", "fvSchemes"),
+           foamfile_header("dictionary", "fvSchemes", "system"), """
+fluxScheme      Kurganov;
+ddtSchemes { default Euler; }
+gradSchemes { default Gauss linear; }
+divSchemes { default none; }
+laplacianSchemes { default Gauss linear corrected; }
+interpolationSchemes
+{
+    default         linear;
+    reconstruct(rho) vanLeer;
+    reconstruct(U)  vanLeerV;
+    reconstruct(T)  vanLeer;
+}
+snGradSchemes { default corrected; }
+""")
+    L.Info.enabled = False
+    from rapidcfd_tpu.solvers import rhocentralfoam
+    case, U, p, T, phi = rhocentralfoam.run(d, max_steps=60, write=False)
+    L.Info.enabled = True
+    pp = np.asarray(p.data)
+    t = np.asarray(T.data)
+    assert np.isfinite(pp).all() and np.isfinite(t).all()
+    assert pp.max() > 2.0 and pp.min() > 0.0
