@@ -155,6 +155,316 @@ class Forces(FunctionObject):
         self.last = (fp_total, fv_total, mom)
 
 
+@register("functionObject", "forceCoeffs")
+class ForceCoeffs(Forces):
+    """Cd/Cl/Cm from the patch force integrals (reference:
+    postProcessing/forces/forceCoeffs/forceCoeffs.C)."""
+
+    def __init__(self, name, d, case):
+        super().__init__(name, d, case)
+        self.lift_dir = np.asarray(d.lookup("liftDir", [0.0, 1.0, 0.0]),
+                                   dtype=float)
+        self.drag_dir = np.asarray(d.lookup("dragDir", [1.0, 0.0, 0.0]),
+                                   dtype=float)
+        self.pitch_axis = np.asarray(
+            d.lookup("pitchAxis", [0.0, 0.0, 1.0]), dtype=float)
+        self.mag_u_inf = float(d.scalar("magUInf", 1.0))
+        self.l_ref = float(d.scalar("lRef", 1.0))
+        self.a_ref = float(d.scalar("Aref", 1.0))
+
+    def execute(self, time, fields, mesh):
+        Forces.execute(self, time, fields, mesh)
+        if not hasattr(self, "last"):
+            return
+        fp, fv, mom = self.last
+        q = 0.5 * self.rho_ref * self.mag_u_inf ** 2
+        ftot = fp + fv
+        cd = float((ftot * self.drag_dir).sum()) / (q * self.a_ref)
+        cl = float((ftot * self.lift_dir).sum()) / (q * self.a_ref)
+        cm = float((mom * self.pitch_axis).sum()) \
+            / (q * self.a_ref * self.l_ref)
+        f = self.file("forceCoeffs.dat", header="# Time Cm Cd Cl\n")
+        f.write(f"{time:.8g}\t{cm:.8g}\t{cd:.8g}\t{cl:.8g}\n")
+        f.flush()
+        self.coeffs = (cm, cd, cl)
+
+
+@register("functionObject", "fieldAverage")
+class FieldAverage(FunctionObject):
+    """Running time averages (mean + prime2Mean) of selected fields
+    (reference: postProcessing/field/fieldAverage)."""
+
+    def __init__(self, name, d, case):
+        super().__init__(name, d, case)
+        entries = d.lookup("fields", required=True)
+        # accepts both the reference's per-field sub-dict list and a
+        # plain word list
+        self.field_names = []
+        for e in entries:
+            self.field_names.append(str(e if not isinstance(e, tuple)
+                                        else e[0]))
+        self.t0 = None
+        self.means = {}
+        self.p2means = {}
+
+    def execute(self, time, fields, mesh):
+        if self.t0 is None:
+            self.t0 = time
+        for name in self.field_names:
+            if name not in fields:
+                continue
+            x = np.asarray(fields[name].data)
+            if name not in self.means:
+                self.means[name] = x.copy()
+                self.p2means[name] = x * x
+                self._n = 1
+            else:
+                n = self._n
+                self.means[name] = (self.means[name] * n + x) / (n + 1)
+                self.p2means[name] = (self.p2means[name] * n + x * x) \
+                    / (n + 1)
+        self._n += 1
+
+    def mean(self, name):
+        return self.means.get(name)
+
+
+@register("functionObject", "sets")
+class SampledSets(FunctionObject):
+    """Line sampling (reference: sampling/sampledSet/sampledSets with the
+    uniform set type + raw/csv writers). Nearest-cell sampling."""
+
+    def __init__(self, name, d, case):
+        super().__init__(name, d, case)
+        self.field_names = [str(w) for w in d.lookup("fields",
+                                                     required=True)]
+        self.writer = str(d.word("setFormat", "raw"))
+        self.interval = int(d.scalar("outputInterval", 1))
+        self._count = 0
+        self.sets = []
+        sets_d = d.subdict("sets", required=False) or Dictionary()
+        C = np.asarray(case.mesh.C)
+        for sname, sd in sets_d.items():
+            if not isinstance(sd, Dictionary):
+                continue
+            typ = str(sd.word("type", "uniform"))
+            if typ not in ("uniform", "midPoint", "midPointAndFace"):
+                info(f"sets: unsupported set type '{typ}' — skipped")
+                continue
+            start = np.asarray(sd.lookup("start", required=True),
+                               dtype=float)
+            end = np.asarray(sd.lookup("end", required=True), dtype=float)
+            npts = int(sd.scalar("nPoints", 100))
+            pts = start[None, :] + (end - start)[None, :] \
+                * np.linspace(0.0, 1.0, npts)[:, None]
+            cells = np.argmin(
+                ((C[None, :, :] - pts[:, None, :]) ** 2).sum(-1), axis=1)
+            axis = str(sd.word("axis", "distance"))
+            if axis == "x":
+                coord = pts[:, 0]
+            elif axis == "y":
+                coord = pts[:, 1]
+            elif axis == "z":
+                coord = pts[:, 2]
+            else:
+                coord = np.linalg.norm(pts - start, axis=1)
+            self.sets.append((str(sname), pts, cells, coord))
+
+    def execute(self, time, fields, mesh):
+        self._count += 1
+        if self._count % self.interval:
+            return
+        ext = {"csv": "csv", "raw": "xy", "gnuplot": "xy"}.get(
+            self.writer, "xy")
+        for sname, pts, cells, coord in self.sets:
+            for fname in self.field_names:
+                if fname not in fields:
+                    continue
+                data = np.asarray(fields[fname].data)[cells]
+                out = os.path.join(self.out_dir, f"{time:g}")
+                os.makedirs(out, exist_ok=True)
+                sep = "," if self.writer == "csv" else "\t"
+                with open(os.path.join(out, f"{sname}_{fname}.{ext}"),
+                          "w") as f:
+                    if self.writer == "csv":
+                        cols = ([f"{fname}_{c}" for c in "xyz"]
+                                if data.ndim > 1 else [fname])
+                        f.write("distance," + ",".join(cols) + "\n")
+                    for i in range(len(cells)):
+                        v = data[i]
+                        vs = sep.join(f"{x:.8g}" for x in v) \
+                            if v.ndim else f"{v:.8g}"
+                        f.write(f"{coord[i]:.8g}{sep}{vs}\n")
+
+
+@register("functionObject", "fieldValue", "cellSource", "faceSource")
+class FieldValue(FunctionObject):
+    """Region integrals/averages (reference: postProcessing/field/
+    fieldValues cellSource/faceSource). Supported operations: volAverage,
+    volIntegrate, areaAverage, areaIntegrate, sum, min, max."""
+
+    def __init__(self, name, d, case):
+        super().__init__(name, d, case)
+        self.field_names = [str(w) for w in d.lookup("fields",
+                                                     required=True)]
+        self.op = str(d.word("operation", "volAverage"))
+        self.source = str(d.word("source", "all"))
+        self.source_name = str(d.word("sourceName", ""))
+        self.log = d.boolean("log", False)
+
+    def execute(self, time, fields, mesh):
+        f = self.file("fieldValue.dat", header="# Time field value\n")
+        V = np.asarray(mesh.V)
+        for name in self.field_names:
+            if name not in fields:
+                continue
+            fld = fields[name]
+            if self.source == "patch":
+                patch = next((p for p in mesh.patches
+                              if p.name == self.source_name), None)
+                if patch is None:
+                    continue
+                bsl = slice(patch.bstart, patch.bstart + patch.size)
+                x = np.asarray(fld.bvalues[bsl])
+                w = np.asarray(mesh.mag_sf[
+                    patch.start:patch.start + patch.size])
+            else:
+                x = np.asarray(fld.data)
+                w = V
+            if x.ndim > 1:
+                wx = w[:, None]
+            else:
+                wx = w
+            if self.op in ("volAverage", "areaAverage"):
+                val = (x * wx).sum(0) / w.sum()
+            elif self.op in ("volIntegrate", "areaIntegrate"):
+                val = (x * wx).sum(0)
+            elif self.op == "sum":
+                val = x.sum(0)
+            elif self.op == "min":
+                val = x.min(0)
+            elif self.op == "max":
+                val = x.max(0)
+            else:
+                raise KeyError(f"fieldValue: unknown operation "
+                               f"'{self.op}'")
+            val = np.atleast_1d(val)
+            vs = " ".join(f"{v:.8g}" for v in val)
+            f.write(f"{time:.8g} {name} {vs}\n")
+            if self.log:
+                info(f"fieldValue {self.name}: {self.op}({name}) = {vs}")
+        f.flush()
+
+
+def _write_derived(case, name, vf):
+    case.write_fields([vf.replace(name=name)])
+
+
+@register("functionObject", "vorticity")
+class Vorticity(FunctionObject):
+    """curl(U) written at write times (reference:
+    postProcessing/utilities/vorticity)."""
+
+    def execute(self, time, fields, mesh):
+        if "U" not in fields or not self.case.time.write_time():
+            return
+        from ..ops import fvc
+        import jax.numpy as jnp
+        U = fields["U"]
+        g = fvc.grad(mesh, U)
+
+        def curl(t):
+            return jnp.stack([t[..., 1, 2] - t[..., 2, 1],
+                              t[..., 2, 0] - t[..., 0, 2],
+                              t[..., 0, 1] - t[..., 1, 0]], axis=-1)
+        w = U.with_calculated_bcs(curl(g.data), curl(g.bvalues),
+                                  g.dims, "vorticity")
+        _write_derived(self.case, "vorticity", w)
+
+
+@register("functionObject", "Q")
+class QCriterion(FunctionObject):
+    """Q = 0.5(|Omega|^2 - |S|^2) (reference:
+    postProcessing/utilities/Q)."""
+
+    def execute(self, time, fields, mesh):
+        if "U" not in fields or not self.case.time.write_time():
+            return
+        from ..ops import fvc
+        import jax.numpy as jnp
+        U = fields["U"]
+        g = fvc.grad(mesh, U)
+
+        def q(t):
+            s = 0.5 * (t + jnp.swapaxes(t, -1, -2))
+            o = 0.5 * (t - jnp.swapaxes(t, -1, -2))
+            return 0.5 * ((o * o).sum((-2, -1)) - (s * s).sum((-2, -1)))
+        qf = U.with_calculated_bcs(q(g.data), q(g.bvalues),
+                                   g.dims * g.dims, "Q")
+        _write_derived(self.case, "Q", qf)
+
+
+@register("functionObject", "wallShearStress")
+class WallShearStress(FunctionObject):
+    """tau_w = nuEff * snGrad(U) on wall patches, logged min/max
+    (reference: postProcessing/utilities/wallShearStress)."""
+
+    def execute(self, time, fields, mesh):
+        if "U" not in fields:
+            return
+        from ..ops import fvc
+        U = fields["U"]
+        nu_eff = fields.get("nuEff")
+        sng = fvc.sn_grad(mesh, U)
+        f = self.file("wallShearStress.dat",
+                      header="# Time patch min max\n")
+        for patch in mesh.patches:
+            if patch.type != "wall" or patch.size == 0:
+                continue
+            sl = slice(patch.start, patch.start + patch.size)
+            bsl = slice(patch.bstart, patch.bstart + patch.size)
+            nu_b = np.asarray(nu_eff.bvalues[bsl]) \
+                if nu_eff is not None else 1.0
+            tau = np.linalg.norm(
+                np.asarray(sng.data[sl]), axis=-1) * nu_b
+            f.write(f"{time:.8g} {patch.name} {tau.min():.8g} "
+                    f"{tau.max():.8g}\n")
+        f.flush()
+
+
+@register("functionObject", "yPlusRAS", "yPlus")
+class YPlus(FunctionObject):
+    """y+ on wall patches from the wall-function viscosity (reference:
+    postProcessing/utilities/yPlusRAS)."""
+
+    def execute(self, time, fields, mesh):
+        if "U" not in fields:
+            return
+        from ..ops import fvc
+        U = fields["U"]
+        nu_eff = fields.get("nuEff")
+        nu = fields.get("nu")
+        sng = fvc.sn_grad(mesh, U)
+        f = self.file("yPlus.dat", header="# Time patch min max avg\n")
+        for patch in mesh.patches:
+            if patch.type != "wall" or patch.size == 0:
+                continue
+            sl = slice(patch.start, patch.start + patch.size)
+            bsl = slice(patch.bstart, patch.bstart + patch.size)
+            y = 1.0 / np.asarray(mesh.patch_delta_coeffs(patch))
+            nu_w = np.asarray(nu_eff.bvalues[bsl]) \
+                if nu_eff is not None else 0.0
+            nu_l = np.asarray(nu.bvalues[bsl]) if nu is not None \
+                else (np.asarray(nu.value) if hasattr(nu, "value")
+                      else 1e-5)
+            mag_grad = np.linalg.norm(np.asarray(sng.data[sl]), axis=-1)
+            u_tau = np.sqrt(np.maximum((nu_w + nu_l) * mag_grad, 0.0))
+            yp = u_tau * y / np.maximum(nu_l, 1e-300)
+            f.write(f"{time:.8g} {patch.name} {yp.min():.8g} "
+                    f"{yp.max():.8g} {yp.mean():.8g}\n")
+        f.flush()
+
+
 class FunctionObjectList:
     """Reads controlDict.functions and executes each hook per step
     (reference: functionObjectList::execute from Time::run)."""

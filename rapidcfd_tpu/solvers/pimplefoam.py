@@ -155,7 +155,13 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None,
         cumulative_err += float(glob_err)
         log_continuity(cumulative_err, local_err, glob_err)
         if fos.objects:
-            fos.execute({"U": U, "p": p, **turb_state})
+            extra = dict(turb_state)
+            nu_fo = transport.nu(case.mesh, U)
+            extra["nu"] = nu_fo if hasattr(nu_fo, "bvalues") else None
+            extra["nuEff"] = turb.nu_eff(case.mesh, turb_state, nu_fo)
+            fos.execute({"U": U, "p": p, "phi": phi,
+                         **{k: v for k, v in extra.items()
+                            if v is not None}})
         timer.log()
 
         if write and case.time.write_time():

@@ -1,0 +1,140 @@
+"""functionObjects: probes, minMax, forces/coeffs, sets, fieldValue,
+derived-field utilities — driven through a short simpleFoam run."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rapidcfd_tpu.utils import logging as L
+from rapidcfd_tpu.utils.casegen import pitz_daily_case
+
+
+@pytest.fixture(scope="module")
+def fo_run(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fo"))
+    pitz_daily_case(d, end_time=6)
+    with open(os.path.join(d, "system", "controlDict"), "a") as f:
+        f.write("""
+functions
+{
+    probes1
+    {
+        type probes;
+        fields (p U);
+        probeLocations ((0.05 0.0 0) (0.2 0.02 0));
+    }
+    minmax { type fieldMinMax; fields (U p); log false; }
+    wallForces
+    {
+        type forces;
+        patches (lowerWall upperWall);
+        rhoInf 1.2;
+        CofR (0 0 0);
+    }
+    coeffs
+    {
+        type forceCoeffs;
+        patches (lowerWall);
+        rhoInf 1.2; magUInf 10; Aref 0.001; lRef 0.1;
+        liftDir (0 1 0); dragDir (1 0 0); pitchAxis (0 0 1);
+    }
+    centreline
+    {
+        type sets;
+        fields (U p);
+        setFormat csv;
+        sets
+        {
+            mid { type uniform; axis x; start (0 0.01 0);
+                  end (0.28 0.01 0); nPoints 50; }
+        }
+    }
+    avgP
+    {
+        type fieldValue;
+        source all;
+        operation volAverage;
+        fields (p);
+    }
+    inletFlux
+    {
+        type faceSource;
+        source patch;
+        sourceName inlet;
+        operation areaAverage;
+        fields (U);
+    }
+    yp   { type yPlusRAS; }
+    wss  { type wallShearStress; }
+}
+""")
+    L.Info.enabled = False
+    from rapidcfd_tpu.solvers import simplefoam
+    out = simplefoam.run(d, write=False)
+    L.Info.enabled = True
+    return (d,) + out
+
+
+def test_probes_written(fo_run):
+    d = fo_run[0]
+    pdir = os.path.join(d, "postProcessing", "probes1", "0")
+    for fname in ("p", "U"):
+        lines = open(os.path.join(pdir, fname)).read().strip().split("\n")
+        assert lines[0].startswith("# probes:")
+        assert len(lines) >= 6          # one row per iteration
+        assert np.isfinite(float(lines[-1].split()[0]))
+
+
+def test_minmax_and_fieldvalue(fo_run):
+    d = fo_run[0]
+    mm = open(os.path.join(d, "postProcessing", "minmax", "0",
+                           "fieldMinMax.dat")).read().strip().split("\n")
+    rows = [ln for ln in mm if not ln.startswith("#")]
+    assert any("U" in r for r in rows) and any(" p " in r for r in rows)
+    fv = open(os.path.join(d, "postProcessing", "avgP", "0",
+                           "fieldValue.dat")).read().strip().split("\n")
+    vals = [float(r.split()[-1]) for r in fv if not r.startswith("#")]
+    assert all(np.isfinite(v) for v in vals)
+    # inlet areaAverage of U ~ inlet velocity (10, 0, 0)
+    fx = open(os.path.join(d, "postProcessing", "inletFlux", "0",
+                           "fieldValue.dat")).read().strip().split("\n")
+    row = [r for r in fx if not r.startswith("#")][-1].split()
+    assert abs(float(row[2]) - 10.0) < 1e-6
+
+
+def test_forces_and_coeffs(fo_run):
+    d = fo_run[0]
+    fdat = open(os.path.join(d, "postProcessing", "wallForces", "0",
+                             "forces.dat")).read()
+    assert "(" in fdat
+    cdat = open(os.path.join(d, "postProcessing", "coeffs", "0",
+                             "forceCoeffs.dat")).read().strip().split("\n")
+    last = [float(x) for x in
+            [c for c in cdat if not c.startswith("#")][-1].split()]
+    assert all(np.isfinite(v) for v in last)
+    # wall drag opposes the +x flow -> physically nonzero Cd
+    assert last[2] != 0.0
+
+
+def test_sets_csv(fo_run):
+    d = fo_run[0]
+    base = os.path.join(d, "postProcessing", "centreline", "0")
+    tdirs = sorted(os.listdir(base), key=float)
+    csv = os.path.join(base, tdirs[-1], "mid_U.csv")
+    lines = open(csv).read().strip().split("\n")
+    assert lines[0] == "distance,U_x,U_y,U_z"
+    assert len(lines) == 51
+    row = [float(x) for x in lines[25].split(",")]
+    assert np.isfinite(row).all()
+
+
+def test_wall_utilities(fo_run):
+    d = fo_run[0]
+    yp = open(os.path.join(d, "postProcessing", "yp", "0",
+                           "yPlus.dat")).read().strip().split("\n")
+    rows = [r for r in yp if not r.startswith("#")]
+    assert rows and all(np.isfinite(float(r.split()[-1])) for r in rows)
+    wss = open(os.path.join(d, "postProcessing", "wss", "0",
+                            "wallShearStress.dat")).read().strip()
+    assert "lowerWall" in wss and "upperWall" in wss
