@@ -31,6 +31,8 @@ SOLVERS = {
     "rhoCentralFoam": ("rapidcfd_tpu.solvers.rhocentralfoam", {}),
     "interFoam": ("rapidcfd_tpu.solvers.interfoam", {}),
     "buoyantBoussinesqSimpleFoam": ("rapidcfd_tpu.solvers.buoyantfoam", {}),
+    "buoyantSimpleFoam": ("rapidcfd_tpu.solvers.buoyantsimplefoam", {}),
+    "thermoFoam": ("rapidcfd_tpu.solvers.thermofoam", {}),
     "laplacianFoam": ("rapidcfd_tpu.solvers.basic",
                       {"_fn": "run_laplacian_foam"}),
     "scalarTransportFoam": ("rapidcfd_tpu.solvers.basic",
@@ -40,12 +42,23 @@ SOLVERS = {
 }
 
 
+# Thermo-based solvers carry absolute SI pressures (~1e5 Pa) whose
+# dynamic part is below fp32 resolution; they default to fp64 (the
+# reference is all-double). Override with -precision fp32.
+X64_DEFAULT = {
+    "rhoSimpleFoam", "rhoPimpleFoam", "sonicFoam", "rhoCentralFoam",
+    "buoyantSimpleFoam", "thermoFoam",
+}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="rapidcfd_tpu")
     ap.add_argument("solver", nargs="?", default=None,
                     help="solver name (default: controlDict application)")
     ap.add_argument("-case", dest="case", default=".")
     ap.add_argument("-noWrite", action="store_true")
+    ap.add_argument("-precision", choices=["fp32", "fp64"], default=None,
+                    help="override the solver's default float width")
     args = ap.parse_args(argv)
 
     name = args.solver
@@ -56,6 +69,10 @@ def main(argv=None):
     if name not in SOLVERS:
         known = ", ".join(sorted(SOLVERS))
         sys.exit(f"unknown solver '{name}'. Available: {known}")
+    prec = args.precision or ("fp64" if name in X64_DEFAULT else "fp32")
+    if prec == "fp64":
+        import jax
+        jax.config.update("jax_enable_x64", True)
     mod_name, kw = SOLVERS[name]
     import importlib
     mod = importlib.import_module(mod_name)

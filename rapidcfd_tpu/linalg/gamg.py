@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -317,7 +318,17 @@ def gamg_solve(mesh: MeshArrays, m, amul_fine, ell_fine, diag, source,
             xs.append(jnp.zeros(lv.n_coarse, x.dtype))
         # coarsest: dense direct solve
         if levels:
-            xs[-1] = jnp.linalg.solve(denseC, bs[-1][:, None])[:, 0]
+            if denseC.dtype == jnp.float64 and \
+                    jax.devices()[0].platform not in ("cpu", "gpu"):
+                # TPU LuDecomposition is F32-only; the coarsest-level
+                # correction tolerates reduced precision (the V-cycle
+                # iterates on the fine residual)
+                sol = jnp.linalg.solve(
+                    denseC.astype(jnp.float32),
+                    bs[-1].astype(jnp.float32)[:, None])[:, 0]
+                xs[-1] = sol.astype(denseC.dtype)
+            else:
+                xs[-1] = jnp.linalg.solve(denseC, bs[-1][:, None])[:, 0]
         else:
             xs[-1] = smooth(0, bs[-1], xs[-1], 8)
         # up-leg: prolong + scale correction + post-smooth. The scaling

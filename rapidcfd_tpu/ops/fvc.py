@@ -273,7 +273,25 @@ def reconstruct(mesh: MeshArrays, ssf: SurfaceField) -> VolField:
     tr = jnp.trace(dyad, axis1=-2, axis2=-1)
     eye = jnp.eye(3, dtype=dyad.dtype)
     dyad = dyad + (1e-10 * tr)[:, None, None] * eye
-    data = jnp.linalg.solve(dyad, rhs[..., None])[..., 0]
+    # closed-form 3x3 solve (adjugate/Cramer): pure elementwise math —
+    # avoids the LuDecomposition custom call, which is F32-only on TPU
+    a = dyad
+    c00 = a[:, 1, 1] * a[:, 2, 2] - a[:, 1, 2] * a[:, 2, 1]
+    c01 = a[:, 1, 2] * a[:, 2, 0] - a[:, 1, 0] * a[:, 2, 2]
+    c02 = a[:, 1, 0] * a[:, 2, 1] - a[:, 1, 1] * a[:, 2, 0]
+    c10 = a[:, 0, 2] * a[:, 2, 1] - a[:, 0, 1] * a[:, 2, 2]
+    c11 = a[:, 0, 0] * a[:, 2, 2] - a[:, 0, 2] * a[:, 2, 0]
+    c12 = a[:, 0, 1] * a[:, 2, 0] - a[:, 0, 0] * a[:, 2, 1]
+    c20 = a[:, 0, 1] * a[:, 1, 2] - a[:, 0, 2] * a[:, 1, 1]
+    c21 = a[:, 0, 2] * a[:, 1, 0] - a[:, 0, 0] * a[:, 1, 2]
+    c22 = a[:, 0, 0] * a[:, 1, 1] - a[:, 0, 1] * a[:, 1, 0]
+    det = a[:, 0, 0] * c00 + a[:, 0, 1] * c01 + a[:, 0, 2] * c02
+    rdet = 1.0 / jnp.where(jnp.abs(det) < 1e-300, 1e-300, det)
+    adj = jnp.stack([
+        jnp.stack([c00, c10, c20], axis=-1),
+        jnp.stack([c01, c11, c21], axis=-1),
+        jnp.stack([c02, c12, c22], axis=-1)], axis=-2)
+    data = rdet[:, None] * (adj * rhs[:, None, :]).sum(-1)
     return _extrapolated(mesh, data, ssf.dims / _AREA,
                          f"reconstruct({ssf.name})")
 
