@@ -25,9 +25,17 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--x64", action="store_true")
-    ap.add_argument("--p-solver", default="GAMG",
+    ap.add_argument("--p-solver", default="PCG",
                     choices=["GAMG", "PCG"])
+    ap.add_argument("--p-precond", default="GAMG",
+                    help="pressure preconditioner (GAMG = one V-cycle)")
+    ap.add_argument("--u-solver", default="PBiCGStab")
     args = ap.parse_args()
+
+    # natural-ordering DIA SpMV (pure-shift matvec, no gathers): the
+    # benchmark case is single-phase on a structured mesh, where this
+    # path is validated by the icoFoam test suite
+    os.environ.setdefault("RCFD_NATURAL_ORDERING", "1")
 
     import jax
     if args.x64:
@@ -45,7 +53,8 @@ def main():
     # scale dt so the Courant number stays comparable to the 20x20 case
     dt = 0.005 * 20 / args.n
     cavity_case(d, n=args.n, delta_t=dt, end_time=1e9,
-                p_solver=args.p_solver)
+                p_solver=args.p_solver, u_solver=args.u_solver,
+                p_precond=args.p_precond)
 
     case = Case(d)
     tp = case.transport_properties()

@@ -30,6 +30,8 @@ SOLVERS = {
     "rhoPimpleFoam": ("rapidcfd_tpu.solvers.rhopimplefoam", {}),
     "rhoCentralFoam": ("rapidcfd_tpu.solvers.rhocentralfoam", {}),
     "interFoam": ("rapidcfd_tpu.solvers.interfoam", {}),
+    "twoLiquidMixingFoam": ("rapidcfd_tpu.solvers.interfoam",
+                            {"mixing": True}),
     "buoyantBoussinesqSimpleFoam": ("rapidcfd_tpu.solvers.buoyantfoam", {}),
     "buoyantSimpleFoam": ("rapidcfd_tpu.solvers.buoyantsimplefoam", {}),
     "thermoFoam": ("rapidcfd_tpu.solvers.thermofoam", {}),

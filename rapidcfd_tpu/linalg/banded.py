@@ -26,6 +26,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 B = 128          # tile size (MXU/VPU lane width)
 MAX_P = 13       # give up beyond this window (memory ~ n*P*B floats)
@@ -33,8 +34,15 @@ MAX_P = 13       # give up beyond this window (memory ~ n*P*B floats)
 _BAND_CACHE: dict = {}
 
 
+MAX_D = 10       # max distinct diagonals for the DIA (pure-shift) path
+
+
 def band_info(mesh):
-    """Static banded-layout indices for a mesh, or None if unsuitable."""
+    """Static banded-layout indices for a mesh, or None if unsuitable.
+    Two modes: 'dia' (few distinct neighbour offsets — e.g. structured
+    meshes kept in natural ordering — the product is D shifted
+    multiply-adds, memory D*n) and 'band' (dense block-band, memory
+    n*P*B; only worthwhile at small bandwidth)."""
     key = id(mesh.ell_coeff_idx)
     if key in _BAND_CACHE:
         return _BAND_CACHE[key]
@@ -49,6 +57,28 @@ def band_info(mesh):
         _BAND_CACHE[key] = info
         return info
     cells = np.arange(n)[:, None]
+    off = nbr - cells
+    # zero-coefficient pad slots point at the zero slot of the
+    # [upper|lower|0] array — exclude them from the offset census
+    active = idx != idx.max()
+    uniq = np.unique(off[active]) if active.any() else np.zeros(0, int)
+    if 0 < uniq.size <= MAX_D:
+        max_off = int(np.abs(uniq).max())
+        rows, slots = [], []
+        for d in uniq:
+            r = np.nonzero(active & (off == d))[0]
+            # one slot per (row, offset); duplicates can't occur for a
+            # valid mesh (one face per cell pair)
+            s = np.argmax(active & (off == d), axis=1)[r]
+            rows.append(r.astype(np.int32))
+            slots.append(s.astype(np.int32))
+        info = dict(
+            mode="dia", n=n, K=K,
+            offsets=[int(d) for d in uniq],
+            rows=rows, slots=slots, max_off=max_off,
+        )
+        _BAND_CACHE[key] = info
+        return info
     bandwidth = int(np.abs(nbr - cells).max()) if n else 0
     half_blocks = (bandwidth + B - 1) // B
     P = 2 * half_blocks + 1
@@ -67,7 +97,7 @@ def band_info(mesh):
     # cached as NUMPY: jnp constants created inside a jit trace must
     # never be cached across traces
     info = dict(
-        n=n, K=K, n_tiles=n_tiles, P=P, half=half_blocks,
+        mode="band", n=n, K=K, n_tiles=n_tiles, P=P, half=half_blocks,
         tile=np.broadcast_to(tile, nbr.shape).astype(np.int32),
         row=np.broadcast_to(row, nbr.shape).astype(np.int32),
         col=col.astype(np.int32),
@@ -76,12 +106,40 @@ def band_info(mesh):
     return info
 
 
+def _make_dia_mv(info, ell_coeffs):
+    """Pure-shift DIA product: y = sum_d c_d * shift(x, d). Zero gathers,
+    zero scatters in the iteration; D fused multiply-adds over n."""
+    n, max_off = info["n"], info["max_off"]
+    diags = []
+    for d, rows, slots in zip(info["offsets"], info["rows"],
+                              info["slots"]):
+        c_d = jnp.zeros(n, ell_coeffs.dtype).at[rows].set(
+            ell_coeffs[rows, slots])
+        diags.append((d, c_d))
+
+    def offdiag_mv(x):
+        two_d = x.ndim == 2
+        vec = x if two_d else x[:, None]
+        m = vec.shape[1]
+        zpad = jnp.zeros((max_off, m), x.dtype)
+        xp = jnp.concatenate([zpad, vec, zpad])
+        y = jnp.zeros_like(vec)
+        for d, c_d in diags:
+            y = y + c_d[:, None] * lax.dynamic_slice_in_dim(
+                xp, max_off + d, n)
+        return y if two_d else y[:, 0]
+
+    return offdiag_mv
+
+
 def make_offdiag_mv(mesh, ell_coeffs):
-    """Returns x -> sum_k coeff[c,k]*x[nbr[c,k]] using the banded MXU
-    path, or None to signal the caller to use the gather fallback."""
+    """Returns x -> sum_k coeff[c,k]*x[nbr[c,k]] using the DIA or banded
+    MXU path, or None to signal the caller to use the gather fallback."""
     info = band_info(mesh)
     if info is None:
         return None
+    if info["mode"] == "dia":
+        return _make_dia_mv(info, ell_coeffs)
     n, n_tiles, P, half = info["n"], info["n_tiles"], info["P"], info["half"]
     a_band = jnp.zeros((n_tiles, B, P * B), ell_coeffs.dtype)
     a_band = a_band.at[info["tile"], info["row"], info["col"]].add(

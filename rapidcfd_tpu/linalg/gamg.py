@@ -102,10 +102,28 @@ def _pair_agglomerate(own: np.ndarray, nei: np.ndarray,
     return coarse, ncc
 
 
+def _coarse_graph(own, nei, weights, coarse, ncc):
+    """Deduplicated coarse-level (own, nei, weights) from a cell map."""
+    co, cn = coarse[own], coarse[nei]
+    ext = co != cn
+    fo = np.minimum(co[ext], cn[ext])
+    fn = np.maximum(co[ext], cn[ext])
+    keys = fo * ncc + fn
+    uniq, inv = np.unique(keys, return_inverse=True)
+    w = np.zeros(uniq.size)
+    np.add.at(w, inv, weights[ext])
+    return (uniq // ncc).astype(np.int64), (uniq % ncc).astype(np.int64), w
+
+
 def build_hierarchy(mesh: MeshArrays, n_coarsest: int = 32,
-                    max_levels: int = 20) -> list[Level]:
-    """Host-side hierarchy construction, cached per mesh."""
-    key = (id(mesh.ell_coeff_idx), n_coarsest)
+                    max_levels: int = 20,
+                    merge_levels: int = 1) -> list[Level]:
+    """Host-side hierarchy construction, cached per mesh. merge_levels
+    composes that many pair-agglomerations per stored level (the
+    reference's GAMG mergeLevels), trading convergence rate for V-cycle
+    depth — on TPU the shallow hierarchy wins (small levels are
+    latency-bound)."""
+    key = (id(mesh.ell_coeff_idx), n_coarsest, merge_levels)
     if key in _HIERARCHY_CACHE:
         return _HIERARCHY_CACHE[key]
 
@@ -117,6 +135,14 @@ def build_hierarchy(mesh: MeshArrays, n_coarsest: int = 32,
 
     while nc > n_coarsest and len(levels) < max_levels:
         coarse, ncc = _pair_agglomerate(own, nei, weights, nc)
+        for _ in range(merge_levels - 1):
+            if ncc <= n_coarsest:
+                break
+            o2, n2, w2 = _coarse_graph(own, nei, weights, coarse, ncc)
+            c2, ncc2 = _pair_agglomerate(o2, n2, w2, ncc)
+            if ncc2 >= ncc:
+                break
+            coarse, ncc = c2[coarse], ncc2
         if ncc >= nc:  # no coarsening progress
             break
         co, cn = coarse[own], coarse[nei]
@@ -243,15 +269,19 @@ def _chebyshev(amul, diag, b, x, degree, lam_max):
     return x
 
 
-def gamg_solve(mesh: MeshArrays, m, amul_fine, ell_fine, diag, source,
-               psi0, controls):
-    """V-cycle iteration until convergence (fvSolution 'solver GAMG')."""
-    from .solvers import _converged, _norm_factor, gsum
+def make_vcycle(mesh: MeshArrays, m, amul_fine, diag, controls,
+                scale_correction: bool, fixed_scale: float = 1.0):
+    """Build the one-V-cycle closure (x, b) -> x' over the cached
+    agglomeration hierarchy. scale_correction=False yields a LINEAR
+    operator usable as a Krylov preconditioner (the <c,r>/<c,Ac>
+    line-search scaling is nonlinear)."""
+    from .solvers import gsum
 
     import jax.errors
     try:
         levels = build_hierarchy(
-            mesh, n_coarsest=getattr(controls, 'n_coarsest_cells', 32))
+            mesh, n_coarsest=getattr(controls, 'n_coarsest_cells', 32),
+            merge_levels=getattr(controls, 'merge_levels', 1))
     except jax.errors.TracerArrayConversionError as e:
         raise NotImplementedError(
             "GAMG requires the mesh as a trace-time constant (single-chip "
@@ -262,7 +292,7 @@ def gamg_solve(mesh: MeshArrays, m, amul_fine, ell_fine, diag, source,
     smoother = getattr(controls, "smoother", "Chebyshev")
     use_cheby = smoother in ("Chebyshev", "GaussSeidel", "symGaussSeidel",
                              "DIC", "DICGaussSeidel")
-    scale_correction = m.symmetric
+    source = jnp.ones(diag.shape[0], diag.dtype)   # lambda-est probe
 
     # device-side coarse matrices (assembled once per solve)
     mats = [(diag, m.lower, m.upper)]
@@ -345,11 +375,24 @@ def gamg_solve(mesh: MeshArrays, m, amul_fine, ell_fine, diag, source,
                 den = gsum(corr * a_corr)
                 alpha = num / jnp.where(jnp.abs(den) < 1e-300, 1e-300, den)
                 corr = alpha * corr
+            elif fixed_scale != 1.0:
+                # linear stand-in for the <c,r>/<c,Ac> line search
+                # (preconditioner mode must stay a fixed linear operator)
+                corr = fixed_scale * corr
             xi = xs[i] + corr
             sweeps = n_finest if i == 0 else n_post
             xi = smooth(i, bs[i], xi, sweeps)
             xs[i] = xi
         return xs[0]
+
+    return vcycle
+
+
+def gamg_solve(mesh: MeshArrays, m, amul_fine, ell_fine, diag, source,
+               psi0, controls):
+    """V-cycle iteration until convergence (fvSolution 'solver GAMG')."""
+    from .solvers import _converged, _norm_factor, gsum
+    vcycle = make_vcycle(mesh, m, amul_fine, diag, controls, m.symmetric)
 
     v_ones = jnp.ones_like(psi0)
     apsi = amul_fine(psi0)
@@ -357,11 +400,14 @@ def gamg_solve(mesh: MeshArrays, m, amul_fine, ell_fine, diag, source,
     res0 = gsum(jnp.abs(source - apsi)) / nf
 
     # fp32 runs stall above the requested tolerance; stop when the
-    # residual hasn't improved for a few cycles instead of burning maxIter
+    # residual hasn't improved for a few cycles instead of burning
+    # maxIter (fp32 only; fp64 converges past any practical tolerance)
+    stall = 6 if psi0.dtype == jnp.float32 else controls.max_iter
+
     def cond(carry):
         x, it, res, best, since_best = carry
         return (~_converged(res, res0, controls, it)) \
-            & (it < controls.max_iter) & (since_best < 6)
+            & (it < controls.max_iter) & (since_best < stall)
 
     def body(carry):
         x, it, res, best, since_best = carry

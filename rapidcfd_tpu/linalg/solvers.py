@@ -81,6 +81,10 @@ class SolverControls:
     n_post_sweeps: int = 2
     n_finest_sweeps: int = 2
     n_coarsest_cells: int = 32
+    merge_levels: int = 1
+    # fixed coarse-correction over-relaxation for the (linear) GAMG
+    # preconditioner; >1 helps large meshes, 1.0 is best at ~10k cells
+    vcycle_scale: float = 1.0
 
     @staticmethod
     def from_dict(d) -> "SolverControls":
@@ -99,6 +103,8 @@ class SolverControls:
             n_post_sweeps=int(d.scalar("nPostSweeps", 2)),
             n_finest_sweeps=int(d.scalar("nFinestSweeps", 2)),
             n_coarsest_cells=int(d.scalar("nCellsInCoarsestLevel", 32)),
+            merge_levels=int(d.scalar("mergeLevels", 1)),
+            vcycle_scale=d.scalar("vCycleScale", 1.0),
         )
 
 
@@ -145,7 +151,7 @@ def solve_component(mesh: MeshArrays, m: FvMatrix, cmpt: int | None,
 
     name = controls.solver
     if name in ("PCG", "ICCG"):
-        return _pcg(mesh, amul, ell, diag, source, psi0, controls)
+        return _pcg(mesh, amul, ell, diag, source, psi0, controls, m=m)
     if name in ("PBiCGStab", "PBiCG", "BICCG"):
         return _pbicgstab(mesh, amul, ell, diag, source, psi0, controls)
     if name == "smoothSolver":
@@ -167,20 +173,34 @@ def _converged(res, res0, c: SolverControls, it):
     return jnp.all(ok) & (it >= c.min_iter)
 
 
-def _pcg(mesh, amul, ell, diag, source, psi0, c: SolverControls):
-    """Preconditioned conjugate gradient (reference PCG.C:67-205)."""
-    precond = lookup("lduPreconditioner", c.preconditioner)(mesh, ell, diag)
+def _pcg(mesh, amul, ell, diag, source, psi0, c: SolverControls, m=None):
+    """Preconditioned conjugate gradient (reference PCG.C:67-205).
+    preconditioner GAMG uses one unscaled multigrid V-cycle per
+    application (the reference's GAMG-preconditioned PCG)."""
+    if c.preconditioner == "GAMG" and m is not None and psi0.ndim == 1:
+        from .gamg import make_vcycle
+        vc = make_vcycle(mesh, m, amul, diag, c, scale_correction=False,
+                         fixed_scale=c.vcycle_scale)
+        def precond(r):
+            return vc(jnp.zeros_like(r), r)
+    else:
+        precond = lookup("lduPreconditioner", c.preconditioner)(mesh, ell,
+                                                                diag)
     v_ones = jnp.ones_like(psi0)
 
     apsi = amul(psi0)
     nf = _norm_factor(amul, psi0, source, apsi, v_ones)
     r0 = source - apsi
     res0 = gsum(jnp.abs(r0)) / nf
+    # the stagnation guard exists ONLY for fp32 floors sitting above the
+    # requested tolerance; fp64 converges past any practical tolerance,
+    # and long (legitimate) CG plateaus must not be cut short there
+    stall = 25 if psi0.dtype == jnp.float32 else c.max_iter
 
     def cond(carry):
         psi, r, p, wr_old, it, res, best, since_best = carry
         return (~_converged(res, res0, c, it)) & (it < c.max_iter) \
-            & (since_best < 20)
+            & (since_best < stall)
 
     def body(carry):
         psi, r, p, wr_old, it, res, best, since_best = carry
@@ -273,18 +293,28 @@ def _smooth_solver(mesh, amul, ell, diag, source, psi0, c: SolverControls):
     res0 = gsum(jnp.abs(source - apsi)) / nf
     n_sweeps = max(1, c.n_sweeps)
 
+    stall = 12 * n_sweeps if psi0.dtype == jnp.float32 else c.max_iter
+
     def cond(carry):
-        psi, it, res = carry
-        return (~_converged(res, res0, c, it)) & (it < c.max_iter)
+        psi, it, res, best, since_best = carry
+        # stagnation guard: fp32 floors can sit above an absolute
+        # tolerance — stop only when sweeps make NO measurable progress
+        # (fp32 only; fp64 converges past any practical tolerance)
+        return (~_converged(res, res0, c, it)) & (it < c.max_iter) \
+            & (since_best < stall)
 
     def body(carry):
-        psi, it, res = carry
+        psi, it, res, best, since_best = carry
         psi = jacobi_sweeps(mesh, amul, ell, diag, source, psi, n_sweeps)
         res = gsum(jnp.abs(source - amul(psi))) / nf
-        return psi, it + n_sweeps, res
+        improved = jnp.any(res < (1.0 - 1e-6) * best)
+        best = jnp.minimum(best, res)
+        since_best = jnp.where(improved, 0, since_best + n_sweeps)
+        return psi, it + n_sweeps, res, best, since_best
 
-    psi, it, res = lax.while_loop(
-        cond, body, (psi0, jnp.asarray(0, jnp.int32), res0))
+    psi, it, res, _, _ = lax.while_loop(
+        cond, body, (psi0, jnp.asarray(0, jnp.int32), res0, res0,
+                     jnp.asarray(0, jnp.int32)))
     return psi, (res0, res, it)
 
 

@@ -212,6 +212,24 @@ def build_mesh_arrays(mesh: PolyMesh, *, renumber: bool = True,
     cell_perm = np.arange(mesh.n_cells, dtype=np.int64)
     face_perm = np.arange(mesh.n_faces, dtype=np.int64)
     if renumber and mesh.n_internal_faces > 0:
+        # structured meshes in natural ordering have a handful of
+        # distinct neighbour offsets, enabling the pure-shift DIA SpMV
+        # (linalg/banded.py) — strictly better than any bandwidth-
+        # reduced ordering on TPU. Keep natural ordering in that case.
+        # Opt-in (RCFD_NATURAL_ORDERING=1): structured meshes in natural
+        # ordering have a handful of distinct neighbour offsets, enabling
+        # the pure-shift DIA SpMV (linalg/banded.py) — ~3x faster solver
+        # iterations than any bandwidth-reduced ordering on TPU.
+        # Default stays RCM: sharp-interface (VOF) cases are sensitive
+        # to the ordering-dependent roundoff path and are validated
+        # under RCM.
+        import os
+        n_off = np.unique(
+            mesh.neighbour - mesh.owner[:mesh.n_internal_faces]).size
+        if 2 * n_off <= 10 \
+                and os.environ.get("RCFD_NATURAL_ORDERING"):
+            renumber = False
+    if renumber and mesh.n_internal_faces > 0:
         cell_perm = cuthill_mckee(mesh)
         mesh, face_perm = renumber_mesh(mesh, cell_perm,
                                         return_face_order=True)

@@ -29,12 +29,25 @@ from .controls import PimpleControl
 from .icofoam import courant_number
 
 
-def make_step(case: Case, consts, ctrl: PimpleControl):
+def make_step(case: Case, consts, ctrl: PimpleControl,
+              mixing: bool = False):
+    """mixing=True gives twoLiquidMixingFoam semantics (reference:
+    multiphase/twoLiquidMixingFoam): no interface compression, no
+    surface tension, plus an implicit Dab diffusion of alpha."""
     mesh = case.mesh
     rho1, rho2, nu1, nu2, sigma, g = consts
     solvers_d = case.fv_solution.subdict("solvers")
     alpha_d = solvers_d.lookup("alpha.water") or solvers_d.lookup("alpha1")
     c_alpha = float(alpha_d.scalar("cAlpha", 1.0)) if alpha_d else 1.0
+    if mixing:
+        c_alpha = 0.0
+        sigma = 0.0
+        tp = case.transport_properties()
+        Dab = Dimensioned.from_entry(tp.lookup("Dab", required=True),
+                                     "Dab")
+        alpha_controls = case.solver_controls(
+            "alpha.water" if (solvers_d.lookup("alpha.water") is not None)
+            else "alpha1")
     lap_corr = case.laplacian_scheme()
     p_controls = case.solver_controls("p_rgh")
     p_final = case.solver_controls("p_rgh", final=True)
@@ -103,6 +116,20 @@ def make_step(case: Case, consts, ctrl: PimpleControl):
         rho_phi = SurfaceField(
             phi_alpha_lim.data * (rho1 - rho2) + phi.data * rho2,
             phi.dims * dim_density, "rhoPhi")
+
+        a_perf = None
+        if mixing:
+            # alphaDiffusionEqn.H: ddt(a) - fvc::ddt(a) -
+            # laplacian(Dab, a); old level pinned to the advected state
+            # so the ddt pair collapses to (a_new - a_adv)/dt
+            a2 = alpha.replace(old=alpha.replace(old=None))
+            aEqn = fvm.ddt(mesh, a2, dt) \
+                - fvm.laplacian(mesh, Dab, a2, lap_corr)
+            alpha, a_perf = solve(mesh, aEqn, alpha_controls)
+            dflux = aEqn.replace(psi=alpha).flux(mesh)
+            rho_phi = SurfaceField(
+                rho_phi.data + dflux.data * (rho1 - rho2),
+                rho_phi.dims, "rhoPhi")
 
         rho, mu = mixture(alpha)
         rho = rho.replace(old=mixture(alpha.old)[0].replace(old=None))
@@ -175,8 +202,9 @@ def _read_constants(case: Case):
     rho2 = Dimensioned.from_entry(d2.lookup("rho", required=True)).value
     nu1 = Dimensioned.from_entry(d1.lookup("nu", required=True)).value
     nu2 = Dimensioned.from_entry(d2.lookup("nu", required=True)).value
-    sigma = Dimensioned.from_entry(
-        tp.lookup("sigma", required=True)).value
+    sigma_e = tp.lookup("sigma", required=False)
+    sigma = Dimensioned.from_entry(sigma_e).value if sigma_e is not None \
+        else 0.0
     gpath = os.path.join(case.dir, "constant", "g")
     if os.path.isfile(gpath):
         gd = parse_file(gpath)
@@ -186,7 +214,8 @@ def _read_constants(case: Case):
     return rho1, rho2, nu1, nu2, sigma, g
 
 
-def run(case_dir: str, write: bool = True, max_steps: int | None = None):
+def run(case_dir: str, write: bool = True, max_steps: int | None = None,
+        mixing: bool = False):
     case = Case(case_dir)
     mesh = case.mesh
     consts = _read_constants(case)
@@ -201,7 +230,7 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
     phi = fvc.flux(mesh, U)
     ctrl = PimpleControl(case)
 
-    step = make_step(case, consts, ctrl)
+    step = make_step(case, consts, ctrl, mixing=mixing)
     timer = ExecutionTimer()
     cumulative_err = 0.0
 

@@ -487,7 +487,9 @@ def write_field(case_dir: str, time: str, name: str, cls: str,
 def cavity_case(case_dir: str, n: int = 20, d: float = 0.1,
                 nu: float = 0.01, end_time: float = 0.5,
                 delta_t: float = 0.005, write_interval: int = 20,
-                p_solver: str = "PCG"):
+                p_solver: str = "PCG",
+                u_solver: str = "smoothSolver",
+                p_precond: str = "DIC"):
     """The icoFoam lid-driven cavity tutorial (BASELINE config 1)."""
     mesh = box_mesh(n, n, 1, size=(d, d, 0.01), patch_spec={
         "ymax": ("movingWall", "wall"),
@@ -534,23 +536,28 @@ solvers
     p
     {{
         solver          {p_solver};
-        preconditioner  DIC;
+        preconditioner  {p_precond};
         smoother        Chebyshev;
+        mergeLevels     4;
+        nCellsInCoarsestLevel 512;
         tolerance       1e-06;
         relTol          0.05;
     }}
     pFinal
     {{
         solver          {p_solver};
-        preconditioner  DIC;
+        preconditioner  {p_precond};
         smoother        Chebyshev;
+        mergeLevels     4;
+        nCellsInCoarsestLevel 512;
         tolerance       1e-06;
         relTol          0;
     }}
     U
     {{
-        solver          smoothSolver;
+        solver          {u_solver};
         smoother        symGaussSeidel;
+        preconditioner  DILU;
         tolerance       1e-05;
         relTol          0;
     }}

@@ -47,3 +47,56 @@ def test_hydrostatic_pressure_and_collapse(dam_run):
     assert 1e3 < pr.max() < 2e4
     # the column is collapsing: significant horizontal velocity develops
     assert u[:, 0].max() > 0.3
+
+
+def test_two_liquid_mixing_stratified(tmp_path_factory):
+    """twoLiquidMixingFoam: stable stratification diffuses (Dab) while
+    the phase integral is conserved and alpha stays bounded."""
+    import os
+    import numpy as np
+    from rapidcfd_tpu.utils.casegen import _write, write_field
+    from rapidcfd_tpu.utils.dictionary import foamfile_header
+    from rapidcfd_tpu.fields.io import _body_value
+    from rapidcfd_tpu.mesh.geometry import (cell_centres_and_vols,
+                                            face_centres_and_areas)
+    from rapidcfd_tpu.mesh.polymesh import read_polymesh
+    d = str(tmp_path_factory.mktemp("mix"))
+    dam_break_case(d, end_time=0.05)
+    # stable stratification: heavy phase (alpha1=1) in the lower half
+    pmesh = read_polymesh(d)
+    Cf, Sf = face_centres_and_areas(pmesh)
+    C, V = cell_centres_and_vols(pmesh, Cf, Sf)
+    alpha0 = (C[:, 1] < 0.5 * 0.584).astype(float)
+    write_field(d, "0", "alpha1", "volScalarField", "[0 0 0 0 0 0 0]",
+                _body_value(alpha0, prec=10),
+                {"walls": "        type            zeroGradient;\n",
+                 "frontAndBack": "        type            empty;\n"})
+    # diffusivities + an alpha1 solver entry for the implicit diffusion
+    tp = os.path.join(d, "constant", "transportProperties")
+    with open(tp, "a") as f:
+        f.write("\nDab             Dab [0 2 -1 0 0 0 0] 2e-3;\n"
+                "alphatab        alphatab [0 0 0 0 0 0 0] 1;\n")
+    fs = os.path.join(d, "system", "fvSolution")
+    s = open(fs).read().replace(
+        "alpha1 { nAlphaSubCycles 1; cAlpha 1; }",
+        "alpha1 { nAlphaSubCycles 1; cAlpha 1; solver PBiCGStab;\n"
+        "         preconditioner DILU; tolerance 1e-10; relTol 0; }")
+    open(fs, "w").write(s)
+    L.Info.enabled = False
+    from rapidcfd_tpu.solvers import interfoam
+    case, alpha, U, p_rgh, phi = interfoam.run(d, write=False,
+                                               mixing=True)
+    L.Info.enabled = True
+    a = np.asarray(alpha.data)
+    assert np.isfinite(a).all()
+    assert a.min() > -1e-6 and a.max() < 1.0 + 1e-6
+    # phase conserved (closed box, zero-flux boundaries)
+    V_d = np.asarray(case.mesh.V)
+    a0_d = np.asarray(case.read_field("alpha1", "0").data)
+    assert abs((a * V_d).sum() - (a0_d * V_d).sum()) \
+        < 1e-6 * (a0_d * V_d).sum()
+    # diffusion smeared the interface: cells strictly between 0.05/0.95
+    frac_mixed = ((a > 0.05) & (a < 0.95)).mean()
+    assert frac_mixed > 0.05
+    # stable stratification: no significant flow develops
+    assert np.abs(np.asarray(U.data)).max() < 0.5
