@@ -236,6 +236,9 @@ class KEpsilon:
         """One turbulence correction (reference kEpsilon.C:229-280).
         dt=None -> steadyState ddt."""
         k, eps, nut = state["k"], state["epsilon"], state["nut"]
+        if dt is not None:
+            k = k.store_old()
+            eps = eps.store_old()
         s2 = magsqr_symm_grad(mesh, U)
         G = nut.data * s2                      # production [m2/s3]
         G, eps_fix, eps_vals = self._wall_fix(mesh, state, U, nu, G)
@@ -248,7 +251,7 @@ class KEpsilon:
         rhs_eps = eps.with_calculated_bcs(
             self._eps_prod(mesh, U, G, k, eps, s2),
             jnp.zeros_like(eps.bvalues), eps.dims / DimensionSet.of(0, 0, 1))
-        eps_eqn = (fvm.ddt(mesh, eps, dt or 1.0, ddt_scheme)
+        eps_eqn = (fvm.ddt(mesh, eps, (1.0 if dt is None else dt), ddt_scheme)
                    + fvm.div(mesh, phi, eps, self.div_eps)
                    - fvm.laplacian(mesh, nu_eff_eps, eps, self.lap_corr)
                    + fvm.Sp(mesh, Dimensioned(
@@ -265,7 +268,7 @@ class KEpsilon:
         rhs_k = k.with_calculated_bcs(
             G, jnp.zeros_like(k.bvalues),
             k.dims / DimensionSet.of(0, 0, 1))
-        k_eqn = (fvm.ddt(mesh, k, dt or 1.0, ddt_scheme)
+        k_eqn = (fvm.ddt(mesh, k, (1.0 if dt is None else dt), ddt_scheme)
                  + fvm.div(mesh, phi, k, self.div_k)
                  - fvm.laplacian(mesh, nu_eff_k, k, self.lap_corr)
                  + fvm.Sp(mesh, Dimensioned(
@@ -427,10 +430,14 @@ class KOmega:
 
     def correct(self, mesh, state, U, phi, nu, dt=None):
         k, omega, nut = state["k"], state["omega"], state["nut"]
+        if dt is not None:
+            k = k.store_old()
+            omega = omega.store_old()
         ddt_scheme = "steadyState" if dt is None else self.ddt_scheme
         s2 = magsqr_symm_grad(mesh, U)
         G = nut.data * s2
-        G, om_fix, om_vals = self._wall_fix(mesh, state, U, nu, G)
+        G, om_fix, om_vals = self._wall_fix(
+            mesh, dict(state, k=k, omega=omega), U, nu, G)
 
         d_om = self._dcoeff(mesh, state, nu, 1.0 / self.alpha_omega)
         d_k = self._dcoeff(mesh, state, nu, 1.0 / self.alpha_k)
@@ -441,7 +448,7 @@ class KOmega:
             self.alpha * G * omega.data / k_pos,
             jnp.zeros_like(omega.bvalues),
             omega.dims / DimensionSet.of(0, 0, 1))
-        om_eqn = (fvm.ddt(mesh, omega, dt or 1.0, ddt_scheme)
+        om_eqn = (fvm.ddt(mesh, omega, (1.0 if dt is None else dt), ddt_scheme)
                   + fvm.div(mesh, phi, omega, self.div_omega)
                   - fvm.laplacian(mesh, d_om, omega, self.lap_corr)
                   + fvm.Sp(mesh, Dimensioned("beta*omega", _RTIME,
@@ -456,7 +463,7 @@ class KOmega:
         rhs_k = k.with_calculated_bcs(
             G, jnp.zeros_like(k.bvalues),
             k.dims / DimensionSet.of(0, 0, 1))
-        k_eqn = (fvm.ddt(mesh, k, dt or 1.0, ddt_scheme)
+        k_eqn = (fvm.ddt(mesh, k, (1.0 if dt is None else dt), ddt_scheme)
                  + fvm.div(mesh, phi, k, self.div_k)
                  - fvm.laplacian(mesh, d_k, k, self.lap_corr)
                  + fvm.Sp(mesh, Dimensioned(
@@ -567,6 +574,9 @@ class KOmegaSST:
 
     def correct(self, mesh, state, U, phi, nu, dt=None):
         k, omega, nut = state["k"], state["omega"], state["nut"]
+        if dt is not None:
+            k = k.store_old()
+            omega = omega.store_old()
         y = self.y
         nu_c = nu.value if isinstance(nu, Dimensioned) else nu.data
         ddt_scheme = "steadyState" if dt is None else self.ddt_scheme
@@ -618,7 +628,7 @@ class KOmegaSST:
             gamma_s2 + (1.0 - F1) * cd_kom,
             jnp.zeros_like(omega.bvalues),
             omega.dims / DimensionSet.of(0, 0, 1))
-        om_eqn = (fvm.ddt(mesh, omega, dt or 1.0, ddt_scheme)
+        om_eqn = (fvm.ddt(mesh, omega, (1.0 if dt is None else dt), ddt_scheme)
                   + fvm.div(mesh, phi, omega, self.div_omega)
                   - fvm.laplacian(mesh, d_om, omega, self.lap_corr)
                   + fvm.Sp(mesh, Dimensioned("beta*omega", _RTIME,
@@ -634,7 +644,7 @@ class KOmegaSST:
         rhs_k = k.with_calculated_bcs(
             jnp.minimum(G, self.c1 * self.betaStar * k_pos * om_pos),
             jnp.zeros_like(k.bvalues), k.dims / DimensionSet.of(0, 0, 1))
-        k_eqn = (fvm.ddt(mesh, k, dt or 1.0, ddt_scheme)
+        k_eqn = (fvm.ddt(mesh, k, (1.0 if dt is None else dt), ddt_scheme)
                  + fvm.div(mesh, phi, k, self.div_k)
                  - fvm.laplacian(mesh, d_k, k, self.lap_corr)
                  + fvm.Sp(mesh, Dimensioned(
@@ -688,6 +698,62 @@ class Smagorinsky:
         nut_new = nut.replace(data=nut_data).correct_boundary_conditions(
             mesh, env={"k": nut.replace(data=nut_data), "nu": nu})
         return {"nut": nut_new}, {}
+
+
+@register("LESModel", "oneEqEddy", "kEqn")
+class OneEqEddy:
+    """One-equation SGS kinetic-energy model (reference:
+    incompressible/LES/oneEqEddy/oneEqEddy.C): solve the k-SGS
+    transport, nuSgs = ck*sqrt(k)*delta, eps = ce*k^1.5/delta."""
+    needs = ("k", "nut")
+
+    def __init__(self, case, coeffs: Dictionary):
+        self.case = case
+        c = coeffs or Dictionary()
+        self.ck = c.scalar("ck", 0.094)
+        self.ce = c.scalar("ce", 1.048)
+        delta_coeff = c.scalar("deltaCoeff", 1.0)
+        self.delta = delta_coeff * jnp.cbrt(case.mesh.V)
+        self.k_min = 1e-15
+        self.k_controls = case.solver_controls("k")
+        self.div_k = case.div_scheme("div(phi,k)")
+        self.lap_corr = case.laplacian_scheme()
+        self.ddt_scheme = case.ddt_scheme()
+
+    def init_state(self, U):
+        return {name: self.case.read_field(name) for name in self.needs}
+
+    def nut(self, state):
+        return state["nut"]
+
+    nu_eff = KEpsilon.nu_eff
+    _dcoeff = KEpsilon._dcoeff
+
+    def correct(self, mesh, state, U, phi, nu, dt=None):
+        k, nut = state["k"], state["nut"]
+        if dt is not None:
+            k = k.store_old()
+        ddt_scheme = "steadyState" if dt is None else self.ddt_scheme
+        s2 = magsqr_symm_grad(mesh, U)
+        G = nut.data * s2
+        d_k = self._dcoeff(mesh, state, nu, 1.0)
+        k_pos = jnp.maximum(k.data, self.k_min)
+        rhs_k = k.with_calculated_bcs(
+            G, jnp.zeros_like(k.bvalues),
+            k.dims / DimensionSet.of(0, 0, 1))
+        k_eqn = (fvm.ddt(mesh, k, (1.0 if dt is None else dt), ddt_scheme)
+                 + fvm.div(mesh, phi, k, self.div_k)
+                 - fvm.laplacian(mesh, d_k, k, self.lap_corr)
+                 + fvm.Sp(mesh, Dimensioned(
+                     "ce*sqrt(k)/delta", _RTIME,
+                     self.ce * jnp.sqrt(k_pos) / self.delta), k))
+        k_new, k_perf = solve(mesh, k_eqn.equals(rhs_k), self.k_controls,
+                              env={"phi": phi})
+        k_new = bound(k_new, self.k_min)
+        nut_data = self.ck * jnp.sqrt(k_new.data) * self.delta
+        nut_new = nut.replace(data=nut_data).correct_boundary_conditions(
+            mesh, env={"k": k_new, "nu": nu})
+        return dict(k=k_new, nut=nut_new), {"k": k_perf[0]}
 
 
 def make_ras_model(case, U):

@@ -30,3 +30,92 @@ def test_variant_runs_and_produces_turbulence(model, tmp_path_factory):
     else:
         eps = np.asarray(ts["epsilon"].data)
         assert (eps > 0).all()
+
+
+def test_one_eq_eddy_les_channel(tmp_path_factory):
+    """oneEqEddy LES: k-SGS transport produces eddy viscosity in a
+    transient channel without blow-up."""
+    import os
+    from rapidcfd_tpu.mesh.polymesh import write_polymesh
+    from rapidcfd_tpu.utils.casegen import _write, box_mesh, write_field
+    from rapidcfd_tpu.utils.dictionary import foamfile_header
+    d = str(tmp_path_factory.mktemp("les"))
+    mesh = box_mesh(30, 10, 1, size=(0.3, 0.05, 0.01), patch_spec={
+        "xmin": ("inlet", "patch"), "xmax": ("outlet", "patch"),
+        "ymin": ("walls", "wall"), "ymax": ("walls", "wall"),
+        "zmin": ("fb", "empty"), "zmax": ("fb", "empty")})
+    write_polymesh(mesh, d)
+    _write(os.path.join(d, "system", "controlDict"),
+           foamfile_header("dictionary", "controlDict", "system"), """
+application pimpleFoam; startFrom startTime; startTime 0;
+stopAt endTime; endTime 0.02; deltaT 0.0005;
+writeControl timeStep; writeInterval 1000; writeFormat ascii;
+""")
+    _write(os.path.join(d, "system", "fvSchemes"),
+           foamfile_header("dictionary", "fvSchemes", "system"), """
+ddtSchemes { default Euler; }
+gradSchemes { default Gauss linear; }
+divSchemes { default none; div(phi,U) Gauss upwind;
+             div(phi,k) Gauss upwind; }
+laplacianSchemes { default Gauss linear orthogonal; }
+interpolationSchemes { default linear; }
+snGradSchemes { default orthogonal; }
+""")
+    _write(os.path.join(d, "system", "fvSolution"),
+           foamfile_header("dictionary", "fvSolution", "system"), """
+solvers
+{
+    p { solver PCG; preconditioner DIC; tolerance 1e-07; relTol 0.01; }
+    pFinal { solver PCG; preconditioner DIC; tolerance 1e-07; relTol 0; }
+    "(U|k)" { solver smoothSolver; smoother symGaussSeidel;
+              tolerance 1e-07; relTol 0; }
+    "(U|k)Final" { solver smoothSolver; smoother symGaussSeidel;
+                   tolerance 1e-07; relTol 0; }
+}
+PIMPLE { nOuterCorrectors 1; nCorrectors 2;
+         nNonOrthogonalCorrectors 0; momentumPredictor yes; }
+""")
+    _write(os.path.join(d, "constant", "transportProperties"),
+           foamfile_header("dictionary", "transportProperties", "constant"),
+           "\nnu              nu [0 2 -1 0 0 0 0] 1e-05;\n")
+    _write(os.path.join(d, "constant", "turbulenceProperties"),
+           foamfile_header("dictionary", "turbulenceProperties",
+                           "constant"), """
+simulationType  LES;
+LES
+{
+    LESModel        oneEqEddy;
+    turbulence      on;
+    oneEqEddyCoeffs { ck 0.094; ce 1.048; }
+}
+""")
+    _fv = lambda v: ("        type            fixedValue;\n"
+                     f"        value           uniform {v};\n")
+    _zg = "        type            zeroGradient;\n"
+    _em = "        type            empty;\n"
+    write_field(d, "0", "U", "volVectorField", "[0 1 -1 0 0 0 0]",
+                "uniform (2 0 0)", {
+                    "inlet": _fv("(2 0 0)"), "outlet": _zg,
+                    "walls": _fv("(0 0 0)"), "fb": _em})
+    write_field(d, "0", "p", "volScalarField", "[0 2 -2 0 0 0 0]",
+                "uniform 0", {"inlet": _zg, "outlet": _fv(0),
+                              "walls": _zg, "fb": _em})
+    write_field(d, "0", "k", "volScalarField", "[0 2 -2 0 0 0 0]",
+                "uniform 0.01", {
+                    "inlet": _fv(0.01), "outlet": _zg,
+                    "walls": _fv(1e-10), "fb": _em})
+    write_field(d, "0", "nut", "volScalarField", "[0 2 -1 0 0 0 0]",
+                "uniform 0", {"inlet": _zg, "outlet": _zg,
+                              "walls": _zg, "fb": _em})
+    L.Info.enabled = False
+    from rapidcfd_tpu.solvers import pimplefoam
+    case, U, p, phi, ts = pimplefoam.run(d, write=False)
+    L.Info.enabled = True
+    u = np.asarray(U.data)
+    k = np.asarray(ts["k"].data)
+    nut = np.asarray(ts["nut"].data)
+    assert np.isfinite(u).all() and np.isfinite(k).all()
+    assert (k > 0).all() and (nut >= 0).all()
+    # nuSgs = ck*sqrt(k)*delta produced
+    assert nut.max() > 1e-7
+    assert np.abs(u).max() < 10.0
