@@ -33,6 +33,8 @@ SOLVERS = {
     "twoLiquidMixingFoam": ("rapidcfd_tpu.solvers.interfoam",
                             {"mixing": True}),
     "buoyantBoussinesqSimpleFoam": ("rapidcfd_tpu.solvers.buoyantfoam", {}),
+    "buoyantBoussinesqPimpleFoam": ("rapidcfd_tpu.solvers.buoyantfoam",
+                                    {"transient": True}),
     "buoyantSimpleFoam": ("rapidcfd_tpu.solvers.buoyantsimplefoam", {}),
     "thermoFoam": ("rapidcfd_tpu.solvers.thermofoam", {}),
     "laplacianFoam": ("rapidcfd_tpu.solvers.basic",

@@ -22,7 +22,7 @@ from .field import VolField
 
 _BC_DATA_KEYS = ("value", "gradient", "refValue", "refGradient",
                  "valueFraction", "inletValue", "outletValue", "p0",
-                 "volumetricFlowRate")
+                 "volumetricFlowRate", "uniformValue", "freestreamValue")
 
 
 def _parse_value(entry, n: int, dtype):

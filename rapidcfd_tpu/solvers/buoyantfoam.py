@@ -130,7 +130,114 @@ def make_step(case: Case, transport, turb, simple: SimpleControl,
     return step
 
 
-def run(case_dir: str, write: bool = True, max_steps: int | None = None):
+def make_pimple_step(case: Case, transport, turb, ctrl, consts):
+    """Transient Boussinesq step (reference: heatTransfer/
+    buoyantBoussinesqPimpleFoam: TEqn.H/UEqn.H/pEqn.H with Euler ddt)."""
+    mesh = case.mesh
+    beta, t_ref, pr, prt, g = consts
+    div_u = case.div_scheme("div(phi,U)")
+    try:
+        div_t = case.div_scheme("div(phi,T)")
+    except KeyError:
+        div_t = div_u
+    lap_corr = case.laplacian_scheme()
+    ddt_scheme = case.ddt_scheme()
+    u_controls = case.solver_controls("U")
+    p_controls = case.solver_controls("p_rgh")
+    p_final = case.solver_controls("p_rgh", final=True)
+    t_controls = case.solver_controls("T")
+    n_outer = ctrl.n_outer
+    n_corr = ctrl.n_correctors
+    n_non_orth = ctrl.n_non_orth
+    p_ref_cell, p_ref_value = ctrl.p_ref_cell, ctrl.p_ref_value
+    ghf = (mesh.Cf * jnp.asarray(g, mesh.C.dtype)).sum(-1)
+
+    @jax.jit
+    def step(U: VolField, p_rgh: VolField, T: VolField,
+             phi: SurfaceField, turb_state, dt):
+        U = U.store_old()
+        T = T.store_old()
+        nu = transport.nu(mesh, U)
+        nu_eff = turb.nu_eff(mesh, turb_state, nu)
+        nut = turb.nut(turb_state)
+        nu_v = nu.value if isinstance(nu, Dimensioned) else nu.data
+        u_perf = t_perf = None
+        p_perf_all = []
+        for outer in range(n_outer):
+            # ---- TEqn.H
+            if nut is None:
+                alpha_eff = Dimensioned("alphaEff", dim_viscosity,
+                                        nu_v / pr)
+            else:
+                alpha_eff = nut.with_calculated_bcs(
+                    nu_v / pr + nut.data / prt,
+                    nu_v / pr + nut.bvalues / prt, dim_viscosity,
+                    "alphaEff")
+            TEqn = (fvm.ddt(mesh, T, dt, ddt_scheme)
+                    + fvm.div(mesh, phi, T, div_t)
+                    - fvm.laplacian(mesh, alpha_eff, T, lap_corr))
+            T, t_perf = solve(mesh, TEqn, t_controls)
+
+            rhok = T.with_calculated_bcs(
+                1.0 - beta * (T.data - t_ref),
+                1.0 - beta * (T.bvalues - t_ref), dimless, "rhok")
+
+            # ---- UEqn.H
+            UEqn = (fvm.ddt(mesh, U, dt, ddt_scheme)
+                    + fvm.div(mesh, phi, U, div_u)
+                    + div_dev_reff(mesh, nu_eff, U, lap_corr))
+            sng_rhok = fvc.sn_grad(mesh, rhok)
+            sng_prgh = fvc.sn_grad(mesh, p_rgh)
+            ff = (-ghf * sng_rhok.data - sng_prgh.data) * mesh.mag_sf
+            rhs = fvc.reconstruct(mesh, SurfaceField(
+                ff, p_rgh.dims / DimensionSet.of(0, 1)
+                * DimensionSet.of(0, 2), "ff"))
+            U, u_perf = solve(mesh, UEqn.equals(rhs), u_controls)
+
+            # ---- pEqn.H
+            for corr in range(n_corr):
+                UEqn_c = UEqn.replace(psi=U)
+                rAU = 1.0 / UEqn_c.A(mesh)
+                rAU_f = fvc.face_values(mesh, rAU)
+                HbyA = fvc.constrain_hbya(mesh, rAU * UEqn_c.H(mesh), U)
+                phig = (-rAU_f * ghf * fvc.sn_grad(mesh, rhok).data
+                        * mesh.mag_sf).at[mesh.n_internal:].set(0.0)
+                phi_hbya = SurfaceField(
+                    fvc.flux(mesh, HbyA).data + phig,
+                    fvc.flux(mesh, HbyA).dims, "phiHbyA")
+                phi_hbya = fvc.adjust_phi(mesh, phi_hbya, U)
+                for north in range(n_non_orth + 1):
+                    final = (outer == n_outer - 1
+                             and corr == n_corr - 1
+                             and north == n_non_orth)
+                    pEqn = fvm.laplacian(mesh, rAU, p_rgh, lap_corr) \
+                        == fvc.div(mesh, phi_hbya)
+                    pEqn = pEqn.set_reference(p_ref_cell, p_ref_value)
+                    p_rgh, p_perf = solve(
+                        mesh, pEqn, p_final if final else p_controls)
+                    p_perf_all.append(p_perf[0])
+                phi = phi_hbya - pEqn.replace(psi=p_rgh).flux(mesh)
+                flux_p = pEqn.replace(psi=p_rgh).flux(mesh)
+                corr_f = SurfaceField(
+                    (phig - flux_p.data) / jnp.maximum(rAU_f, 1e-300),
+                    phi.dims / rAU.dims, "corrF")
+                U_star = HbyA + rAU * fvc.reconstruct(mesh, corr_f)
+                U = U.replace(data=U_star.data) \
+                    .correct_boundary_conditions(mesh)
+            turb_state, turb_perf = turb.correct(mesh, turb_state, U,
+                                                 phi, nu, dt=dt)
+        local_err = gsum(jnp.abs(fvc.div(mesh, phi).data) * mesh.V)
+        glob_err = gsum(fvc.div(mesh, phi).data * mesh.V)
+        stats = dict(u_perf=u_perf, t_perf=t_perf,
+                     p_perf=tuple(p_perf_all),
+                     cont=(local_err, glob_err))
+        return U, p_rgh, T, phi, turb_state, stats
+
+    return step
+
+
+def run(case_dir: str, write: bool = True, max_steps: int | None = None,
+        transient: bool = False):
     case = Case(case_dir)
     mesh = case.mesh
     tp = case.transport_properties()
@@ -149,19 +256,30 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
     transport = SinglePhaseTransportModel(tp)
     turb = make_ras_model(case, U)
     turb_state = turb.init_state(U)
-    simple = SimpleControl(case)
-    step = make_step(case, transport, turb, simple,
-                     (beta, t_ref, pr, prt, g))
+    if transient:
+        from .controls import PimpleControl
+        ctrl = PimpleControl(case)
+        step = make_pimple_step(case, transport, turb, ctrl,
+                                (beta, t_ref, pr, prt, g))
+    else:
+        simple = SimpleControl(case)
+        step = make_step(case, transport, turb, simple,
+                         (beta, t_ref, pr, prt, g))
 
     timer = ExecutionTimer()
     cumulative_err = 0.0
     info("\nStarting time loop\n")
     n = 0
     initial_residuals = None
-    while simple.loop(initial_residuals):
+    while (case.time.loop() if transient
+           else simple.loop(initial_residuals)):
         info(f"Time = {case.time.name}\n")
-        U, p_rgh, T, phi, turb_state, stats = step(U, p_rgh, T, phi,
-                                                   turb_state)
+        if transient:
+            U, p_rgh, T, phi, turb_state, stats = step(
+                U, p_rgh, T, phi, turb_state, case.time.delta_t)
+        else:
+            U, p_rgh, T, phi, turb_state, stats = step(U, p_rgh, T, phi,
+                                                       turb_state)
         initial_residuals = {}
         for cmpt, perf in zip("xyz", stats["u_perf"]):
             log_solve(case.solver_controls("U").solver, f"U{cmpt}",

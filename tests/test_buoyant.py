@@ -113,3 +113,64 @@ def test_natural_convection_circulation(heated_cavity):
     cold_side = C[:, 0] > 0.8
     assert u[hot_side, 1].mean() > 1e-4
     assert u[cold_side, 1].mean() < -1e-4
+
+
+def test_boussinesq_pimple_transient(heated_cavity, tmp_path_factory):
+    """buoyantBoussinesqPimpleFoam: transient startup of the heated
+    cavity develops the same buoyant circulation."""
+    import shutil
+    src = heated_cavity[0] if isinstance(heated_cavity, tuple) \
+        else heated_cavity
+    d = str(tmp_path_factory.mktemp("buoyt"))
+    shutil.rmtree(d)
+    shutil.copytree(src, d)
+    for t in os.listdir(d):
+        if t not in ("0", "constant", "system") \
+                and os.path.isdir(os.path.join(d, t)):
+            shutil.rmtree(os.path.join(d, t))
+    _write(os.path.join(d, "system", "controlDict"),
+           foamfile_header("dictionary", "controlDict", "system"), """
+application buoyantBoussinesqPimpleFoam;
+startFrom startTime; startTime 0; stopAt endTime; endTime 2.0;
+deltaT 0.05; writeControl timeStep; writeInterval 1000;
+writeFormat ascii;
+""")
+    _write(os.path.join(d, "system", "fvSchemes"),
+           foamfile_header("dictionary", "fvSchemes", "system"), """
+ddtSchemes { default Euler; }
+gradSchemes { default Gauss linear; }
+divSchemes { default none; div(phi,U) Gauss upwind;
+             div(phi,T) Gauss upwind; }
+laplacianSchemes { default Gauss linear orthogonal; }
+interpolationSchemes { default linear; }
+snGradSchemes { default orthogonal; }
+""")
+    _write(os.path.join(d, "system", "fvSolution"),
+           foamfile_header("dictionary", "fvSolution", "system"), """
+solvers
+{
+    p_rgh { solver PCG; preconditioner DIC; tolerance 1e-08;
+            relTol 0.01; }
+    p_rghFinal { solver PCG; preconditioner DIC; tolerance 1e-08;
+                 relTol 0; }
+    "(U|T)" { solver smoothSolver; smoother symGaussSeidel;
+              tolerance 1e-08; relTol 0; }
+    "(U|T)Final" { solver smoothSolver; smoother symGaussSeidel;
+                   tolerance 1e-08; relTol 0; }
+}
+PIMPLE { nOuterCorrectors 1; nCorrectors 2;
+         nNonOrthogonalCorrectors 0; }
+""")
+    L.Info.enabled = False
+    from rapidcfd_tpu.solvers import buoyantfoam
+    case, U, p_rgh, T, phi, ts = buoyantfoam.run(d, write=False,
+                                                 transient=True)
+    L.Info.enabled = True
+    u = np.asarray(U.data)
+    t = np.asarray(T.data)
+    assert np.isfinite(u).all() and np.isfinite(t).all()
+    # buoyant rise at the hot wall after the startup transient
+    C = np.asarray(case.mesh.C)
+    hot = C[:, 0] < 0.1
+    assert u[hot, 1].max() > 1e-4
+    assert np.abs(u).max() < 5.0
