@@ -22,6 +22,9 @@ SOLVERS = {
     "shallowWaterFoam": ("rapidcfd_tpu.solvers.shallowwater", {}),
     "solidDisplacementFoam": ("rapidcfd_tpu.solvers.soliddisplacement",
                               {}),
+    "solidEquilibriumDisplacementFoam": (
+        "rapidcfd_tpu.solvers.soliddisplacement",
+        {"_fn": "run_equilibrium"}),
     "simpleFoam": ("rapidcfd_tpu.solvers.simplefoam", {}),
     "pimpleFoam": ("rapidcfd_tpu.solvers.pimplefoam", {}),
     "pisoFoam": ("rapidcfd_tpu.solvers.pimplefoam", {"piso_mode": True}),
@@ -36,6 +39,7 @@ SOLVERS = {
     "buoyantBoussinesqPimpleFoam": ("rapidcfd_tpu.solvers.buoyantfoam",
                                     {"transient": True}),
     "buoyantSimpleFoam": ("rapidcfd_tpu.solvers.buoyantsimplefoam", {}),
+    "buoyantPimpleFoam": ("rapidcfd_tpu.solvers.buoyantpimplefoam", {}),
     "thermoFoam": ("rapidcfd_tpu.solvers.thermofoam", {}),
     "laplacianFoam": ("rapidcfd_tpu.solvers.basic",
                       {"_fn": "run_laplacian_foam"}),
@@ -51,7 +55,7 @@ SOLVERS = {
 # reference is all-double). Override with -precision fp32.
 X64_DEFAULT = {
     "rhoSimpleFoam", "rhoPimpleFoam", "sonicFoam", "rhoCentralFoam",
-    "buoyantSimpleFoam", "thermoFoam",
+    "buoyantSimpleFoam", "buoyantPimpleFoam", "thermoFoam",
 }
 
 

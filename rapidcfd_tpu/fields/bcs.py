@@ -41,6 +41,13 @@ class BC:
     #: complement of the reference's fvPatchField::assignable(); used by
     #: constrainHbyA-style flux constraints)
     fixes_value = False
+    # True when the BC's action carries no dimensional data of its field
+    # (zeroGradient/symmetry/empty/wall-functions): such types survive
+    # with_calculated_bcs on DERIVED fields; value-carrying types
+    # (fixedValue, mixed, ...) must not — their stored data has the
+    # parent field's units (deriving rho from T must not impose T's
+    # Kelvin values as densities)
+    value_free = False
     # True when the BC pins the solution level (Dirichlet-like), removing
     # the Neumann nullspace — the reference's needReference predicate
     # (cfdTools/general/findRefCell). Distinct from fixes_value, which
@@ -95,6 +102,7 @@ def _zeros_like_patch(field, mesh, patch):
 @register("fvPatchField", "calculated")
 @dataclass(frozen=True)
 class Calculated(BC):
+    value_free = True
     """Explicitly-stored values; not usable as implicit coefficients
     (reference: basic/calculated errors in assembly the same way)."""
     preserves_type = False
@@ -134,6 +142,7 @@ class FixedValue(BC):
 @dataclass(frozen=True)
 class ZeroGradient(BC):
     preserves_type = True
+    value_free = True
 
     def evaluate(self, mesh, patch, field, bd, env=None):
         return field.patch_internal(mesh, patch)
@@ -152,6 +161,7 @@ class ZeroGradient(BC):
 class Empty(BC):
     """2D constraint patch: contributes nothing to assembly."""
     preserves_type = True
+    value_free = True
     assembles = False
 
     def evaluate(self, mesh, patch, field, bd, env=None):

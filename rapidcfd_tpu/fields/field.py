@@ -131,12 +131,15 @@ class VolField:
     def with_calculated_bcs(self, data, bvalues, dims,
                             name="") -> "VolField":
         from .bcs import Calculated
+        keep = tuple(bc.preserves_type
+                     and getattr(bc, "value_free", False)
+                     for bc in self.bcs)
         bcs = tuple(
-            bc if bc.preserves_type else Calculated(bc.patch)
-            for bc in self.bcs)
+            bc if k else Calculated(bc.patch)
+            for bc, k in zip(self.bcs, keep))
         return VolField(data, bvalues, bcs, dims, name or self.name,
-                        tuple(() if not b.preserves_type else d
-                              for b, d in zip(self.bcs, self.bcdata)),
+                        tuple(d if k else ()
+                              for k, d in zip(keep, self.bcdata)),
                         None)
 
     def store_old(self, levels: int = 1) -> "VolField":

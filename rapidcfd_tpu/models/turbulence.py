@@ -55,6 +55,7 @@ class NutkWallFunction(BC):
     """Turbulent-viscosity wall function from the log law using k
     (reference: nutkWallFunctionFvPatchScalarField)."""
     preserves_type = True
+    value_free = True
 
     def evaluate(self, mesh, patch, field, bd, env=None):
         if env is None or "k" not in env:

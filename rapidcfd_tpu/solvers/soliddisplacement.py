@@ -160,3 +160,109 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
             break
     info("End\n")
     return case, D, T
+
+
+def run_equilibrium(case_dir: str, write: bool = True,
+                    max_steps: int | None = None):
+    """solidEquilibriumDisplacementFoam — steady elasticity by
+    accumulated displacement corrections (reference: stressAnalysis/
+    solidEquilibriumDisplacementFoam/solidEquilibriumDisplacementFoam.C:
+    52-80): solve laplacian(2mu+lambda, Dcorr) == -div(sigmaExp+sigmaD),
+    D += accFac*Dcorr, with the explicit stress accumulators updated
+    from grad(Dcorr)."""
+    case = Case(case_dir)
+    mesh = case.mesh
+    mp = case.constant_dict("mechanicalProperties")
+    from ..utils.dictionary import Dictionary, ParseError
+
+    def _subdict(d, name):
+        try:
+            return d.subdict(name, required=False)
+        except ParseError:
+            return None
+
+    def prop(name):
+        sub = _subdict(mp, name)
+        if sub is not None:
+            return _scalar(sub, "value")
+        return _scalar(mp, name)
+
+    rho = prop("rho")
+    E = prop("E") / rho
+    nu = prop("nu")
+    if not 0.0 <= nu < 0.5:
+        raise ValueError(f"mechanicalProperties: Poisson ratio nu={nu} "
+                         f"must be in [0, 0.5) for linear elasticity")
+    mu = E / (2.0 * (1.0 + nu))
+    plane_stress = str(mp.word("planeStress", "no")) in ("yes", "on",
+                                                         "true")
+    if plane_stress:
+        lam = nu * E / ((1.0 + nu) * (1.0 - nu))
+    else:
+        lam = nu * E / ((1.0 + nu) * (1.0 - 2.0 * nu))
+
+    D = case.read_field("D")
+    if case.field_exists("Dcorr"):
+        Dcorr = case.read_field("Dcorr")
+    else:
+        # corrections use D's BC TYPES with zeroed data (the reference
+        # reads 0/Dcorr then zeroes it: createFields.H 'Dcorr *= 0.0')
+        zeroed = tuple(
+            {k: (v * 0 if hasattr(v, "dtype") else v)
+             for k, v in bd.items()} for bd in D.bcdata)
+        Dcorr = D.replace(name="Dcorr", data=D.data * 0,
+                          bvalues=D.bvalues * 0, bcdata=zeroed)
+    d_controls = case.solver_controls("Dcorr") \
+        if case.fv_solution.subdict("solvers").lookup("Dcorr") is not None \
+        else case.solver_controls("D")
+    lap_corr = case.laplacian_scheme()
+    sd = case.algo_dict("stressAnalysis") or Dictionary()
+    acc_fac = float(sd.scalar("accelerationFactor", 2.0))
+    conv_tol = float(sd.scalar("D", 1e-06))
+    _SPEC = DimensionSet.of(0, 2, -2)
+    gamma = Dimensioned("2mu+lambda", _SPEC, 2.0 * mu + lam)
+
+    @jax.jit
+    def step(D, Dcorr, sigma_exp, sigma_d):
+        expl = fvc._extrapolated(mesh, sigma_exp + sigma_d,
+                                 _SPEC, "sigmaTot")
+        rhs = fvc.div_tensor(mesh, expl)
+        DEqn = -fvm.laplacian(mesh, gamma, Dcorr, lap_corr)
+        Dcorr, perf = solve(mesh, DEqn.equals(rhs), d_controls)
+        D = D.replace(data=D.data + acc_fac * Dcorr.data,
+                      bvalues=D.bvalues + acc_fac * Dcorr.bvalues)
+        g = fvc.grad(mesh, Dcorr).data
+        gt = jnp.swapaxes(g, -1, -2)
+        tr = g[..., 0, 0] + g[..., 1, 1] + g[..., 2, 2]
+        eye = jnp.eye(3, dtype=g.dtype)
+        sigma_exp = (lam - mu) * g + mu * gt \
+            + lam * tr[..., None, None] * eye
+        sigma_d = sigma_d + acc_fac * (mu * (g + gt)
+                                       + lam * tr[..., None, None] * eye)
+        return D, Dcorr, sigma_exp, sigma_d, perf
+
+    n_c = mesh.n_cells
+    dtype = D.data.dtype
+    sigma_exp = jnp.zeros((n_c, 3, 3), dtype)
+    sigma_d = jnp.zeros((n_c, 3, 3), dtype)
+
+    timer = ExecutionTimer()
+    info("\nCalculating displacement field\n")
+    n = 0
+    while case.time.loop():
+        info(f"Iteration: {case.time.name}\n")
+        D, Dcorr, sigma_exp, sigma_d, perf = step(D, Dcorr, sigma_exp,
+                                                  sigma_d)
+        for cmpt, p in zip("xyz", perf):
+            log_solve(d_controls.solver, f"Dcorr{cmpt}", p[0], p[1], p[2])
+        timer.log()
+        if write and case.time.write_time():
+            case.write_fields([D])
+        n += 1
+        if max_steps and n >= max_steps:
+            break
+        if float(perf[0][0]) < conv_tol:
+            info("Converged\n")
+            break
+    info("End\n")
+    return case, D

@@ -181,3 +181,78 @@ solvers { h { solver PBiCGStab; preconditioner DILU;
     assert np.isfinite(t).all()
     assert t.max() > 301.0                    # wall heating reached cells
     assert (t >= 300.0 - 1e-6).all() and (t <= 400.0 + 1e-6).all()
+
+
+def test_buoyant_pimple_transient_cavity(tmp_path_factory):
+    """buoyantPimpleFoam: transient startup of the heated closed cavity
+    stays bounded and develops rising flow at the hot wall."""
+    d = str(tmp_path_factory.mktemp("bpf"))
+    mesh = box_mesh(12, 12, 1, size=(0.1, 0.1, 0.01), patch_spec={
+        "xmin": ("hot", "wall"), "xmax": ("cold", "wall"),
+        "ymin": ("floor", "wall"), "ymax": ("ceiling", "wall"),
+        "zmin": ("fb", "empty"), "zmax": ("fb", "empty")})
+    write_polymesh(mesh, d)
+    _write(os.path.join(d, "system", "controlDict"),
+           foamfile_header("dictionary", "controlDict", "system"), """
+application buoyantPimpleFoam; startFrom startTime; startTime 0;
+stopAt endTime; endTime 0.2; deltaT 0.005;
+writeControl timeStep; writeInterval 1000; writeFormat ascii;
+""")
+    _write(os.path.join(d, "system", "fvSchemes"),
+           foamfile_header("dictionary", "fvSchemes", "system"), """
+ddtSchemes { default Euler; }
+gradSchemes { default Gauss linear; }
+divSchemes { default none; div(phi,U) Gauss upwind;
+             div(phi,h) Gauss upwind; div(phi,K) Gauss upwind; }
+laplacianSchemes { default Gauss linear orthogonal; }
+interpolationSchemes { default linear; }
+snGradSchemes { default orthogonal; }
+""")
+    _write(os.path.join(d, "system", "fvSolution"),
+           foamfile_header("dictionary", "fvSolution", "system"), """
+solvers
+{
+    p_rgh { solver PCG; preconditioner DIC; tolerance 1e-08;
+            relTol 0.01; }
+    p_rghFinal { solver PCG; preconditioner DIC; tolerance 1e-08;
+                 relTol 0; }
+    "(U|h)" { solver smoothSolver; smoother symGaussSeidel;
+              tolerance 1e-08; relTol 0; }
+    "(U|h)Final" { solver smoothSolver; smoother symGaussSeidel;
+                   tolerance 1e-08; relTol 0; }
+}
+PIMPLE { nOuterCorrectors 1; nCorrectors 2;
+         nNonOrthogonalCorrectors 0; }
+""")
+    _write(os.path.join(d, "constant", "thermophysicalProperties"),
+           foamfile_header("dictionary", "thermophysicalProperties",
+                           "constant"), _THERMO)
+    _write(os.path.join(d, "constant", "g"),
+           foamfile_header("uniformDimensionedVectorField", "g",
+                           "constant"),
+           "\ndimensions      [0 1 -2 0 0 0 0];\nvalue           "
+           "(0 -9.81 0);\n")
+    walls = {"hot": _fv(320), "cold": _fv(280),
+             "floor": _ZG, "ceiling": _ZG, "fb": _EMPTY}
+    write_field(d, "0", "T", "volScalarField", "[0 0 0 1 0 0 0]",
+                "uniform 300", walls)
+    uw = {k: (_fv("(0 0 0)") if k != "fb" else _EMPTY) for k in walls}
+    write_field(d, "0", "U", "volVectorField", "[0 1 -1 0 0 0 0]",
+                "uniform (0 0 0)", uw)
+    zgs = {k: (_ZG if k != "fb" else _EMPTY) for k in walls}
+    write_field(d, "0", "p_rgh", "volScalarField", "[1 -1 -2 0 0 0 0]",
+                "uniform 100000", zgs)
+    write_field(d, "0", "p", "volScalarField", "[1 -1 -2 0 0 0 0]",
+                "uniform 100000", zgs)
+    L.Info.enabled = False
+    from rapidcfd_tpu.solvers.buoyantpimplefoam import run
+    case, U, p_rgh, T, p, rho, phi = run(d, write=False)
+    L.Info.enabled = True
+    u = np.asarray(U.data)
+    t = np.asarray(T.data)
+    assert np.isfinite(u).all() and np.isfinite(t).all()
+    assert (279.9 <= t).all() and (t <= 320.1).all()
+    C = np.asarray(case.mesh.C)
+    hot_side = C[:, 0] < 0.02
+    assert u[hot_side, 1].max() > 1e-4      # buoyant rise
+    assert np.abs(u).max() < 2.0

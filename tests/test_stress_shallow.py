@@ -151,3 +151,69 @@ planeStress     yes;
     # linear axial stretch: Dx = 0.001 * x (nu=0 -> pure 1D)
     assert np.allclose(dd[:, 0], 0.001 * x, atol=5e-5)
     assert np.abs(dd[:, 1]).max() < 1e-4
+
+
+def test_solid_equilibrium_displacement_bar(tmp_path_factory):
+    """solidEquilibriumDisplacementFoam: a single displacement-driven
+    correction (accFac=1) reproduces the elastostatic stretch; further
+    zero-correction iterations leave it unchanged (traction-correction
+    BCs deferred)."""
+    d = str(tmp_path_factory.mktemp("bareq"))
+    mesh = box_mesh(20, 4, 1, size=(1.0, 0.1, 0.02), patch_spec={
+        "xmin": ("fixed", "patch"), "xmax": ("pulled", "patch"),
+        "ymin": ("free", "patch"), "ymax": ("free", "patch"),
+        "zmin": ("fb", "empty"), "zmax": ("fb", "empty")})
+    write_polymesh(mesh, d)
+    _write(os.path.join(d, "system", "controlDict"),
+           foamfile_header("dictionary", "controlDict", "system"), """
+application solidEquilibriumDisplacementFoam;
+startFrom startTime; startTime 0; stopAt endTime; endTime 1; deltaT 1;
+writeControl timeStep; writeInterval 1000; writeFormat ascii;
+""")
+    _write(os.path.join(d, "system", "fvSchemes"),
+           foamfile_header("dictionary", "fvSchemes", "system"), """
+ddtSchemes { default Euler; } d2dt2Schemes { default Euler; }
+gradSchemes { default Gauss linear; }
+divSchemes { default none; div(sigmaD) Gauss linear; }
+laplacianSchemes { default Gauss linear corrected; }
+interpolationSchemes { default linear; }
+snGradSchemes { default corrected; }
+""")
+    _write(os.path.join(d, "system", "fvSolution"),
+           foamfile_header("dictionary", "fvSolution", "system"), """
+solvers
+{
+    D { solver PCG; preconditioner DIC; tolerance 1e-09; relTol 0; }
+}
+stressAnalysis { accelerationFactor 1.0; D 1e-10; }
+""")
+    _write(os.path.join(d, "constant", "mechanicalProperties"),
+           foamfile_header("dictionary", "mechanicalProperties",
+                           "constant"), """
+rho rho [1 -3 0 0 0 0 0] 7854;
+E E [1 -1 -2 0 0 0 0] 2e11;
+nu nu [0 0 0 0 0 0 0] 0.0;
+planeStress yes;
+""")
+    _fv = lambda v: ("        type            fixedValue;\n"
+                     f"        value           uniform {v};\n")
+    _zg = "        type            zeroGradient;\n"
+    write_field(d, "0", "D", "volVectorField", "[0 1 0 0 0 0 0]",
+                "uniform (0 0 0)", {
+                    "fixed": _fv("(0 0 0)"), "pulled": _fv("(0 0 0)"),
+                    "free": _zg,
+                    "fb": "        type            empty;\n"})
+    write_field(d, "0", "Dcorr", "volVectorField", "[0 1 0 0 0 0 0]",
+                "uniform (0 0 0)", {
+                    "fixed": _fv("(0 0 0)"),
+                    "pulled": _fv("(0.001 0 0)"),
+                    "free": _zg,
+                    "fb": "        type            empty;\n"})
+    L.Info.enabled = False
+    from rapidcfd_tpu.solvers.soliddisplacement import run_equilibrium
+    case, D = run_equilibrium(d, write=False, max_steps=1)
+    L.Info.enabled = True
+    dd = np.asarray(D.data)
+    assert np.isfinite(dd).all()
+    x = np.asarray(case.mesh.C)[:, 0]
+    assert np.allclose(dd[:, 0], 0.001 * x, atol=5e-5)
