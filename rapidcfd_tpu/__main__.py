@@ -35,6 +35,8 @@ SOLVERS = {
     "interFoam": ("rapidcfd_tpu.solvers.interfoam", {}),
     "twoLiquidMixingFoam": ("rapidcfd_tpu.solvers.interfoam",
                             {"mixing": True}),
+    "interPhaseChangeFoam": ("rapidcfd_tpu.solvers.interphasechangefoam",
+                             {}),
     "buoyantBoussinesqSimpleFoam": ("rapidcfd_tpu.solvers.buoyantfoam", {}),
     "buoyantBoussinesqPimpleFoam": ("rapidcfd_tpu.solvers.buoyantfoam",
                                     {"transient": True}),

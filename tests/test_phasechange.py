@@ -1,0 +1,111 @@
+"""interPhaseChangeFoam (SchnerrSauer cavitation)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rapidcfd_tpu.mesh.polymesh import write_polymesh
+from rapidcfd_tpu.utils import logging as L
+from rapidcfd_tpu.utils.casegen import _write, box_mesh, write_field
+from rapidcfd_tpu.utils.dictionary import foamfile_header
+
+_EMPTY = "        type            empty;\n"
+_ZG = "        type            zeroGradient;\n"
+
+
+def _fv(v):
+    return ("        type            fixedValue;\n"
+            f"        value           uniform {v};\n")
+
+
+def test_cavitating_channel(tmp_path_factory):
+    """Liquid channel discharging into a below-vapour-pressure outlet:
+    vapour forms near the outlet (alpha1 < 1), everything bounded."""
+    d = str(tmp_path_factory.mktemp("cav"))
+    mesh = box_mesh(30, 6, 1, size=(0.1, 0.02, 0.005), patch_spec={
+        "xmin": ("inlet", "patch"), "xmax": ("outlet", "patch"),
+        "ymin": ("walls", "wall"), "ymax": ("walls", "wall"),
+        "zmin": ("fb", "empty"), "zmax": ("fb", "empty")})
+    write_polymesh(mesh, d)
+    _write(os.path.join(d, "system", "controlDict"),
+           foamfile_header("dictionary", "controlDict", "system"), """
+application interPhaseChangeFoam; startFrom startTime; startTime 0;
+stopAt endTime; endTime 0.002; deltaT 5e-05;
+writeControl timeStep; writeInterval 1000; writeFormat ascii;
+""")
+    _write(os.path.join(d, "system", "fvSchemes"),
+           foamfile_header("dictionary", "fvSchemes", "system"), """
+ddtSchemes { default Euler; }
+gradSchemes { default Gauss linear; }
+divSchemes { default none; div(phi,alpha) Gauss vanLeer;
+             div(rhoPhi,U) Gauss upwind; }
+laplacianSchemes { default Gauss linear orthogonal; }
+interpolationSchemes { default linear; }
+snGradSchemes { default orthogonal; }
+""")
+    _write(os.path.join(d, "system", "fvSolution"),
+           foamfile_header("dictionary", "fvSolution", "system"), """
+solvers
+{
+    alpha1 { solver PBiCGStab; preconditioner DILU; tolerance 1e-10;
+             relTol 0; }
+    p_rgh { solver PCG; preconditioner DIC; tolerance 1e-08;
+            relTol 0.01; }
+    p_rghFinal { solver PCG; preconditioner DIC; tolerance 1e-08;
+                 relTol 0; }
+    U { solver smoothSolver; smoother symGaussSeidel; tolerance 1e-07;
+        relTol 0; }
+}
+PIMPLE { nOuterCorrectors 1; nCorrectors 2;
+         nNonOrthogonalCorrectors 0; }
+""")
+    _write(os.path.join(d, "constant", "transportProperties"),
+           foamfile_header("dictionary", "transportProperties",
+                           "constant"), """
+phases (water vapour);
+phase1 { rho rho [1 -3 0 0 0 0 0] 1000; nu nu [0 2 -1 0 0 0 0] 9e-07; }
+phase2 { rho rho [1 -3 0 0 0 0 0] 0.02; nu nu [0 2 -1 0 0 0 0] 4e-05; }
+sigma           sigma [1 0 -2 0 0 0 0] 0.07;
+phaseChangeTwoPhaseMixture SchnerrSauer;
+pSat            pSat [1 -1 -2 0 0 0 0] 2300;
+SchnerrSauerCoeffs
+{
+    n               n [0 -3 0 0 0 0 0] 1.6e+13;
+    dNuc            dNuc [0 1 0 0 0 0 0] 2e-06;
+    Cc              Cc [0 0 0 0 0 0 0] 1;
+    Cv              Cv [0 0 0 0 0 0 0] 1;
+}
+""")
+    _write(os.path.join(d, "constant", "g"),
+           foamfile_header("uniformDimensionedVectorField", "g",
+                           "constant"),
+           "\ndimensions      [0 1 -2 0 0 0 0];\nvalue           "
+           "(0 0 0);\n")
+    write_field(d, "0", "alpha1", "volScalarField", "[0 0 0 0 0 0 0]",
+                "uniform 1", {"inlet": _fv(1), "outlet": _ZG,
+                              "walls": _ZG, "fb": _EMPTY})
+    write_field(d, "0", "U", "volVectorField", "[0 1 -1 0 0 0 0]",
+                "uniform (5 0 0)", {
+                    "inlet": _fv("(5 0 0)"), "outlet": _ZG,
+                    "walls": _fv("(0 0 0)"), "fb": _EMPTY})
+    write_field(d, "0", "p_rgh", "volScalarField", "[1 -1 -2 0 0 0 0]",
+                "uniform 1000", {
+                    "inlet": _ZG, "outlet": _fv(1000),
+                    "walls": _ZG, "fb": _EMPTY})
+    L.Info.enabled = False
+    from rapidcfd_tpu.solvers.interphasechangefoam import run
+    case, alpha, U, p_rgh, phi = run(d, write=False)
+    L.Info.enabled = True
+    a = np.asarray(alpha.data)
+    u = np.asarray(U.data)
+    pr = np.asarray(p_rgh.data)
+    assert np.isfinite(a).all() and np.isfinite(u).all()
+    assert np.isfinite(pr).all()
+    assert (a >= -1e-9).all() and (a <= 1.0 + 1e-9).all()
+    # vapour was produced where p < pSat (outlet at 1000 < pSat 2300)
+    assert a.min() < 0.9999
+    vap_frac = float(((1.0 - a) * np.asarray(case.mesh.V)).sum()
+                     / np.asarray(case.mesh.V).sum())
+    assert vap_frac > 1e-7
+    assert np.abs(u).max() < 100.0
