@@ -126,12 +126,82 @@ def dev_transpose_grad(mesh: MeshArrays, U: VolField) -> VolField:
                                  f"devT(grad({U.name}))")
 
 
+_LSQ_CACHE: dict = {}
+
+
+def _lsq_vectors(mesh: MeshArrays):
+    """Per-ELL-slot least-squares gradient vectors (reference:
+    gradSchemes/leastSquaresGrad/leastSquaresVectors.C:54-130):
+    v_k = w_k * G^-1 d_k with w_k = 1/|d_k|^2 and
+    G = sum_k w_k d_k d_k^T over internal neighbours AND boundary faces.
+    Host numpy, cached per mesh; trace-safe (stored as numpy)."""
+    import numpy as np
+    key = id(mesh.ell_coeff_idx)
+    if key in _LSQ_CACHE:
+        return _LSQ_CACHE[key]
+    try:
+        nbr = np.asarray(mesh.cell_nbr)
+        sign = np.asarray(mesh.cell_sign)
+        internal = np.asarray(mesh.internal_mask)
+        faces = np.asarray(mesh.cell_faces)
+        C = np.asarray(mesh.C)
+        Cf = np.asarray(mesh.Cf)
+    except Exception:
+        _LSQ_CACHE[key] = None
+        return None                     # traced mesh: fall back to Gauss
+    n, K = nbr.shape
+    active = sign != 0.0
+    d = np.where((internal > 0.5)[..., None],
+                 C[nbr] - C[:, None, :],
+                 Cf[faces] - C[:, None, :])
+    d = np.where(active[..., None], d, 0.0)
+    dd = (d * d).sum(-1)
+    w = np.where(active, 1.0 / np.maximum(dd, 1e-300), 0.0)
+    G = np.einsum("nk,nki,nkj->nij", w, d, d)
+    # 2D meshes: regularize the empty direction
+    tr = np.trace(G, axis1=1, axis2=2)
+    G = G + 1e-12 * tr[:, None, None] * np.eye(3)
+    Ginv = np.linalg.inv(G)
+    v = w[..., None] * np.einsum("nij,nkj->nki", Ginv, d)
+    info = dict(v=v.astype(np.float64),
+                bidx=np.maximum(faces - mesh.n_internal, 0))
+    _LSQ_CACHE[key] = info
+    return info
+
+
+def grad_least_squares(mesh: MeshArrays, vf: VolField) -> VolField:
+    """Least-squares gradient (reference: leastSquaresGrad.C:51-107):
+    grad = sum_k v_k (psi_k - psi_c) over neighbours and boundary
+    faces — second-order on arbitrary meshes."""
+    from ..parallel.hooks import halo
+    info = _lsq_vectors(mesh)
+    if info is None:
+        return grad(mesh, vf, "linear")
+    v = jnp.asarray(info["v"], vf.data.dtype)            # (n, K, 3)
+    psi_n = jnp.take(halo(vf.data), mesh.cell_nbr, axis=0)
+    psi_b = jnp.take(vf.bvalues, jnp.asarray(info["bidx"]), axis=0)
+    im = mesh.internal_mask
+    psi_k = _ext(im, psi_n) * psi_n + _ext(1.0 - im, psi_b) * psi_b
+    dpsi = psi_k - (vf.data[:, None, :] if vf.data.ndim > 1
+                    else vf.data[:, None])
+    if vf.data.ndim == 1:
+        data = (v * dpsi[..., None]).sum(1)              # (n, 3)
+    else:
+        data = (v[..., None] * dpsi[:, :, None, :]).sum(1)  # (n, 3, r)
+    g = _extrapolated(mesh, data, vf.dims / dim_length,
+                      f"grad({vf.name})")
+    return _grad_correct_boundary(mesh, g, vf)
+
+
 def grad(mesh: MeshArrays, vf: VolField, scheme: str = "linear") -> VolField:
     """Gauss gradient with boundary normal-gradient correction (reference:
     gradSchemes/gaussGrad/gaussGrad.C:51-101 + correctBoundaryConditions).
 
     scalar -> vector; vector -> tensor with (grad U)[i,j] = dU_j/dx_i.
+    'leastSquares' dispatches to the least-squares form.
     """
+    if scheme == "leastSquares":
+        return grad_least_squares(mesh, vf)
     fv = face_values(mesh, vf, scheme)
     if fv.ndim == 1:
         face_term = mesh.Sf * fv[:, None]                  # (nF, 3)

@@ -360,6 +360,131 @@ def _write_derived(case, name, vf):
     case.write_fields([vf.replace(name=name)])
 
 
+@register("functionObject", "surfaces")
+class SampledSurfaces(FunctionObject):
+    """Surface sampling (reference: sampling/sampledSurface/
+    sampledSurfaces): 'patch' surfaces write the exact patch geometry
+    and face values; 'plane' surfaces sample a triangulated cutting
+    plane by nearest cell. Writer: legacy-ascii VTK polydata."""
+
+    def __init__(self, name, d, case):
+        super().__init__(name, d, case)
+        self.field_names = [str(w) for w in d.lookup("fields",
+                                                     required=True)]
+        self.interval = int(d.scalar("outputInterval", 1))
+        self._count = 0
+        self.surfaces = []
+        surf_d = d.subdict("surfaces", required=False) or Dictionary()
+        mesh = case.mesh
+        pmesh = case.pmesh
+        for sname, sd in surf_d.items():
+            if not isinstance(sd, Dictionary):
+                continue
+            typ = str(sd.word("type", "patch"))
+            if typ in ("patch", "patchInternalField"):
+                pname = str(sd.word("patchName",
+                                    sd.word("patches", "")) or "")
+                patch = next((p for p in mesh.patches
+                              if p.name == pname), None)
+                if patch is None:
+                    info(f"surfaces: unknown patch '{pname}' — skipped")
+                    continue
+                # exact patch polygons from the polyMesh
+                fp, off = pmesh.face_points, pmesh.face_offsets
+                polys = [fp[off[f]:off[f + 1]].tolist()
+                         for f in range(patch.start,
+                                        patch.start + patch.size)]
+                self.surfaces.append(("patch", str(sname), patch, polys,
+                                      np.asarray(pmesh.points)))
+            elif typ == "plane":
+                pd = sd.subdict("planeDesc", required=False) or sd
+                base = np.asarray(pd.lookup("basePoint", required=True),
+                                  dtype=float)
+                normal = np.asarray(pd.lookup("normalVector",
+                                              required=True), dtype=float)
+                normal = normal / np.linalg.norm(normal)
+                n_u = int(sd.scalar("nPoints", 40))
+                # orthonormal in-plane basis
+                a = np.array([1.0, 0, 0]) \
+                    if abs(normal[0]) < 0.9 else np.array([0, 1.0, 0])
+                e1 = np.cross(normal, a)
+                e1 /= np.linalg.norm(e1)
+                e2 = np.cross(normal, e1)
+                C = np.asarray(case.mesh.C)
+                ext = (C - base) - np.outer((C - base) @ normal, normal)
+                r1 = (ext @ e1).max() - (ext @ e1).min()
+                r2 = (ext @ e2).max() - (ext @ e2).min()
+                u = np.linspace((ext @ e1).min(), (ext @ e1).max(), n_u)
+                w = np.linspace((ext @ e2).min(), (ext @ e2).max(), n_u)
+                uu, ww = np.meshgrid(u, w)
+                pts = base[None, :] + uu.reshape(-1, 1) * e1 \
+                    + ww.reshape(-1, 1) * e2
+                cells = np.argmin(
+                    ((C[None, :, :] - pts[:, None, :]) ** 2).sum(-1),
+                    axis=1)
+                # quad connectivity on the structured grid
+                quads = []
+                for j in range(n_u - 1):
+                    for i in range(n_u - 1):
+                        p0 = j * n_u + i
+                        quads.append([p0, p0 + 1, p0 + n_u + 1, p0 + n_u])
+                self.surfaces.append(("plane", str(sname), cells, quads,
+                                      pts))
+            else:
+                info(f"surfaces: unsupported type '{typ}' — skipped")
+
+    def _write_vtk(self, path, points, polys, cell_data: dict):
+        with open(path, "w") as f:
+            f.write("# vtk DataFile Version 2.0\n"
+                    "rapidcfd_tpu sampled surface\nASCII\n"
+                    "DATASET POLYDATA\n")
+            f.write(f"POINTS {len(points)} float\n")
+            for p in points:
+                f.write(f"{p[0]:.8g} {p[1]:.8g} {p[2]:.8g}\n")
+            sz = sum(len(pl) + 1 for pl in polys)
+            f.write(f"POLYGONS {len(polys)} {sz}\n")
+            for pl in polys:
+                f.write(str(len(pl)) + " "
+                        + " ".join(str(int(x)) for x in pl) + "\n")
+            f.write(f"CELL_DATA {len(polys)}\n")
+            for fname, vals in cell_data.items():
+                if vals.ndim > 1:
+                    f.write(f"VECTORS {fname} float\n")
+                    for v in vals:
+                        f.write(f"{v[0]:.8g} {v[1]:.8g} {v[2]:.8g}\n")
+                else:
+                    f.write(f"SCALARS {fname} float 1\n"
+                            "LOOKUP_TABLE default\n")
+                    for v in vals:
+                        f.write(f"{v:.8g}\n")
+
+    def execute(self, time, fields, mesh):
+        self._count += 1
+        if self._count % self.interval:
+            return
+        for kind, sname, sel, polys, pts in self.surfaces:
+            cell_data = {}
+            for fname in self.field_names:
+                if fname not in fields:
+                    continue
+                fld = fields[fname]
+                if kind == "patch":
+                    patch = sel
+                    bsl = slice(patch.bstart, patch.bstart + patch.size)
+                    cell_data[fname] = np.asarray(fld.bvalues[bsl])
+                else:
+                    vals = np.asarray(fld.data)[sel]
+                    # face value = mean of its 4 corner samples
+                    q = np.asarray(polys)
+                    cell_data[fname] = vals[q].mean(axis=1)
+            if not cell_data:
+                continue
+            out = os.path.join(self.out_dir, f"{time:g}")
+            os.makedirs(out, exist_ok=True)
+            self._write_vtk(os.path.join(out, f"{sname}.vtk"),
+                            np.asarray(pts), polys, cell_data)
+
+
 @register("functionObject", "vorticity")
 class Vorticity(FunctionObject):
     """curl(U) written at write times (reference:

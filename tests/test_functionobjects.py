@@ -138,3 +138,40 @@ def test_wall_utilities(fo_run):
     wss = open(os.path.join(d, "postProcessing", "wss", "0",
                             "wallShearStress.dat")).read().strip()
     assert "lowerWall" in wss and "upperWall" in wss
+
+
+def test_sampled_surfaces(tmp_path_factory):
+    """surfaces FO: patch geometry + plane cut written as VTK polydata."""
+    d = str(tmp_path_factory.mktemp("surf"))
+    pitz_daily_case(d, end_time=3)
+    with open(os.path.join(d, "system", "controlDict"), "a") as f:
+        f.write("""
+functions
+{
+    surf
+    {
+        type surfaces;
+        fields (U p);
+        surfaces
+        {
+            lower { type patch; patchName lowerWall; }
+            cut   { type plane; nPoints 20;
+                    basePoint (0.1 0 0); normalVector (1 0 0); }
+        }
+    }
+}
+""")
+    L.Info.enabled = False
+    from rapidcfd_tpu.solvers import simplefoam
+    simplefoam.run(d, write=False)
+    L.Info.enabled = True
+    base = os.path.join(d, "postProcessing", "surf", "0")
+    tdirs = sorted(os.listdir(base), key=float)
+    vtk = open(os.path.join(base, tdirs[-1], "lower.vtk")).read()
+    assert "DATASET POLYDATA" in vtk and "VECTORS U float" in vtk
+    assert "SCALARS p float 1" in vtk
+    npolys = int([ln for ln in vtk.split("\n")
+                  if ln.startswith("POLYGONS")][0].split()[1])
+    assert npolys > 50                    # lowerWall face count
+    cut = open(os.path.join(base, tdirs[-1], "cut.vtk")).read()
+    assert "POLYGONS 361" in cut          # 19x19 quads

@@ -211,3 +211,24 @@ def test_relax_and_set_reference(cav):
     A, b = _dense(mz, ma)
     sol = np.linalg.solve(A, b)
     assert np.abs(sol).max() < 1e-9
+
+
+def test_least_squares_grad_exact_linear(cav):
+    """leastSquares gradient is exact for a linear field (second-order on
+    arbitrary meshes; reference: leastSquaresGrad)."""
+    import jax.numpy as jnp
+    from rapidcfd_tpu.fields.bcs import Calculated
+    from rapidcfd_tpu.fields.field import VolField
+    from rapidcfd_tpu.ops import fvc
+    from rapidcfd_tpu.utils.dimensions import dimless
+    _, mesh, _ = cav
+    a = jnp.asarray([1.5, -2.0, 0.0])
+    lin = (mesh.C * a).sum(-1)
+    lin_b = (mesh.Cf[mesh.n_internal:] * a).sum(-1)
+    f = VolField(lin, lin_b,
+                 tuple(Calculated(i) for i in range(len(mesh.patches))),
+                 dimless, "lin", tuple({} for _ in mesh.patches))
+    g = fvc.grad(mesh, f, "leastSquares")
+    import numpy as np
+    err = np.abs(np.asarray(g.data) - np.asarray(a)).max()
+    assert err < 1e-8
