@@ -37,6 +37,7 @@ SOLVERS = {
                             {"mixing": True}),
     "interPhaseChangeFoam": ("rapidcfd_tpu.solvers.interphasechangefoam",
                              {}),
+    "cavitatingFoam": ("rapidcfd_tpu.solvers.cavitatingfoam", {}),
     "buoyantBoussinesqSimpleFoam": ("rapidcfd_tpu.solvers.buoyantfoam", {}),
     "buoyantBoussinesqPimpleFoam": ("rapidcfd_tpu.solvers.buoyantfoam",
                                     {"transient": True}),

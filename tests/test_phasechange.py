@@ -109,3 +109,84 @@ SchnerrSauerCoeffs
                      / np.asarray(case.mesh.V).sum())
     assert vap_frac > 1e-7
     assert np.abs(u).max() < 100.0
+
+
+def test_cavitating_foam_expansion(tmp_path_factory):
+    """cavitatingFoam: liquid accelerating into a low-pressure outlet
+    flashes to vapour via the barotropic relation; rho/alphav bounded."""
+    d = str(tmp_path_factory.mktemp("bcav"))
+    mesh = box_mesh(40, 4, 1, size=(0.04, 0.004, 0.001), patch_spec={
+        "xmin": ("inlet", "patch"), "xmax": ("outlet", "patch"),
+        "ymin": ("walls", "wall"), "ymax": ("walls", "wall"),
+        "zmin": ("fb", "empty"), "zmax": ("fb", "empty")})
+    write_polymesh(mesh, d)
+    _write(os.path.join(d, "system", "controlDict"),
+           foamfile_header("dictionary", "controlDict", "system"), """
+application cavitatingFoam; startFrom startTime; startTime 0;
+stopAt endTime; endTime 0.0002; deltaT 2e-06;
+writeControl timeStep; writeInterval 1000; writeFormat ascii;
+""")
+    _write(os.path.join(d, "system", "fvSchemes"),
+           foamfile_header("dictionary", "fvSchemes", "system"), """
+ddtSchemes { default Euler; }
+gradSchemes { default Gauss linear; }
+divSchemes { default none; div(phi,rho) Gauss upwind;
+             div(rhoPhi,U) Gauss upwind; }
+laplacianSchemes { default Gauss linear orthogonal; }
+interpolationSchemes { default linear; }
+snGradSchemes { default orthogonal; }
+""")
+    _write(os.path.join(d, "system", "fvSolution"),
+           foamfile_header("dictionary", "fvSolution", "system"), """
+solvers
+{
+    rho { solver PBiCGStab; preconditioner DILU; tolerance 1e-08;
+          relTol 0; }
+    p { solver PCG; preconditioner DIC; tolerance 1e-08; relTol 0.01; }
+    pFinal { solver PCG; preconditioner DIC; tolerance 1e-08; relTol 0; }
+    U { solver smoothSolver; smoother symGaussSeidel; tolerance 1e-07;
+        relTol 0; }
+}
+PIMPLE { nOuterCorrectors 2; nCorrectors 1;
+         nNonOrthogonalCorrectors 0; }
+""")
+    _write(os.path.join(d, "constant", "thermodynamicProperties"),
+           foamfile_header("dictionary", "thermodynamicProperties",
+                           "constant"), """
+psil            psil [0 -2 2 0 0] 4.54e-07;
+rholSat         rholSat [1 -3 0 0 0] 830;
+psiv            psiv [0 -2 2 0 0] 2.5e-06;
+pSat            pSat [1 -1 -2 0 0] 4500;
+rhoMin          rhoMin [1 -3 0 0 0] 0.001;
+""")
+    _write(os.path.join(d, "constant", "transportProperties"),
+           foamfile_header("dictionary", "transportProperties",
+                           "constant"), """
+phases (liquid vapour);
+phase1 { rho rho [1 -3 0 0 0 0 0] 830; nu nu [0 2 -1 0 0 0 0] 7.8e-06; }
+phase2 { rho rho [1 -3 0 0 0 0 0] 0.02; nu nu [0 2 -1 0 0 0 0] 4e-05; }
+sigma           sigma [1 0 -2 0 0 0 0] 0;
+""")
+    write_field(d, "0", "p", "volScalarField", "[1 -1 -2 0 0 0 0]",
+                "uniform 100000", {
+                    "inlet": _fv(300000), "outlet": _fv(3000),
+                    "walls": _ZG, "fb": _EMPTY})
+    write_field(d, "0", "U", "volVectorField", "[0 1 -1 0 0 0 0]",
+                "uniform (0 0 0)", {
+                    "inlet": _ZG, "outlet": _ZG,
+                    "walls": _fv("(0 0 0)"), "fb": _EMPTY})
+    L.Info.enabled = False
+    from rapidcfd_tpu.solvers.cavitatingfoam import run
+    case, p, U, rho, phi = run(d, write=False)
+    L.Info.enabled = True
+    pr = np.asarray(p.data)
+    r = np.asarray(rho.data)
+    u = np.asarray(U.data)
+    assert np.isfinite(pr).all() and np.isfinite(r).all()
+    assert np.isfinite(u).all()
+    assert (r >= 0.001 - 1e-12).all()
+    av = np.clip((r - 830.0) / (2.5e-6 * 4500 - 830.0), 0.0, 1.0)
+    assert (av >= 0).all() and (av <= 1).all()
+    # vapour forms near the low-pressure outlet
+    assert av.max() > 1e-4
+    assert np.abs(u).max() < 500.0
