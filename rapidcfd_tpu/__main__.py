@@ -38,6 +38,9 @@ SOLVERS = {
     "interPhaseChangeFoam": ("rapidcfd_tpu.solvers.interphasechangefoam",
                              {}),
     "cavitatingFoam": ("rapidcfd_tpu.solvers.cavitatingfoam", {}),
+    "potentialFreeSurfaceFoam": (
+        "rapidcfd_tpu.solvers.potentialfreesurfacefoam", {}),
+    "driftFluxFoam": ("rapidcfd_tpu.solvers.driftfluxfoam", {}),
     "buoyantBoussinesqSimpleFoam": ("rapidcfd_tpu.solvers.buoyantfoam", {}),
     "buoyantBoussinesqPimpleFoam": ("rapidcfd_tpu.solvers.buoyantfoam",
                                     {"transient": True}),

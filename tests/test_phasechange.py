@@ -190,3 +190,183 @@ sigma           sigma [1 0 -2 0 0 0 0] 0;
     # vapour forms near the low-pressure outlet
     assert av.max() > 1e-4
     assert np.abs(u).max() < 500.0
+
+
+def test_potential_free_surface_sloshing(tmp_path_factory):
+    """potentialFreeSurfaceFoam: an initial side jet sloshes the wave
+    surface; zeta develops, flow stays bounded and conservative."""
+    d = str(tmp_path_factory.mktemp("pfs"))
+    mesh = box_mesh(20, 10, 1, size=(0.2, 0.1, 0.01), patch_spec={
+        "xmin": ("left", "wall"), "xmax": ("right", "wall"),
+        "ymin": ("bottom", "wall"), "ymax": ("freeSurface", "patch"),
+        "zmin": ("fb", "empty"), "zmax": ("fb", "empty")})
+    write_polymesh(mesh, d)
+    _write(os.path.join(d, "system", "controlDict"),
+           foamfile_header("dictionary", "controlDict", "system"), """
+application potentialFreeSurfaceFoam; startFrom startTime; startTime 0;
+stopAt endTime; endTime 0.1; deltaT 0.002;
+writeControl timeStep; writeInterval 1000; writeFormat ascii;
+""")
+    _write(os.path.join(d, "system", "fvSchemes"),
+           foamfile_header("dictionary", "fvSchemes", "system"), """
+ddtSchemes { default Euler; }
+gradSchemes { default Gauss linear; }
+divSchemes { default none; div(phi,U) Gauss upwind; }
+laplacianSchemes { default Gauss linear orthogonal; }
+interpolationSchemes { default linear; }
+snGradSchemes { default orthogonal; }
+""")
+    _write(os.path.join(d, "system", "fvSolution"),
+           foamfile_header("dictionary", "fvSolution", "system"), """
+solvers
+{
+    p_gh { solver PCG; preconditioner DIC; tolerance 1e-08;
+           relTol 0.01; }
+    p_ghFinal { solver PCG; preconditioner DIC; tolerance 1e-08;
+                relTol 0; }
+    U { solver smoothSolver; smoother symGaussSeidel; tolerance 1e-07;
+        relTol 0; }
+}
+PIMPLE { nOuterCorrectors 1; nCorrectors 2;
+         nNonOrthogonalCorrectors 0; }
+""")
+    _write(os.path.join(d, "constant", "transportProperties"),
+           foamfile_header("dictionary", "transportProperties",
+                           "constant"),
+           "\nnu              nu [0 2 -1 0 0 0 0] 1e-05;\n")
+    _write(os.path.join(d, "constant", "g"),
+           foamfile_header("uniformDimensionedVectorField", "g",
+                           "constant"),
+           "\ndimensions      [0 1 -2 0 0 0 0];\nvalue           "
+           "(0 -9.81 0);\n")
+    # initial horizontal shear drives surface motion
+    from rapidcfd_tpu.mesh.geometry import (cell_centres_and_vols,
+                                            face_centres_and_areas)
+    from rapidcfd_tpu.fields.io import _body_value
+    Cf, Sf = face_centres_and_areas(mesh)
+    C, V = cell_centres_and_vols(mesh, Cf, Sf)
+    u0 = np.stack([0.2 * np.sin(np.pi * C[:, 0] / 0.2),
+                   np.zeros(len(C)), np.zeros(len(C))], axis=1)
+    body = "nonuniform List<vector>\n%d\n(\n%s\n)" % (
+        len(u0), "\n".join(f"({a:.8g} {b:.8g} {c:.8g})"
+                           for a, b, c in u0))
+    write_field(d, "0", "U", "volVectorField", "[0 1 -1 0 0 0 0]",
+                body, {
+                    "left": _fv("(0 0 0)"), "right": _fv("(0 0 0)"),
+                    "bottom": _fv("(0 0 0)"),
+                    "freeSurface": _ZG, "fb": _EMPTY})
+    write_field(d, "0", "p_gh", "volScalarField", "[0 2 -2 0 0 0 0]",
+                "uniform 0", {
+                    "left": _ZG, "right": _ZG, "bottom": _ZG,
+                    "freeSurface":
+                        "        type            waveSurfacePressure;\n"
+                        "        value           uniform 0;\n",
+                    "fb": _EMPTY})
+    L.Info.enabled = False
+    from rapidcfd_tpu.solvers.potentialfreesurfacefoam import run
+    case, U, p_gh, phi, zeta = run(d, write=False)
+    L.Info.enabled = True
+    u = np.asarray(U.data)
+    z = np.asarray(zeta)
+    assert np.isfinite(u).all() and np.isfinite(z).all()
+    # the wave surface moved (nonzero elevation) but stays small
+    assert np.abs(z).max() > 1e-6
+    assert np.abs(z).max() < 0.05
+    assert np.abs(u).max() < 2.0
+
+
+def test_drift_flux_settling(tmp_path_factory):
+    """driftFluxFoam: a homogeneous suspension in a closed column
+    settles — the dispersed phase drifts downward (V0 negative y),
+    total dispersed volume conserved."""
+    d = str(tmp_path_factory.mktemp("drift"))
+    mesh = box_mesh(4, 40, 1, size=(0.05, 0.5, 0.01), patch_spec={
+        "xmin": ("walls", "wall"), "xmax": ("walls", "wall"),
+        "ymin": ("bottom", "wall"), "ymax": ("top", "wall"),
+        "zmin": ("fb", "empty"), "zmax": ("fb", "empty")})
+    write_polymesh(mesh, d)
+    _write(os.path.join(d, "system", "controlDict"),
+           foamfile_header("dictionary", "controlDict", "system"), """
+application driftFluxFoam; startFrom startTime; startTime 0;
+stopAt endTime; endTime 2.0; deltaT 0.05;
+writeControl timeStep; writeInterval 1000; writeFormat ascii;
+""")
+    _write(os.path.join(d, "system", "fvSchemes"),
+           foamfile_header("dictionary", "fvSchemes", "system"), """
+ddtSchemes { default Euler; }
+gradSchemes { default Gauss linear; }
+divSchemes { default none; div(phi,alpha) Gauss vanLeer;
+             div(rhoPhi,U) Gauss upwind; }
+laplacianSchemes { default Gauss linear orthogonal; }
+interpolationSchemes { default linear; }
+snGradSchemes { default orthogonal; }
+""")
+    _write(os.path.join(d, "system", "fvSolution"),
+           foamfile_header("dictionary", "fvSolution", "system"), """
+solvers
+{
+    "alpha.*" { solver PBiCGStab; preconditioner DILU;
+                tolerance 1e-10; relTol 0; }
+    p_rgh { solver PCG; preconditioner DIC; tolerance 1e-08;
+            relTol 0.01; }
+    p_rghFinal { solver PCG; preconditioner DIC; tolerance 1e-08;
+                 relTol 0; }
+    alpha1 { solver PBiCGStab; preconditioner DILU; tolerance 1e-10;
+             relTol 0; }
+    U { solver smoothSolver; smoother symGaussSeidel; tolerance 1e-07;
+        relTol 0; }
+}
+PIMPLE { nOuterCorrectors 1; nCorrectors 2;
+         nNonOrthogonalCorrectors 0; }
+""")
+    _write(os.path.join(d, "constant", "transportProperties"),
+           foamfile_header("dictionary", "transportProperties",
+                           "constant"), """
+phases (sludge water);
+sludge { rho rho [1 -3 0 0 0 0 0] 1996; }
+water { rho rho [1 -3 0 0 0 0 0] 996; nu nu [0 2 -1 0 0 0 0] 1e-06; }
+plasticCoeffs
+{
+    plasticViscosityCoeff plasticViscosityCoeff [1 -1 -1 0 0] 0.001;
+    plasticViscosityExponent plasticViscosityExponent [0 0 0 0 0] 2;
+    muMax muMax [1 -1 -1 0 0] 10;
+}
+relativeVelocityModel simple;
+simpleCoeffs
+{
+    V0 V0 [0 1 -1 0 0 0 0] (0 -0.05 0);
+    a a [0 0 0 0 0 0 0] 5;
+    a1 a1 [0 0 0 0 0 0 0] 0.1;
+    residualAlpha residualAlpha [0 0 0 0 0 0 0] 0;
+}
+""")
+    _write(os.path.join(d, "constant", "g"),
+           foamfile_header("uniformDimensionedVectorField", "g",
+                           "constant"),
+           "\ndimensions      [0 1 -2 0 0 0 0];\nvalue           "
+           "(0 -9.81 0);\n")
+    write_field(d, "0", "alpha1", "volScalarField", "[0 0 0 0 0 0 0]",
+                "uniform 0.005", {
+                    "walls": _ZG, "bottom": _ZG, "top": _ZG,
+                    "fb": _EMPTY})
+    write_field(d, "0", "U", "volVectorField", "[0 1 -1 0 0 0 0]",
+                "uniform (0 0 0)", {
+                    "walls": _fv("(0 0 0)"), "bottom": _fv("(0 0 0)"),
+                    "top": _fv("(0 0 0)"), "fb": _EMPTY})
+    write_field(d, "0", "p_rgh", "volScalarField", "[1 -1 -2 0 0 0 0]",
+                "uniform 0", {"walls": _ZG, "bottom": _ZG, "top": _ZG,
+                              "fb": _EMPTY})
+    L.Info.enabled = False
+    from rapidcfd_tpu.solvers.driftfluxfoam import run
+    case, alpha, U, p_rgh, phi = run(d, write=False)
+    L.Info.enabled = True
+    a = np.asarray(alpha.data)
+    assert np.isfinite(a).all()
+    assert (a >= -1e-9).all() and (a <= 1.0 + 1e-6).all()
+    C = np.asarray(case.mesh.C)
+    V = np.asarray(case.mesh.V)
+    # settling: more sludge in the lower half than the upper half
+    lower = C[:, 1] < 0.25
+    assert (a[lower] * V[lower]).sum() > 1.15 * (a[~lower] * V[~lower]).sum()
+    # dispersed volume conserved in the closed column
+    assert abs((a * V).sum() - 0.005 * V.sum()) < 1e-6 * V.sum()
