@@ -19,6 +19,8 @@ SOLVERS = {
                           {"_fn": "run_electrostatic_foam"}),
     "mhdFoam": ("rapidcfd_tpu.solvers.electromagnetics",
                 {"_fn": "run_mhd_foam"}),
+    "magneticFoam": ("rapidcfd_tpu.solvers.electromagnetics",
+                     {"_fn": "run_magnetic_foam"}),
     "shallowWaterFoam": ("rapidcfd_tpu.solvers.shallowwater", {}),
     "solidDisplacementFoam": ("rapidcfd_tpu.solvers.soliddisplacement",
                               {}),

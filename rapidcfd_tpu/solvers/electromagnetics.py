@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from ..fields.field import Dimensioned, SurfaceField, VolField
 from ..linalg import solve
 from ..ops import fvc, fvm
-from ..utils.dimensions import DimensionSet
+from ..utils.dimensions import DimensionSet, dimless
 from ..utils.logging import ExecutionTimer, info, log_courant, log_solve
 from .case import Case
 from .controls import SimpleControl
@@ -216,3 +216,93 @@ def run_mhd_foam(case_dir: str, write: bool = True,
             break
     info("End\n")
     return case, U, p, B, phi, phiB
+
+
+def run_magnetic_foam(case_dir: str, write: bool = True,
+                      max_steps: int | None = None):
+    """magneticFoam — magnetostatics of permanent magnets (reference:
+    applications/solvers/electromagnetics/magneticFoam/magneticFoam.C:
+    66-120 + magnet.H): magnets are faceZones carrying relative
+    permeability mur and remanence Mr along an orientation; solve
+    laplacian(murf, psi) == -div(murf*Mrf) with the magnetization flux
+    Mrf = Mr*(orientation & Sf), then H = reconstruct(snGrad(psi)*magSf)
+    and B = mu0*(murf H + Mr contribution)."""
+    import numpy as np
+    from ..mesh.polymesh import read_face_zones
+    case = Case(case_dir)
+    mesh = case.mesh
+    tp = case.transport_properties()
+    magnets_e = tp.lookup("magnets", required=True)
+    # magnets ( (name mur Mr (ox oy oz)) ... )
+    magnets = []
+    entries = magnets_e if isinstance(magnets_e, list) else [magnets_e]
+    i = 0
+    flat = []
+    for e in entries:
+        flat.append(e)
+    # entry shape: [[name, mur, Mr, [o1,o2,o3]], ...] or flattened
+    for e in flat:
+        if isinstance(e, list) and len(e) == 4:
+            magnets.append((str(e[0]), float(e[1]), float(e[2]),
+                            np.asarray(e[3], dtype=float)))
+    if not magnets and len(flat) >= 4:
+        magnets.append((str(flat[0]), float(flat[1]), float(flat[2]),
+                        np.asarray(flat[3], dtype=float)))
+    zones = read_face_zones(case.dir)
+    info(f"Magnets: {[m0[0] for m0 in magnets]}\n")
+
+    # face permeability and magnetization flux (file face order ->
+    # device face order via maps)
+    murf = np.ones(mesh.n_faces)
+    mrf = np.zeros(mesh.n_faces)
+    sf = np.asarray(mesh.Sf)
+    inv_face = np.empty(mesh.n_faces, dtype=np.int64)
+    inv_face[case.maps.face_perm] = np.arange(mesh.n_faces)
+    for name, mur, mr, orient in magnets:
+        if name not in zones:
+            raise KeyError(f"magneticFoam: no faceZone '{name}' for "
+                           f"magnet (constant/polyMesh/faceZones)")
+        faces = inv_face[zones[name][0]]
+        murf[faces] = mur
+        mrf[faces] = mr * (sf[faces] * orient[None, :]).sum(-1)
+    murf_j = jnp.asarray(murf)
+    mrf_j = jnp.asarray(mrf)
+
+    psi = case.read_field("psi")
+    controls = case.solver_controls("psi")
+    from .controls import SimpleControl
+    simple = SimpleControl(case)
+    lap_corr = case.laplacian_scheme()
+
+    @jax.jit
+    def solve_psi(psi):
+        flux = SurfaceField(murf_j * mrf_j,
+                            psi.dims * DimensionSet.of(0, 1), "murfMrf")
+        perf = None
+        for _ in range(simple.n_non_orth + 1):
+            eqn = fvm.laplacian(
+                mesh, Dimensioned("murf", dimless, murf_j), psi,
+                lap_corr)
+            eqn = eqn.equals(-1.0 * fvc.div(mesh, flux))
+            eqn = eqn.set_reference(simple.p_ref_cell, 0.0)
+            psi, perf = solve(mesh, eqn, controls)
+        return psi, perf
+
+    info("Calculating the magnetic field potential\n")
+    psi, perf = solve_psi(psi)
+    log_solve(controls.solver, "psi", perf[0][0], perf[0][1], perf[0][2])
+
+    # H = reconstruct(snGrad(psi)*magSf); B = mu0*(mur H + M)
+    mu0 = 4e-7 * 3.141592653589793
+    sng = fvc.sn_grad(mesh, psi)
+    H = fvc.reconstruct(mesh, SurfaceField(
+        sng.data * mesh.mag_sf, sng.dims * DimensionSet.of(0, 2), "Hf"))
+    B = fvc.reconstruct(mesh, SurfaceField(
+        mu0 * murf_j * (sng.data * mesh.mag_sf + mrf_j),
+        sng.dims * DimensionSet.of(0, 2) * DimensionSet.of(1, 1, -2, 0, 0,
+                                                           -1), "Bf"))
+    if write:
+        case.time.increment()
+        case.write_fields([psi, H.replace(name="H"), B.replace(name="B")])
+    info("End\n")
+    return case, psi, H, B

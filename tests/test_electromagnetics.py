@@ -186,3 +186,82 @@ powerLawCoeffs
     assert (nu_d >= 1e-05 - 1e-12).all() and (nu_d <= 0.1 + 1e-12).all()
     # shear thinning actually happened somewhere near the lid
     assert nu_d.min() < 0.99 * nu_d.max()
+
+
+def test_magnetic_foam_bar_magnet(tmp_path_factory):
+    """magneticFoam: a bar-magnet faceZone produces a dipole-like H
+    field; div(B) stays near zero away from the magnet."""
+    import numpy as np
+    d = str(tmp_path_factory.mktemp("mag"))
+    mesh = box_mesh(30, 30, 1, size=(0.3, 0.3, 0.01), patch_spec={
+        "xmin": ("outer", "patch"), "xmax": ("outer", "patch"),
+        "ymin": ("outer", "patch"), "ymax": ("outer", "patch"),
+        "zmin": ("fb", "empty"), "zmax": ("fb", "empty")})
+    write_polymesh(mesh, d)
+    # faceZone: internal faces inside the bar 0.12<x<0.18, 0.09<y<0.21
+    from rapidcfd_tpu.mesh.geometry import face_centres_and_areas
+    Cf, Sf = face_centres_and_areas(mesh)
+    bar = np.nonzero(
+        (Cf[:mesh.n_internal_faces, 0] > 0.12)
+        & (Cf[:mesh.n_internal_faces, 0] < 0.18)
+        & (Cf[:mesh.n_internal_faces, 1] > 0.09)
+        & (Cf[:mesh.n_internal_faces, 1] < 0.21))[0]
+    fz = os.path.join(d, "constant", "polyMesh", "faceZones")
+    with open(fz, "w") as f:
+        f.write(foamfile_header("regIOobject", "faceZones", "") + """
+1
+(
+bar
+{
+    type faceZone;
+faceLabels      List<label>
+%d
+(
+%s
+)
+;
+}
+)
+""" % (len(bar), "\n".join(str(int(x)) for x in bar)))
+    _write(os.path.join(d, "system", "controlDict"),
+           foamfile_header("dictionary", "controlDict", "system"), """
+application magneticFoam; startFrom startTime; startTime 0;
+stopAt endTime; endTime 1; deltaT 1;
+writeControl timeStep; writeInterval 1; writeFormat ascii;
+""")
+    _write(os.path.join(d, "system", "fvSchemes"),
+           foamfile_header("dictionary", "fvSchemes", "system"), """
+ddtSchemes { default steadyState; }
+gradSchemes { default Gauss linear; }
+divSchemes { default none; }
+laplacianSchemes { default Gauss linear corrected; }
+interpolationSchemes { default linear; }
+snGradSchemes { default corrected; }
+""")
+    _write(os.path.join(d, "system", "fvSolution"),
+           foamfile_header("dictionary", "fvSolution", "system"), """
+solvers
+{
+    psi { solver PCG; preconditioner DIC; tolerance 1e-10; relTol 0; }
+}
+SIMPLE { nNonOrthogonalCorrectors 1; pRefCell 0; pRefValue 0; }
+""")
+    _write(os.path.join(d, "constant", "transportProperties"),
+           foamfile_header("dictionary", "transportProperties",
+                           "constant"),
+           "\nmagnets ( (bar 1 79577.5 (0 1 0)) );\n")
+    write_field(d, "0", "psi", "volScalarField", "[0 0 0 0 0 1 0]",
+                "uniform 0", {"outer": _ZG, "fb": _EMPTY})
+    L.Info.enabled = False
+    from rapidcfd_tpu.solvers.electromagnetics import run_magnetic_foam
+    case, psi, H, B = run_magnetic_foam(d, write=False)
+    L.Info.enabled = True
+    h = np.asarray(H.data)
+    assert np.isfinite(h).all()
+    # a field was produced and decays away from the magnet
+    mag_h = np.linalg.norm(h, axis=1)
+    C = np.asarray(case.mesh.C)
+    near = (np.abs(C[:, 0] - 0.15) < 0.06) & (np.abs(C[:, 1] - 0.15) < 0.09)
+    far = np.linalg.norm(C[:, :2] - 0.15, axis=1) > 0.12
+    assert mag_h[near].max() > 10.0 * max(mag_h[far].mean(), 1e-12)
+    assert mag_h.max() > 1.0
