@@ -49,6 +49,8 @@ SOLVERS = {
     "buoyantSimpleFoam": ("rapidcfd_tpu.solvers.buoyantsimplefoam", {}),
     "buoyantPimpleFoam": ("rapidcfd_tpu.solvers.buoyantpimplefoam", {}),
     "thermoFoam": ("rapidcfd_tpu.solvers.thermofoam", {}),
+    "chtMultiRegionFoam": ("rapidcfd_tpu.solvers.chtmultiregionfoam",
+                           {}),
     "laplacianFoam": ("rapidcfd_tpu.solvers.basic",
                       {"_fn": "run_laplacian_foam"}),
     "scalarTransportFoam": ("rapidcfd_tpu.solvers.basic",

@@ -20,32 +20,46 @@ from ..utils.timecontrol import Time
 
 
 class Case:
-    def __init__(self, case_dir: str, renumber: bool = True, dtype=None):
+    def __init__(self, case_dir: str, renumber: bool = True, dtype=None,
+                 region: str = "", time: "Time | None" = None):
+        """region selects a multi-region sub-case (reference:
+        chtMultiRegionFoam per-region meshes at constant/<region>/
+        polyMesh, fields at <time>/<region>/, dictionaries at
+        system/<region>/); a shared Time may be injected so all
+        regions advance together."""
         self.dir = case_dir
-        self.time = Time(case_dir)
-        info(f"Create time\n\nCreate mesh for time = {self.time.name}\n")
-        pmesh = read_polymesh(case_dir)
+        self.region = region
+        self.time = time if time is not None else Time(case_dir)
+        info(f"Create time\n\nCreate mesh"
+             f"{f' for region {region}' if region else ''} "
+             f"for time = {self.time.name}\n")
+        pmesh = read_polymesh(case_dir, region)
         self.mesh, self.pmesh, self.maps = build_mesh_arrays(
             pmesh, renumber=renumber, dtype=dtype)
         self.fv_schemes = parse_file(
-            os.path.join(case_dir, "system", "fvSchemes"))
+            os.path.join(case_dir, "system", region, "fvSchemes"))
         self.fv_solution = parse_file(
-            os.path.join(case_dir, "system", "fvSolution"))
+            os.path.join(case_dir, "system", region, "fvSolution"))
         self.control_dict = self.time.control
 
     # -- fields ---------------------------------------------------------------
+    def _time_dir(self, time: str | None) -> str:
+        t = time or self.time.name
+        return os.path.join(t, self.region) if self.region else t
+
     def read_field(self, name: str, time: str | None = None):
-        return read_vol_field(self.dir, time or self.time.name, name,
+        return read_vol_field(self.dir, self._time_dir(time), name,
                               self.mesh, self.maps)
 
     def field_exists(self, name: str, time: str | None = None) -> bool:
         return os.path.isfile(
-            os.path.join(self.dir, time or self.time.name, name))
+            os.path.join(self.dir, self._time_dir(time), name))
 
     def write_fields(self, fields, time: str | None = None):
         t = time or self.time.name
+        td = self._time_dir(time)
         for f in fields:
-            write_vol_field(f, self.dir, t, self.mesh, self.maps)
+            write_vol_field(f, self.dir, td, self.mesh, self.maps)
         os.makedirs(os.path.join(self.dir, t, "uniform"), exist_ok=True)
         with open(os.path.join(self.dir, t, "uniform", "time"), "w") as fh:
             fh.write(self.time.uniform_time_dict())
@@ -53,11 +67,12 @@ class Case:
 
     # -- constant/ dictionaries --------------------------------------------------
     def transport_properties(self) -> Dictionary:
-        return parse_file(os.path.join(self.dir, "constant",
+        return parse_file(os.path.join(self.dir, "constant", self.region,
                                        "transportProperties"))
 
     def constant_dict(self, name: str) -> Dictionary:
-        return parse_file(os.path.join(self.dir, "constant", name))
+        return parse_file(os.path.join(self.dir, "constant", self.region,
+                                       name))
 
     # -- fvSchemes resolution ------------------------------------------------------
     def ddt_scheme(self) -> str:
