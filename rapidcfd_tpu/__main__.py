@@ -43,6 +43,8 @@ SOLVERS = {
     "potentialFreeSurfaceFoam": (
         "rapidcfd_tpu.solvers.potentialfreesurfacefoam", {}),
     "driftFluxFoam": ("rapidcfd_tpu.solvers.driftfluxfoam", {}),
+    "multiphaseInterFoam": ("rapidcfd_tpu.solvers.multiphaseinterfoam",
+                            {}),
     "buoyantBoussinesqSimpleFoam": ("rapidcfd_tpu.solvers.buoyantfoam", {}),
     "buoyantBoussinesqPimpleFoam": ("rapidcfd_tpu.solvers.buoyantfoam",
                                     {"transient": True}),

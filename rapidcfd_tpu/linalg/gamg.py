@@ -373,7 +373,7 @@ def make_vcycle(mesh: MeshArrays, m, amul_fine, diag, controls,
                 a_corr = amuls[i](corr)
                 num = gsum(corr * r_cur)
                 den = gsum(corr * a_corr)
-                alpha = num / jnp.where(jnp.abs(den) < 1e-300, 1e-300, den)
+                alpha = num / jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
                 corr = alpha * corr
             elif fixed_scale != 1.0:
                 # linear stand-in for the <c,r>/<c,Ac> line search

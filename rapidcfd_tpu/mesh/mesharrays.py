@@ -108,7 +108,7 @@ class MeshArrays:
 
     def patch_normals(self, p: Patch) -> jax.Array:
         sf = self.patch_sf(p)
-        return sf / jnp.maximum(self.patch_mag_sf(p), 1e-300)[:, None]
+        return sf / jnp.maximum(self.patch_mag_sf(p), 1e-30)[:, None]
 
 
 @dataclass(frozen=True)

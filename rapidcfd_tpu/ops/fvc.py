@@ -156,7 +156,7 @@ def _lsq_vectors(mesh: MeshArrays):
                  Cf[faces] - C[:, None, :])
     d = np.where(active[..., None], d, 0.0)
     dd = (d * d).sum(-1)
-    w = np.where(active, 1.0 / np.maximum(dd, 1e-300), 0.0)
+    w = np.where(active, 1.0 / np.maximum(dd, 1e-30), 0.0)
     G = np.einsum("nk,nki,nkj->nij", w, d, d)
     # 2D meshes: regularize the empty direction
     tr = np.trace(G, axis1=1, axis2=2)
@@ -317,7 +317,7 @@ def adjust_phi(mesh: MeshArrays, phi: SurfaceField, U: VolField
     if not adjustable:
         return phi
     # scale outflow so total = 0: out_scale = -(fixed + adj_in)/adj_out
-    scale = -(fixed_in + adj_in) / jnp_.where(adj_out == 0.0, 1e-300,
+    scale = -(fixed_in + adj_in) / jnp_.where(adj_out == 0.0, 1e-30,
                                               adj_out)
     data = phi.data
     for patch in adjustable:
@@ -332,7 +332,7 @@ def reconstruct(mesh: MeshArrays, ssf: SurfaceField) -> VolField:
     """Reconstruct a cell vector from face fluxes (fvc::reconstruct):
     (sum_f Sf⊗Sf/|Sf·dhat|)^-1 · sum_f Sf*ssf_f — simplified inverse-dyad
     form sum(Sf⊗Sf/magSf)^-1 & sum(Sf ssf/magSf)."""
-    sf_over_mag = mesh.Sf / jnp.maximum(mesh.mag_sf, 1e-300)[:, None]
+    sf_over_mag = mesh.Sf / jnp.maximum(mesh.mag_sf, 1e-30)[:, None]
     dyad_f = sf_over_mag[:, :, None] * mesh.Sf[:, None, :]
     rhs_f = sf_over_mag * ssf.data[:, None]
     dyad = surface_sum_faces(mesh, dyad_f, signed=False)
@@ -356,7 +356,7 @@ def reconstruct(mesh: MeshArrays, ssf: SurfaceField) -> VolField:
     c21 = a[:, 0, 2] * a[:, 1, 0] - a[:, 0, 0] * a[:, 1, 2]
     c22 = a[:, 0, 0] * a[:, 1, 1] - a[:, 0, 1] * a[:, 1, 0]
     det = a[:, 0, 0] * c00 + a[:, 0, 1] * c01 + a[:, 0, 2] * c02
-    rdet = 1.0 / jnp.where(jnp.abs(det) < 1e-300, 1e-300, det)
+    rdet = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
     adj = jnp.stack([
         jnp.stack([c00, c10, c20], axis=-1),
         jnp.stack([c01, c11, c21], axis=-1),

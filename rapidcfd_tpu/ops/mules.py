@@ -53,8 +53,8 @@ def explicit_solve(mesh: MeshArrays, psi: VolField, phi: SurfaceField,
         p_minus = jnp.maximum(gathered, 0.0).sum(1) * rdtv
         q_plus = jnp.maximum(psi_max - psi_td, 0.0)
         q_minus = jnp.maximum(psi_td - psi_min, 0.0)
-        r_plus = jnp.minimum(1.0, q_plus / jnp.maximum(p_plus, 1e-300))
-        r_minus = jnp.minimum(1.0, q_minus / jnp.maximum(p_minus, 1e-300))
+        r_plus = jnp.minimum(1.0, q_plus / jnp.maximum(p_plus, 1e-30))
+        r_minus = jnp.minimum(1.0, q_minus / jnp.maximum(p_minus, 1e-30))
         # each internal face: donor loses, receiver gains
         leaving_owner = a[:n_int] >= 0.0
         lam_f = jnp.where(

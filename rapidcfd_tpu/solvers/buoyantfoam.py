@@ -116,7 +116,7 @@ def make_step(case: Case, transport, turb, simple: SimpleControl,
 
         flux_p = pEqn.replace(psi=p_rgh).flux(mesh)
         corr_f = SurfaceField(
-            (phig - flux_p.data) / jnp.maximum(rAU_f, 1e-300),
+            (phig - flux_p.data) / jnp.maximum(rAU_f, 1e-30),
             phi.dims / rAU.dims, "corrF")
         U_star = HbyA + rAU * fvc.reconstruct(mesh, corr_f)
         U = U.replace(data=U_star.data).correct_boundary_conditions(mesh)
@@ -219,7 +219,7 @@ def make_pimple_step(case: Case, transport, turb, ctrl, consts):
                 phi = phi_hbya - pEqn.replace(psi=p_rgh).flux(mesh)
                 flux_p = pEqn.replace(psi=p_rgh).flux(mesh)
                 corr_f = SurfaceField(
-                    (phig - flux_p.data) / jnp.maximum(rAU_f, 1e-300),
+                    (phig - flux_p.data) / jnp.maximum(rAU_f, 1e-30),
                     phi.dims / rAU.dims, "corrF")
                 U_star = HbyA + rAU * fvc.reconstruct(mesh, corr_f)
                 U = U.replace(data=U_star.data) \

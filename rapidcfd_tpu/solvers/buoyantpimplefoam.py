@@ -159,7 +159,7 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
                 flux_p = pEqn.replace(psi=p_rgh).flux(mesh)
                 corr_f = SurfaceField(
                     (phig - flux_p.data)
-                    / jnp.maximum(rho_rau_f, 1e-300),
+                    / jnp.maximum(rho_rau_f, 1e-30),
                     phi.dims / (rho.dims * rAU.dims), "corrF")
                 U_star = HbyA + rAU * fvc.reconstruct(mesh, corr_f)
                 U = U.replace(data=U_star.data) \

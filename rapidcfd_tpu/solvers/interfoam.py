@@ -104,7 +104,7 @@ def make_step(case: Case, consts, ctrl: PimpleControl,
             mag = jnp.linalg.norm(gf, axis=-1) + delta_n
             nhatf = (gf / mag[:, None] * mesh.Sf).sum(-1)
             phir = c_alpha * jnp.abs(phi.data) \
-                / jnp.maximum(mesh.mag_sf, 1e-300) * nhatf
+                / jnp.maximum(mesh.mag_sf, 1e-30) * nhatf
             # no interface compression through boundary faces
             phir = phir.at[mesh.n_internal:].set(0.0)
             a_b_f = fvc.face_values(mesh, alpha)  # for alpha*(1-alpha)
@@ -172,7 +172,7 @@ def make_step(case: Case, consts, ctrl: PimpleControl,
             # U = HbyA + rAU*reconstruct((phig - pEqn.flux())/rAUf)
             flux_p = pEqn.replace(psi=p_rgh).flux(mesh)
             corr_f = SurfaceField(
-                (phig - flux_p.data) / jnp.maximum(rAU_f, 1e-300),
+                (phig - flux_p.data) / jnp.maximum(rAU_f, 1e-30),
                 phi.dims / rAU.dims, "corrF")
             U_star = HbyA + rAU * fvc.reconstruct(mesh, corr_f)
             U = U.replace(data=U_star.data).correct_boundary_conditions(

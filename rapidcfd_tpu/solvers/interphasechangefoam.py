@@ -152,7 +152,7 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
             phi = phi_hbya - pEqn.replace(psi=p_rgh).flux(mesh)
             flux_p = pEqn.replace(psi=p_rgh).flux(mesh)
             corr_f = SurfaceField(
-                (phig - flux_p.data) / jnp.maximum(rAU_f, 1e-300),
+                (phig - flux_p.data) / jnp.maximum(rAU_f, 1e-30),
                 phi.dims / rAU.dims, "corrF")
             U_star = HbyA + rAU * fvc.reconstruct(mesh, corr_f)
             U = U.replace(data=U_star.data) \

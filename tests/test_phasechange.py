@@ -370,3 +370,111 @@ simpleCoeffs
     assert (a[lower] * V[lower]).sum() > 1.15 * (a[~lower] * V[~lower]).sum()
     # dispersed volume conserved in the closed column
     assert abs((a * V).sum() - 0.005 * V.sum()) < 1e-6 * V.sum()
+
+
+def test_multiphase_inter_three_phase_dam(tmp_path_factory):
+    """multiphaseInterFoam: a stable water/oil/air stratification stays
+    layered; each phase fraction conserved and bounded, sum stays
+    one."""
+    d = str(tmp_path_factory.mktemp("mpif"))
+    mesh = box_mesh(20, 12, 1, size=(0.2, 0.12, 0.01), patch_spec={
+        "xmin": ("walls", "wall"), "xmax": ("walls", "wall"),
+        "ymin": ("walls", "wall"), "ymax": ("top", "wall"),
+        "zmin": ("fb", "empty"), "zmax": ("fb", "empty")})
+    write_polymesh(mesh, d)
+    _write(os.path.join(d, "system", "controlDict"),
+           foamfile_header("dictionary", "controlDict", "system"), """
+application multiphaseInterFoam; startFrom startTime; startTime 0;
+stopAt endTime; endTime 0.03; deltaT 0.00025;
+writeControl timeStep; writeInterval 1000; writeFormat ascii;
+""")
+    _write(os.path.join(d, "system", "fvSchemes"),
+           foamfile_header("dictionary", "fvSchemes", "system"), """
+ddtSchemes { default Euler; }
+gradSchemes { default Gauss linear; }
+divSchemes { default none; div(phi,alpha) Gauss vanLeer;
+             div(rhoPhi,U) Gauss linearUpwind grad(U); }
+laplacianSchemes { default Gauss linear orthogonal; }
+interpolationSchemes { default linear; }
+snGradSchemes { default orthogonal; }
+""")
+    _write(os.path.join(d, "system", "fvSolution"),
+           foamfile_header("dictionary", "fvSolution", "system"), """
+solvers
+{
+    alpha { cAlpha 1; }
+    p_rgh { solver PCG; preconditioner DIC; tolerance 1e-07;
+            relTol 0.05; }
+    p_rghFinal { solver PCG; preconditioner DIC; tolerance 1e-07;
+                 relTol 0; }
+    U { solver smoothSolver; smoother symGaussSeidel; tolerance 1e-06;
+        relTol 0; }
+}
+PIMPLE { nOuterCorrectors 1; nCorrectors 3;
+         nNonOrthogonalCorrectors 0; }
+""")
+    _write(os.path.join(d, "constant", "transportProperties"),
+           foamfile_header("dictionary", "transportProperties",
+                           "constant"), """
+phases
+(
+    water { rho rho [1 -3 0 0 0 0 0] 1000; nu nu [0 2 -1 0 0 0 0] 1e-06; }
+    oil { rho rho [1 -3 0 0 0 0 0] 500; nu nu [0 2 -1 0 0 0 0] 1e-06; }
+    air { rho rho [1 -3 0 0 0 0 0] 1; nu nu [0 2 -1 0 0 0 0] 1.48e-05; }
+);
+sigmas
+(
+    (water oil) 0.01
+    (water air) 0.07
+    (oil air) 0.03
+);
+""")
+    _write(os.path.join(d, "constant", "g"),
+           foamfile_header("uniformDimensionedVectorField", "g",
+                           "constant"),
+           "\ndimensions      [0 1 -2 0 0 0 0];\nvalue           "
+           "(0 -9.81 0);\n")
+    from rapidcfd_tpu.mesh.geometry import (cell_centres_and_vols,
+                                            face_centres_and_areas)
+    from rapidcfd_tpu.fields.io import _body_value
+    Cf, Sf = face_centres_and_areas(mesh)
+    C, V = cell_centres_and_vols(mesh, Cf, Sf)
+    # stable stratification: water below, oil in the middle, air on top
+    water = (C[:, 1] < 0.04).astype(float)
+    oil = ((C[:, 1] >= 0.04) & (C[:, 1] < 0.08)).astype(float)
+    air = 1.0 - water - oil
+    bcs = {"walls": _ZG, "top": _ZG, "fb": _EMPTY}
+    for nm, arr in (("water", water), ("oil", oil), ("air", air)):
+        write_field(d, "0", f"alpha{nm}", "volScalarField",
+                    "[0 0 0 0 0 0 0]", _body_value(arr, prec=10), bcs)
+    write_field(d, "0", "U", "volVectorField", "[0 1 -1 0 0 0 0]",
+                "uniform (0 0 0)", {
+                    "walls": _fv("(0 0 0)"), "top": _fv("(0 0 0)"),
+                    "fb": _EMPTY})
+    write_field(d, "0", "p_rgh", "volScalarField", "[1 -1 -2 0 0 0 0]",
+                "uniform 0", bcs)
+    L.Info.enabled = False
+    from rapidcfd_tpu.solvers.multiphaseinterfoam import run
+    case, alphas, U, p_rgh, phi = run(d, write=False)
+    L.Info.enabled = True
+    V_d = np.asarray(case.mesh.V)
+    total = np.zeros(case.mesh.n_cells)
+    fr0 = {"water": (water * V).sum(), "oil": (oil * V).sum(),
+           "air": (air * V).sum()}
+    for a, nm in zip(alphas, ("water", "oil", "air")):
+        av = np.asarray(a.data)
+        assert np.isfinite(av).all()
+        assert (av >= -1e-6).all() and (av <= 1.0 + 1e-6).all()
+        # conservation per phase (closed box) within MULES tolerance
+        assert abs((av * V_d).sum() - fr0[nm]) < 2e-3 * V_d.sum()
+        total += av
+    assert np.allclose(total, 1.0, atol=1e-9)
+    # stable stratification: layers stay put (water below oil below air)
+    u = np.asarray(U.data)
+    assert np.isfinite(u).all()
+    assert np.abs(u).max() < 0.5
+    C_d = np.asarray(case.mesh.C)
+    aw = np.asarray(alphas[0].data)
+    ao = np.asarray(alphas[1].data)
+    assert aw[C_d[:, 1] < 0.02].min() > 0.9       # water layer intact
+    assert ao[(C_d[:, 1] > 0.05) & (C_d[:, 1] < 0.07)].min() > 0.5
