@@ -28,6 +28,8 @@ SOLVERS = {
         "rapidcfd_tpu.solvers.soliddisplacement",
         {"_fn": "run_equilibrium"}),
     "simpleFoam": ("rapidcfd_tpu.solvers.simplefoam", {}),
+    "adjointShapeOptimizationFoam": (
+        "rapidcfd_tpu.solvers.adjointshapeopt", {}),
     "pimpleFoam": ("rapidcfd_tpu.solvers.pimplefoam", {}),
     "pisoFoam": ("rapidcfd_tpu.solvers.pimplefoam", {"piso_mode": True}),
     "sonicFoam": ("rapidcfd_tpu.solvers.sonicfoam", {}),

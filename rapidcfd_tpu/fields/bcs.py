@@ -446,7 +446,7 @@ class PressureInletOutletVelocity(BC):
         phi_b = env["phi"].data[patch.start:patch.start + patch.size]
         n = mesh.patch_normals(patch)
         u_in = n * (phi_b / jnp.maximum(
-            mesh.patch_mag_sf(patch), 1e-300))[:, None]
+            mesh.patch_mag_sf(patch), 1e-30))[:, None]
         return jnp.where((phi_b >= 0.0)[:, None], psi_c, u_in)
 
     def value_internal_coeff(self, mesh, patch, field, bd, env=None):
@@ -473,7 +473,7 @@ class FlowRateInletVelocity(BC):
         q = q if jnp.ndim(q) == 0 else q.reshape(-1)[0]
         area = mesh.patch_mag_sf(patch).sum()
         n = mesh.patch_normals(patch)
-        return -n * (q / jnp.maximum(area, 1e-300))
+        return -n * (q / jnp.maximum(area, 1e-30))
 
     def value_internal_coeff(self, mesh, patch, field, bd, env=None):
         return jnp.zeros((patch.size, 1))
