@@ -158,3 +158,107 @@ class PsiThermo:
         m = self.model
         T2 = T.replace(data=m.t_from_he(he.data))
         return T2.correct_boundary_conditions(mesh)
+
+
+# ---------------------------------------------------------------------------
+# Per-phase rho-thermo (compressibleInterFoam / multiphase thermo stacks)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class PhaseRhoThermo:
+    """rhoThermo for one phase (reference: src/thermophysicalModels/basic/
+    rhoThermo + specie EoS stack equationOfState/{perfectGas,perfectFluid,
+    rhoConst}): density/compressibility as closed-form functions of (p, T)
+    instead of per-cell virtual dispatch."""
+    eos: str                # perfectGas | perfectFluid | rhoConst
+    mol_weight: float
+    cp: float
+    hf: float = 0.0
+    mu0: float = 0.0
+    pr: float = 1.0
+    r_eos: float = 0.0      # perfectFluid R
+    rho0: float = 0.0       # perfectFluid/rhoConst
+    sutherland: bool = False
+    as_: float = 0.0
+    ts: float = 0.0
+
+    @property
+    def r(self) -> float:
+        return R_UNIVERSAL / self.mol_weight
+
+    @property
+    def cv(self) -> float:
+        # CpMCv: specific gas constant for gas-like EoS, 0 for rhoConst
+        # (reference: specie equationOfState CpMCv implementations)
+        if self.eos == "perfectGas":
+            return self.cp - self.r
+        if self.eos == "perfectFluid":
+            return self.cp - self.r_eos
+        return self.cp
+
+    def psi(self, T):
+        """Compressibility drho/dp at constant T."""
+        if self.eos == "perfectGas":
+            return 1.0 / (self.r * jnp.maximum(T, 1e-10))
+        if self.eos == "perfectFluid":
+            return 1.0 / (self.r_eos * jnp.maximum(T, 1e-10))
+        return jnp.zeros_like(T)
+
+    def rho(self, p, T):
+        if self.eos == "perfectGas":
+            return p / (self.r * jnp.maximum(T, 1e-10))
+        if self.eos == "perfectFluid":
+            return p / (self.r_eos * jnp.maximum(T, 1e-10)) + self.rho0
+        return jnp.full_like(T, self.rho0)
+
+    def mu(self, T):
+        if self.sutherland:
+            return self.as_ * jnp.sqrt(T) / (1.0 + self.ts / T)
+        return self.mu0
+
+    def alpha_h(self, T):
+        """kappa/Cp (thermal diffusivity * rho)."""
+        return self.mu(T) / self.pr
+
+
+def read_rho_thermo(props: Dictionary) -> PhaseRhoThermo:
+    """Parse a thermophysicalProperties(.phase) dict into a
+    PhaseRhoThermo (reference: rhoThermo::New + the thermoType dict)."""
+    tt = props.lookup("thermoType", required=True)
+    eos = "perfectGas"
+    transport = "const"
+    if isinstance(tt, Dictionary):
+        eos = tt.word("equationOfState", "perfectGas")
+        transport = tt.word("transport", "const")
+    else:
+        s = str(tt if not isinstance(tt, tuple) else tt[0])
+        for cand in ("perfectFluid", "rhoConst", "perfectGas"):
+            if cand in s:
+                eos = cand
+                break
+        if "sutherland" in s:
+            transport = "sutherland"
+    mix = props.subdict("mixture", required=False)
+    if not mix:
+        for k, v in props.items():
+            if isinstance(v, Dictionary) and v.lookup("specie") is not None:
+                mix = v
+                break
+    if not mix:
+        raise KeyError("thermophysicalProperties: no mixture dictionary")
+    specie = mix.subdict("specie")
+    thermo_d = mix.subdict("thermodynamics")
+    trans = mix.subdict("transport")
+    eqn = mix.subdict("equationOfState", required=False)
+    mw = specie.scalar("molWeight")
+    cp = thermo_d.scalar("Cp", 0.0) or (thermo_d.scalar("Cv", 0.0)
+                                        + R_UNIVERSAL / mw)
+    sutherland = transport == "sutherland" or trans.lookup("As") is not None
+    return PhaseRhoThermo(
+        eos=eos, mol_weight=mw, cp=cp, hf=thermo_d.scalar("Hf", 0.0),
+        mu0=trans.scalar("mu", 0.0), pr=trans.scalar("Pr", 1.0),
+        r_eos=(eqn.scalar("R", 0.0) if eqn else 0.0),
+        rho0=(eqn.scalar("rho0", 0.0) or eqn.scalar("rho", 0.0)
+              if eqn else 0.0),
+        sutherland=sutherland, as_=trans.scalar("As", 0.0),
+        ts=trans.scalar("Ts", 0.0))

@@ -336,7 +336,10 @@ def reconstruct(mesh: MeshArrays, ssf: SurfaceField) -> VolField:
     dyad_f = sf_over_mag[:, :, None] * mesh.Sf[:, None, :]
     rhs_f = sf_over_mag * ssf.data[:, None]
     dyad = surface_sum_faces(mesh, dyad_f, signed=False)
-    rhs = surface_sum_faces(mesh, rhs_f)
+    # Sf*ssf is orientation-invariant (both factors flip sign when viewed
+    # from the neighbour), so the cell sum is UNSIGNED — a signed sum
+    # cancels the two sides and silently returns ~0
+    rhs = surface_sum_faces(mesh, rhs_f, signed=False)
     # 2D meshes (empty patches excluded from the ELL) leave a zero
     # row/column for the empty direction — regularize so the solve stays
     # nonsingular (the corresponding rhs component is zero anyway)

@@ -188,6 +188,19 @@ class FvMatrix:
         return _extrapolated(mesh, h, self.dims / _VOL_DIMS,
                              f"H({self.psi.name})")
 
+    def apply_rate(self, mesh: MeshArrays) -> jax.Array:
+        """(A*psi - b)/V with patch coefficients folded in — the
+        reference's `M & psi` operator (fvMatrix.C:3052-3098), i.e. the
+        per-volume rate the assembled operator assigns to the current
+        psi. Scalar matrices only."""
+        from ..parallel.hooks import halo
+        psi = self.psi.data
+        diag, src = self.component_system(mesh, None)
+        coeffs = self.ell_coeffs(mesh)
+        nbr = jnp.take(halo(psi), mesh.cell_nbr, axis=0)
+        off = (coeffs * nbr).sum(axis=1)
+        return (diag * psi + off - src) / self.V
+
     def flux(self, mesh: MeshArrays):
         """Face flux consistent with the assembled operator (reference:
         fvMatrix::flux via lduMatrix::faceH): internal F = upper*psi_n -

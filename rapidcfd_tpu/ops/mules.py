@@ -19,12 +19,15 @@ from . import fvc
 
 def explicit_solve(mesh: MeshArrays, psi: VolField, phi: SurfaceField,
                    phi_psi: SurfaceField, dt, psi_max=1.0, psi_min=0.0,
-                   n_limiter_iter: int = 3):
+                   n_limiter_iter: int = 3, sp=None, su=None):
     """Advance psi one step with the limited flux; returns
     (psi_new, limited flux phi_psi_lim).
 
     phi: volumetric face flux; phi_psi: the high-order candidate psi-flux
     (e.g. vanLeer interpolation * phi + interface compression).
+    sp/su: optional per-cell implicit/explicit sources (reference:
+    MULES::explicitSolve(rho, psi, phi, phiPsi, Sp, Su, ...)):
+    d(psi)/dt = -div(phiPsi)/V + Su + Sp*psi, Sp handled implicitly.
     """
     n_int = mesh.n_internal
     own = mesh.owner[:n_int]
@@ -40,8 +43,17 @@ def explicit_solve(mesh: MeshArrays, psi: VolField, phi: SurfaceField,
     corr = phi_psi.data - phi_bd          # anti-diffusive correction
     rdtv = dt / mesh.V
 
+    sp_c = 0.0 if sp is None else sp
+    su_c = 0.0 if su is None else su
+
+    def advance(flux_faces):
+        # (psi0/dt + Su - div(F)/V) / (1/dt - Sp)
+        num = psi.data / dt + su_c \
+            - fvc.surface_sum_faces(mesh, flux_faces) / mesh.V
+        return num / (1.0 / dt - sp_c)
+
     # low-order (bounded) update
-    psi_td = psi.data - rdtv * fvc.surface_sum_faces(mesh, phi_bd)
+    psi_td = advance(phi_bd)
 
     lam = jnp.ones_like(corr)
     for _ in range(n_limiter_iter):
@@ -64,7 +76,6 @@ def explicit_solve(mesh: MeshArrays, psi: VolField, phi: SurfaceField,
         lam = lam.at[:n_int].set(lam[:n_int] * lam_f)
 
     phi_lim = phi_bd + lam * corr
-    psi_new_data = psi.data - rdtv * fvc.surface_sum_faces(mesh, phi_lim)
-    psi_new = psi.replace(data=psi_new_data) \
+    psi_new = psi.replace(data=advance(phi_lim)) \
                  .correct_boundary_conditions(mesh)
     return psi_new, SurfaceField(phi_lim, phi_psi.dims, phi_psi.name)

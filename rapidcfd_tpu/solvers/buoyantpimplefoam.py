@@ -155,10 +155,13 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
                     p_rgh, p_perf = solve(
                         mesh, pEqn, p_final if final else p_controls)
                     p_perf_all.append(p_perf[0])
-                phi = phi_hbya - pEqn.replace(psi=p_rgh).flux(mesh)
+                # pEqn embeds -laplacian, so flux() is the NEGATED
+                # pressure flux: add it (reference: buoyantPimpleFoam
+                # pEqn.H:62-69 phi = phiHbyA + p_rghEqn.flux())
                 flux_p = pEqn.replace(psi=p_rgh).flux(mesh)
+                phi = phi_hbya + flux_p
                 corr_f = SurfaceField(
-                    (phig - flux_p.data)
+                    (phig + flux_p.data)
                     / jnp.maximum(rho_rau_f, 1e-30),
                     phi.dims / (rho.dims * rAU.dims), "corrF")
                 U_star = HbyA + rAU * fvc.reconstruct(mesh, corr_f)

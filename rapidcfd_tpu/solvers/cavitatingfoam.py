@@ -165,9 +165,11 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
                     p, p_perf = solve(mesh, pEqn,
                                       p_final if final else p_controls)
                     p_perf_all.append(p_perf[0])
+                # -laplacian inside the matrix: ADD the matrix flux
+                # (reference: cavitatingFoam pEqn.H:42)
                 flux_p = pEqn.replace(psi=p).flux(mesh)
                 phi = SurfaceField(
-                    phi_v.data + (phi_gradp - flux_p.data) / rho_f,
+                    phi_v.data + (phi_gradp + flux_p.data) / rho_f,
                     phi.dims, "phi")
 
                 # thermodynamic closure: rho from p, then p from rho

@@ -133,7 +133,9 @@ def make_step(case: Case, thermo: PsiThermo, ctrl: PimpleControl):
                 if p_min > 0:
                     p = p.replace(data=jnp.maximum(p.data, p_min),
                                   bvalues=jnp.maximum(p.bvalues, p_min))
-                phi = phi_hbya - pEqn.replace(psi=p).flux(mesh)
+                # -laplacian inside the matrix: ADD the matrix flux
+                # (reference: rhoPimpleFoam pEqn.H:83)
+                phi = phi_hbya + pEqn.replace(psi=p).flux(mesh)
                 U_star = HbyA - rAU * fvc.grad(mesh, p)
                 U = U.replace(data=U_star.data) \
                     .correct_boundary_conditions(mesh)

@@ -980,3 +980,353 @@ sigma           sigma [1 0 -2 0 0 0 0] 0.07;
                              "        value           uniform (0 0 0);\n",
                     "frontAndBack": "        type            empty;\n"})
     return mesh
+
+
+def depth_charge_case(case_dir: str, n: int = 24, end_time: float = 5e-4,
+                      delta_t: float = 1e-5):
+    """compressibleInterFoam depth charge: a high-pressure air bubble in
+    water inside a closed 2D box (reference tutorial family:
+    multiphase/compressibleInterFoam/laminar/depthCharge2D)."""
+    from ..mesh.geometry import cell_centres_and_vols, face_centres_and_areas
+    from ..fields.io import _body_value
+
+    L = 1.0
+    mesh = box_mesh(n, n, 1, size=(L, L, L / n), patch_spec={
+        "xmin": ("walls", "wall"), "xmax": ("walls", "wall"),
+        "ymin": ("walls", "wall"), "ymax": ("walls", "wall"),
+        "zmin": ("frontAndBack", "empty"),
+        "zmax": ("frontAndBack", "empty"),
+    })
+    write_polymesh(mesh, case_dir)
+    Cf, Sf = face_centres_and_areas(mesh)
+    C, V = cell_centres_and_vols(mesh, Cf, Sf)
+    r = np.sqrt((C[:, 0] - 0.5 * L) ** 2 + (C[:, 1] - 0.5 * L) ** 2)
+    bubble = r < 0.15 * L
+    alpha0 = (~bubble).astype(float)          # water = phase 1
+    p0 = np.where(bubble, 1e6, 1e5)
+
+    _write(os.path.join(case_dir, "system", "controlDict"),
+           foamfile_header("dictionary", "controlDict", "system"), f"""
+application     compressibleInterFoam;
+startFrom       startTime;
+startTime       0;
+stopAt          endTime;
+endTime         {end_time};
+deltaT          {delta_t};
+writeControl    runTime;
+writeInterval   {end_time};
+writeFormat     ascii;
+adjustTimeStep  no;
+maxCo           0.5;
+""")
+    _write(os.path.join(case_dir, "system", "fvSchemes"),
+           foamfile_header("dictionary", "fvSchemes", "system"), """
+ddtSchemes      { default Euler; }
+gradSchemes     { default Gauss linear; }
+divSchemes
+{
+    default         none;
+    div(phi,alpha)  Gauss vanLeer;
+    div(phirb,alpha) Gauss linear;
+    div(rhoPhi,U)   Gauss upwind;
+    div(phi,p)      Gauss upwind;
+    div(rhoPhi,T)   Gauss upwind;
+}
+laplacianSchemes { default Gauss linear orthogonal; }
+interpolationSchemes { default linear; }
+snGradSchemes   { default orthogonal; }
+""")
+    _write(os.path.join(case_dir, "system", "fvSolution"),
+           foamfile_header("dictionary", "fvSolution", "system"), """
+solvers
+{
+    alpha.water { nAlphaSubCycles 2; cAlpha 1; }
+    p_rgh
+    {
+        solver          PCG;
+        preconditioner  DIC;
+        tolerance       1e-08;
+        relTol          0.01;
+    }
+    p_rghFinal
+    {
+        solver          PCG;
+        preconditioner  DIC;
+        tolerance       1e-08;
+        relTol          0;
+    }
+    T
+    {
+        solver          PBiCGStab;
+        preconditioner  DILU;
+        tolerance       1e-08;
+        relTol          0;
+    }
+    U
+    {
+        solver          PBiCGStab;
+        preconditioner  DILU;
+        tolerance       1e-08;
+        relTol          0;
+    }
+}
+PIMPLE
+{
+    momentumPredictor no;
+    nOuterCorrectors 1;
+    nCorrectors     2;
+    nNonOrthogonalCorrectors 0;
+    nAlphaSubCycles 2;
+}
+""")
+    _write(os.path.join(case_dir, "constant", "thermophysicalProperties"),
+           foamfile_header("dictionary", "thermophysicalProperties",
+                           "constant"), """
+phases          (water air);
+pMin            pMin [1 -1 -2 0 0 0 0] 10000;
+sigma           sigma [1 0 -2 0 0 0 0] 0.07;
+""")
+    _write(os.path.join(case_dir, "constant",
+                        "thermophysicalProperties.water"),
+           foamfile_header("dictionary", "thermophysicalProperties.water",
+                           "constant"), """
+thermoType
+{
+    type            heRhoThermo;
+    mixture         pureMixture;
+    transport       const;
+    thermo          hConst;
+    equationOfState perfectFluid;
+    specie          specie;
+    energy          sensibleInternalEnergy;
+}
+mixture
+{
+    specie          { nMoles 1; molWeight 18.0; }
+    equationOfState { R 3000; rho0 1027; }
+    thermodynamics  { Cp 4195; Hf 0; }
+    transport       { mu 3.645e-4; Pr 2.289; }
+}
+""")
+    _write(os.path.join(case_dir, "constant",
+                        "thermophysicalProperties.air"),
+           foamfile_header("dictionary", "thermophysicalProperties.air",
+                           "constant"), """
+thermoType
+{
+    type            hePsiThermo;
+    mixture         pureMixture;
+    transport       const;
+    thermo          hConst;
+    equationOfState perfectGas;
+    specie          specie;
+    energy          sensibleInternalEnergy;
+}
+mixture
+{
+    specie          { nMoles 1; molWeight 28.9; }
+    thermodynamics  { Cp 1007; Hf 0; }
+    transport       { mu 1.84e-5; Pr 0.7; }
+}
+""")
+    _write(os.path.join(case_dir, "constant", "g"),
+           foamfile_header("uniformDimensionedVectorField", "g", "constant"),
+           "\ndimensions      [0 1 -2 0 0 0 0];\n"
+           "value           (0 -9.81 0);\n")
+
+    wall_zg = "        type            zeroGradient;\n"
+    emp = "        type            empty;\n"
+    write_field(case_dir, "0", "alpha.water", "volScalarField",
+                "[0 0 0 0 0 0 0]", _body_value(alpha0),
+                {"walls": wall_zg, "frontAndBack": emp})
+    write_field(case_dir, "0", "p_rgh", "volScalarField",
+                "[1 -1 -2 0 0 0 0]", _body_value(p0),
+                {"walls": wall_zg, "frontAndBack": emp})
+    write_field(case_dir, "0", "p", "volScalarField",
+                "[1 -1 -2 0 0 0 0]", _body_value(p0),
+                {"walls": wall_zg, "frontAndBack": emp})
+    write_field(case_dir, "0", "T", "volScalarField",
+                "[0 0 0 1 0 0 0]", "uniform 300",
+                {"walls": wall_zg, "frontAndBack": emp})
+    write_field(case_dir, "0", "U", "volVectorField", "[0 1 -1 0 0 0 0]",
+                "uniform (0 0 0)", {
+                    "walls": "        type            fixedValue;\n"
+                             "        value           uniform (0 0 0);\n",
+                    "frontAndBack": emp})
+    return mesh
+
+
+def bubble_column_case(case_dir: str, nx: int = 12, ny: int = 30,
+                       end_time: float = 0.05, delta_t: float = 1e-3):
+    """twoPhaseEulerFoam bubble column: air initially in the lower half
+    of a closed water box rises under buoyancy against SchillerNaumann
+    drag (reference tutorial family: multiphase/twoPhaseEulerFoam/
+    bubbleColumn)."""
+    from ..mesh.geometry import cell_centres_and_vols, face_centres_and_areas
+    from ..fields.io import _body_value
+
+    W, H = 0.15, 1.0
+    mesh = box_mesh(nx, ny, 1, size=(W, H, 0.05), patch_spec={
+        "xmin": ("walls", "wall"), "xmax": ("walls", "wall"),
+        "ymin": ("walls", "wall"), "ymax": ("walls", "wall"),
+        "zmin": ("frontAndBack", "empty"),
+        "zmax": ("frontAndBack", "empty"),
+    })
+    write_polymesh(mesh, case_dir)
+    Cf, Sf = face_centres_and_areas(mesh)
+    C, V = cell_centres_and_vols(mesh, Cf, Sf)
+    alpha0 = np.where(C[:, 1] < 0.5 * H, 0.1, 0.0)
+
+    _write(os.path.join(case_dir, "system", "controlDict"),
+           foamfile_header("dictionary", "controlDict", "system"), f"""
+application     twoPhaseEulerFoam;
+startFrom       startTime;
+startTime       0;
+stopAt          endTime;
+endTime         {end_time};
+deltaT          {delta_t};
+writeControl    runTime;
+writeInterval   {end_time};
+writeFormat     ascii;
+adjustTimeStep  no;
+maxCo           0.5;
+""")
+    _write(os.path.join(case_dir, "system", "fvSchemes"),
+           foamfile_header("dictionary", "fvSchemes", "system"), """
+ddtSchemes      { default Euler; }
+gradSchemes     { default Gauss linear; }
+divSchemes      { default Gauss upwind; div(phi,alpha.air) Gauss vanLeer; }
+laplacianSchemes { default Gauss linear orthogonal; }
+interpolationSchemes { default linear; }
+snGradSchemes   { default orthogonal; }
+""")
+    _write(os.path.join(case_dir, "system", "fvSolution"),
+           foamfile_header("dictionary", "fvSolution", "system"), """
+solvers
+{
+    "alpha.air.*" { nAlphaSubCycles 2; nAlphaCorr 1; }
+    p
+    {
+        solver          PCG;
+        preconditioner  DIC;
+        tolerance       1e-08;
+        relTol          0.01;
+    }
+    pFinal
+    {
+        solver          PCG;
+        preconditioner  DIC;
+        tolerance       1e-08;
+        relTol          0;
+    }
+    T
+    {
+        solver          PBiCGStab;
+        preconditioner  DILU;
+        tolerance       1e-08;
+        relTol          0;
+    }
+}
+PIMPLE
+{
+    nOuterCorrectors 1;
+    nCorrectors      2;
+    nNonOrthogonalCorrectors 0;
+}
+""")
+    _write(os.path.join(case_dir, "constant", "phaseProperties"),
+           foamfile_header("dictionary", "phaseProperties", "constant"), """
+phases          (air water);
+
+air
+{
+    diameterModel   constant;
+    constantCoeffs  { d  d [0 1 0 0 0 0 0] 3e-3; }
+    alphaMax        0.62;
+    residualAlpha   1e-6;
+}
+water
+{
+    diameterModel   constant;
+    constantCoeffs  { d  d [0 1 0 0 0 0 0] 1e-4; }
+    residualAlpha   1e-6;
+}
+
+drag            { type SchillerNaumann; }
+virtualMass     { type constantCoefficient; Cvm 0.5; }
+heatTransfer    { type RanzMarshall; }
+lift            { type none; }
+turbulentDispersion { type none; }
+wallLubrication { type none; }
+
+pMin            pMin [1 -1 -2 0 0 0 0] 10000;
+""")
+    _write(os.path.join(case_dir, "constant",
+                        "thermophysicalProperties.air"),
+           foamfile_header("dictionary", "thermophysicalProperties.air",
+                           "constant"), """
+thermoType
+{
+    type            hePsiThermo;
+    mixture         pureMixture;
+    transport       const;
+    thermo          hConst;
+    equationOfState perfectGas;
+    specie          specie;
+    energy          sensibleInternalEnergy;
+}
+mixture
+{
+    specie          { nMoles 1; molWeight 28.9; }
+    thermodynamics  { Cp 1007; Hf 0; }
+    transport       { mu 1.84e-5; Pr 0.7; }
+}
+""")
+    _write(os.path.join(case_dir, "constant",
+                        "thermophysicalProperties.water"),
+           foamfile_header("dictionary",
+                           "thermophysicalProperties.water",
+                           "constant"), """
+thermoType
+{
+    type            heRhoThermo;
+    mixture         pureMixture;
+    transport       const;
+    thermo          hConst;
+    equationOfState perfectFluid;
+    specie          specie;
+    energy          sensibleInternalEnergy;
+}
+mixture
+{
+    specie          { nMoles 1; molWeight 18.0; }
+    equationOfState { R 3000; rho0 1027; }
+    thermodynamics  { Cp 4195; Hf 0; }
+    transport       { mu 1.0e-3; Pr 7.0; }
+}
+""")
+    _write(os.path.join(case_dir, "constant", "g"),
+           foamfile_header("uniformDimensionedVectorField", "g",
+                           "constant"),
+           "\ndimensions      [0 1 -2 0 0 0 0];\n"
+           "value           (0 -9.81 0);\n")
+
+    zg = "        type            zeroGradient;\n"
+    emp = "        type            empty;\n"
+    noslip = ("        type            fixedValue;\n"
+              "        value           uniform (0 0 0);\n")
+    write_field(case_dir, "0", "alpha.air", "volScalarField",
+                "[0 0 0 0 0 0 0]", _body_value(alpha0),
+                {"walls": zg, "frontAndBack": emp})
+    write_field(case_dir, "0", "p", "volScalarField",
+                "[1 -1 -2 0 0 0 0]", "uniform 1e5",
+                {"walls": zg, "frontAndBack": emp})
+    for name in ("T.air", "T.water"):
+        write_field(case_dir, "0", name, "volScalarField",
+                    "[0 0 0 1 0 0 0]", "uniform 300",
+                    {"walls": zg, "frontAndBack": emp})
+    for name in ("U.air", "U.water"):
+        write_field(case_dir, "0", name, "volVectorField",
+                    "[0 1 -1 0 0 0 0]", "uniform (0 0 0)",
+                    {"walls": noslip, "frontAndBack": emp})
+    return mesh

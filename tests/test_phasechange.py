@@ -123,7 +123,7 @@ def test_cavitating_foam_expansion(tmp_path_factory):
     _write(os.path.join(d, "system", "controlDict"),
            foamfile_header("dictionary", "controlDict", "system"), """
 application cavitatingFoam; startFrom startTime; startTime 0;
-stopAt endTime; endTime 0.0002; deltaT 2e-06;
+stopAt endTime; endTime 0.0004; deltaT 2e-06;
 writeControl timeStep; writeInterval 1000; writeFormat ascii;
 """)
     _write(os.path.join(d, "system", "fvSchemes"),
@@ -156,7 +156,7 @@ PIMPLE { nOuterCorrectors 2; nCorrectors 1;
 psil            psil [0 -2 2 0 0] 4.54e-07;
 rholSat         rholSat [1 -3 0 0 0] 830;
 psiv            psiv [0 -2 2 0 0] 2.5e-06;
-pSat            pSat [1 -1 -2 0 0] 4500;
+pSat            pSat [1 -1 -2 0 0] 8000;
 rhoMin          rhoMin [1 -3 0 0 0] 0.001;
 """)
     _write(os.path.join(d, "constant", "transportProperties"),
@@ -185,7 +185,7 @@ sigma           sigma [1 0 -2 0 0 0 0] 0;
     assert np.isfinite(pr).all() and np.isfinite(r).all()
     assert np.isfinite(u).all()
     assert (r >= 0.001 - 1e-12).all()
-    av = np.clip((r - 830.0) / (2.5e-6 * 4500 - 830.0), 0.0, 1.0)
+    av = np.clip((r - 830.0) / (2.5e-6 * 8000 - 830.0), 0.0, 1.0)
     assert (av >= 0).all() and (av <= 1).all()
     # vapour forms near the low-pressure outlet
     assert av.max() > 1e-4
