@@ -42,6 +42,9 @@ SOLVERS = {
     "interPhaseChangeFoam": ("rapidcfd_tpu.solvers.interphasechangefoam",
                              {}),
     "cavitatingFoam": ("rapidcfd_tpu.solvers.cavitatingfoam", {}),
+    "compressibleInterFoam": (
+        "rapidcfd_tpu.solvers.compressibleinterfoam", {}),
+    "twoPhaseEulerFoam": ("rapidcfd_tpu.solvers.twophaseeulerfoam", {}),
     "potentialFreeSurfaceFoam": (
         "rapidcfd_tpu.solvers.potentialfreesurfacefoam", {}),
     "driftFluxFoam": ("rapidcfd_tpu.solvers.driftfluxfoam", {}),

@@ -127,23 +127,15 @@ def read_phase_properties(props: Dictionary):
     specs = []
     for name in phases:
         pd = props.subdict(name, required=False) or Dictionary()
-        dd = pd.subdict("diameterModel", required=False)
-        if dd is not None and not isinstance(dd, Dictionary):
-            dd = None
+        # diameterModel is a word ('constant'/'isothermal') with a
+        # sibling constantCoeffs/isothermalCoeffs subdict (reference:
+        # twoPhaseSystem/diameterModels)
         d = None
-        if dd:
-            cd = dd.subdict("constantCoeffs", required=False)
-            if cd:
-                from ..fields.field import Dimensioned
-                d = Dimensioned.from_entry(
-                    cd.lookup("d", required=True)).value
-        if d is None:
-            dm = pd.lookup("diameterModel", required=False)
-            cd = pd.subdict("constantCoeffs", required=False)
-            if cd:
-                from ..fields.field import Dimensioned
-                d = Dimensioned.from_entry(
-                    cd.lookup("d", required=True)).value
+        cd = pd.subdict("constantCoeffs", required=False) \
+            or pd.subdict("isothermalCoeffs", required=False)
+        if cd:
+            from ..fields.field import Dimensioned
+            d = Dimensioned.from_entry(cd.lookup("d", required=True)).value
         if d is None:
             d = 1e-3
         specs.append(PhaseSpec(

@@ -56,11 +56,13 @@ def _read_setup(case: Case):
     return names, specs, closures, t1, t2, pmin, g
 
 
-def _row_scale(mesh, m, s):
+def _row_scale(mesh, m, s, dims=None):
     """volScalarField * fvMatrix (row scaling; reference: fvMatrix
-    operator* with a DimensionedField)."""
+    operator* with a DimensionedField). dims: resulting matrix
+    dimensions (scaling coefficient dims folded in)."""
     own = mesh.owner[:mesh.n_internal]
     return m.replace(
+        dims=dims if dims is not None else m.dims,
         diag=m.diag * s,
         lower=m.lower * jnp.take(s, mesh.neighbour),
         upper=m.upper * jnp.take(s, own),
@@ -253,7 +255,7 @@ def make_step(case: Case, setup, ctrl: PimpleControl):
                             - fvm.Sp(mesh, Dimensioned(
                                 "divphi", phii.dims / _DN.of(0, 3),
                                 fvc.div(mesh, phii).data), Ui))
-                    m = m + _row_scale(mesh, vm_m, vm_c)
+                    m = m + _row_scale(mesh, vm_m, vm_c, dims=m.dims)
                     m = m.replace(source=m.source
                                   + (vm_c * mesh.V)[:, None] * ddt_other)
                 return m
@@ -421,10 +423,12 @@ def make_step(case: Case, setup, ctrl: PimpleControl):
                 corr2 = SurfaceField(
                     ra2f * (g_sf + msf_gradp / rho2f),
                     phi.dims, "c2f")
-                U1 = (HbyA1 + fvc.reconstruct(mesh, corr1)) \
-                    .correct_boundary_conditions(mesh)
-                U2 = (HbyA2 + fvc.reconstruct(mesh, corr2)) \
-                    .correct_boundary_conditions(mesh)
+                U1n = HbyA1 + fvc.reconstruct(mesh, corr1)
+                U2n = HbyA2 + fvc.reconstruct(mesh, corr2)
+                U1 = U1.replace(data=U1n.data) \
+                       .correct_boundary_conditions(mesh)
+                U2 = U2.replace(data=U2n.data) \
+                       .correct_boundary_conditions(mesh)
                 p = p.replace(data=jnp.maximum(p.data, p_min)) \
                      .correct_boundary_conditions(mesh)
                 rho1 = eos(alpha, p, T1, m1, rho1.name).replace(
