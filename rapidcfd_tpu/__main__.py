@@ -39,6 +39,7 @@ SOLVERS = {
     "interFoam": ("rapidcfd_tpu.solvers.interfoam", {}),
     "twoLiquidMixingFoam": ("rapidcfd_tpu.solvers.interfoam",
                             {"mixing": True}),
+    "interMixingFoam": ("rapidcfd_tpu.solvers.intermixingfoam", {}),
     "interPhaseChangeFoam": ("rapidcfd_tpu.solvers.interphasechangefoam",
                              {}),
     "cavitatingFoam": ("rapidcfd_tpu.solvers.cavitatingfoam", {}),
