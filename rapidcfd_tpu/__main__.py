@@ -46,6 +46,8 @@ SOLVERS = {
     "compressibleInterFoam": (
         "rapidcfd_tpu.solvers.compressibleinterfoam", {}),
     "twoPhaseEulerFoam": ("rapidcfd_tpu.solvers.twophaseeulerfoam", {}),
+    "compressibleMultiphaseInterFoam": (
+        "rapidcfd_tpu.solvers.compressiblemultiphaseinterfoam", {}),
     "potentialFreeSurfaceFoam": (
         "rapidcfd_tpu.solvers.potentialfreesurfacefoam", {}),
     "driftFluxFoam": ("rapidcfd_tpu.solvers.driftfluxfoam", {}),
@@ -74,6 +76,8 @@ SOLVERS = {
 X64_DEFAULT = {
     "rhoSimpleFoam", "rhoPimpleFoam", "sonicFoam", "rhoCentralFoam",
     "buoyantSimpleFoam", "buoyantPimpleFoam", "thermoFoam",
+    "compressibleInterFoam", "twoPhaseEulerFoam",
+    "compressibleMultiphaseInterFoam", "multiphaseEulerFoam",
 }
 
 
