@@ -48,6 +48,8 @@ SOLVERS = {
     "twoPhaseEulerFoam": ("rapidcfd_tpu.solvers.twophaseeulerfoam", {}),
     "compressibleMultiphaseInterFoam": (
         "rapidcfd_tpu.solvers.compressiblemultiphaseinterfoam", {}),
+    "multiphaseEulerFoam": (
+        "rapidcfd_tpu.solvers.multiphaseeulerfoam", {}),
     "potentialFreeSurfaceFoam": (
         "rapidcfd_tpu.solvers.potentialfreesurfacefoam", {}),
     "driftFluxFoam": ("rapidcfd_tpu.solvers.driftfluxfoam", {}),
