@@ -47,6 +47,15 @@ class Level:
     ell_idx: jnp.ndarray          # (ncc, Kc) into [upper|lower|0]
     coarse_owner: jnp.ndarray     # (nfc,)
     coarse_neighbour: jnp.ndarray
+    # padded GATHER addressing (TPU-fast restriction/coarsening; the
+    # reference's restrictSortAddressing idea, GAMGAgglomeration.H:149):
+    # scatter-adds become take().sum(1)
+    children: jnp.ndarray         # (ncc, Kch) fine cells, pad=nc_fine
+    face_children: jnp.ndarray    # (nfc, Kfc) fine faces, pad=nif
+    face_child_flip: jnp.ndarray  # (nfc, Kfc) 1.0 where owner/nei swap
+    int_faces: jnp.ndarray        # (ncc, Kif) collapsed faces, pad=nif
+    n_fine: int
+    n_fine_faces: int
 
 
 def _pair_agglomerate(own: np.ndarray, nei: np.ndarray,
@@ -171,6 +180,48 @@ def build_hierarchy(mesh: MeshArrays, n_coarsest: int = 32,
         ell = build_ell(c_own, c_nei, ncc, nfc,
                         np.ones(nfc, dtype=bool))
 
+        def padded_lists(ids, nbins, pad, aux=None):
+            """CSR->padded-ELL lists: per bin, member indices (+aux)."""
+            order2 = np.argsort(ids, kind="stable")
+            sids = ids[order2]
+            counts = np.bincount(sids, minlength=nbins)
+            kmax = max(int(counts.max()) if nbins else 1, 1)
+            out = np.full((nbins, kmax), pad, dtype=np.int64)
+            starts = np.zeros(nbins + 1, dtype=np.int64)
+            np.cumsum(counts, out=starts[1:])
+            members = order2
+            cols = np.arange(ids.size) - starts[sids]
+            out[sids, cols] = members
+            res = [out]
+            if aux is not None:
+                a_out = np.zeros((nbins, kmax), dtype=np.float32)
+                a_out[sids, cols] = aux[order2]
+                res.append(a_out)
+            return res
+
+        (children,) = padded_lists(coarse, ncc, nc)
+        ext_ids = np.where(ext)[0]
+        fc_ext = face_coarse[ext]
+        flip_ext = flip[ext].astype(np.float32)
+        if ext_ids.size:
+            fch, ffl = padded_lists(fc_ext, nfc, own.size,
+                                    aux=flip_ext)
+            # member positions index into ext subset: map back
+            pad_mask = fch == own.size
+            fch = np.where(pad_mask, own.size, ext_ids[
+                np.clip(fch, 0, ext_ids.size - 1)])
+        else:
+            fch = np.full((nfc, 1), own.size, dtype=np.int64)
+            ffl = np.zeros((nfc, 1), dtype=np.float32)
+        int_ids = np.where(internal)[0]
+        if int_ids.size:
+            (ifc,) = padded_lists(co[internal], ncc, own.size)
+            pad_mask = ifc == own.size
+            ifc = np.where(pad_mask, own.size, int_ids[
+                np.clip(ifc, 0, int_ids.size - 1)])
+        else:
+            ifc = np.full((ncc, 1), own.size, dtype=np.int64)
+
         # NOTE: stored as numpy so the cached hierarchy is trace-free
         # (jnp constants created inside a jit trace must not be cached)
         levels.append(Level(
@@ -183,6 +234,12 @@ def build_hierarchy(mesh: MeshArrays, n_coarsest: int = 32,
             ell_idx=ell["ell_idx"].astype(np.int32),
             coarse_owner=c_own.astype(np.int32),
             coarse_neighbour=c_nei.astype(np.int32),
+            children=children.astype(np.int32),
+            face_children=fch.astype(np.int32),
+            face_child_flip=ffl.astype(np.float32),
+            int_faces=ifc.astype(np.int32),
+            n_fine=int(nc),
+            n_fine_faces=int(own.size),
         ))
         own, nei, weights, nc = c_own, c_nei, c_w, ncc
 
@@ -194,21 +251,37 @@ def _seg_sum(x, ids, n):
     return jnp.zeros((n,) + x.shape[1:], x.dtype).at[ids].add(x)
 
 
+def _ext(a, like):
+    """Broadcast a (n,)/(nf,) array against trailing component axes."""
+    return a.reshape(a.shape + (1,) * (like.ndim - a.ndim))
+
+
+def _restrict(level: Level, r):
+    """Gather-based restriction: coarse r = sum of fine children
+    (the reference's sorted-gather restrict, GAMGAgglomeration.H:149;
+    scatter-add is pathological on TPU). Supports trailing component
+    axes (column-batched vector solves)."""
+    rp = jnp.concatenate(
+        [r, jnp.zeros((1,) + r.shape[1:], r.dtype)], axis=0)
+    return jnp.take(rp, level.children, axis=0).sum(1)
+
+
 def _coarsen_matrix(level: Level, diag, lower, upper, internal_mask_face):
-    """Assemble the coarse-level (diag, lower, upper) on device."""
-    ncc, nfc = level.n_coarse, level.n_coarse_faces
-    c_diag = _seg_sum(diag, level.restrict_addr, ncc)
-    is_int = (level.face_coarse == nfc)
+    """Assemble the coarse-level (diag, lower, upper) on device — all
+    padded gathers (no scatter)."""
+    c_diag = _restrict(level, diag)
+    z1 = jnp.zeros(1, diag.dtype)
+    up_p = jnp.concatenate([upper, z1])
+    lo_p = jnp.concatenate([lower, z1])
     # faces collapsing into a coarse cell add (upper+lower) to its diag
-    c_diag = c_diag.at[level.face_cell].add(
-        jnp.where(is_int, upper + lower, 0.0))
-    flipb = jnp.asarray(level.face_flip > 0.5)
-    up_c = jnp.where(flipb, lower, upper)
-    lo_c = jnp.where(flipb, upper, lower)
-    c_upper = _seg_sum(jnp.where(is_int, 0.0, up_c), level.face_coarse,
-                       nfc + 1)[:nfc]
-    c_lower = _seg_sum(jnp.where(is_int, 0.0, lo_c), level.face_coarse,
-                       nfc + 1)[:nfc]
+    both = up_p + lo_p
+    c_diag = c_diag + _ext(
+        jnp.take(both, level.int_faces, axis=0).sum(1), c_diag)
+    up_g = jnp.take(up_p, level.face_children, axis=0)
+    lo_g = jnp.take(lo_p, level.face_children, axis=0)
+    fl = level.face_child_flip
+    c_upper = (jnp.where(fl > 0.5, lo_g, up_g)).sum(1)
+    c_lower = (jnp.where(fl > 0.5, up_g, lo_g)).sum(1)
     return c_diag, c_lower, c_upper
 
 
@@ -216,8 +289,8 @@ def _level_amul(level: Level, diag, lower, upper):
     def amul(x):
         cat = jnp.concatenate([upper, lower, jnp.zeros(1, upper.dtype)])
         coeffs = jnp.take(cat, level.ell_idx, axis=0)
-        return diag * x + (coeffs * jnp.take(x, level.cell_nbr,
-                                             axis=0)).sum(1)
+        nbr = jnp.take(x, level.cell_nbr, axis=0)
+        return _ext(diag, x) * x + (_ext(coeffs, nbr) * nbr).sum(1)
     return amul
 
 
@@ -225,7 +298,7 @@ def _jacobi(amul, diag, b, x, n, omega=0.9):
     rd = omega / jnp.where(diag == 0.0, 1.0, diag)
 
     def body(i, x):
-        return x + rd * (b - amul(x))
+        return x + _ext(rd, x) * (b - amul(x))
     return lax.fori_loop(0, n, body, x)
 
 
@@ -258,11 +331,11 @@ def _chebyshev(amul, diag, b, x, degree, lam_max):
     sigma = theta / delta
     rho = 1.0 / sigma
 
-    r = rd * (b - amul(x))
+    r = _ext(rd, b) * (b - amul(x))
     d_vec = r / theta
     for _ in range(degree):
         x = x + d_vec
-        r = r - rd * amul(d_vec)
+        r = r - _ext(rd, r) * amul(d_vec)
         rho_new = 1.0 / (2.0 * sigma - rho)
         d_vec = (rho_new * rho) * d_vec + (2.0 * rho_new / delta) * r
         rho = rho_new
@@ -324,15 +397,34 @@ def make_vcycle(mesh: MeshArrays, m, amul_fine, diag, controls,
                               max(2, sweeps + 1), lam[i])
         return _jacobi(amuls[i], mats[i][0], b, x, sweeps)
 
-    # coarsest dense matrix for the MXU direct solve
+    # coarsest dense matrix for the MXU direct solve: invert ONCE per
+    # solve (the matrix is fixed across V-cycles) and apply as a matmul
     dC, loC, upC = mats[-1]
     ncc = dC.shape[0]
     if levels:
         lvl = levels[-1]
-        denseC = (jnp.zeros((ncc, ncc), dC.dtype)
-                  .at[jnp.arange(ncc), jnp.arange(ncc)].set(dC)
-                  .at[lvl.coarse_owner, lvl.coarse_neighbour].add(upC)
-                  .at[lvl.coarse_neighbour, lvl.coarse_owner].add(loC))
+
+        def dense_of(dcol):
+            return (jnp.zeros((ncc, ncc), dC.dtype)
+                    .at[jnp.arange(ncc), jnp.arange(ncc)].set(dcol)
+                    .at[lvl.coarse_owner, lvl.coarse_neighbour].add(upC)
+                    .at[lvl.coarse_neighbour, lvl.coarse_owner].add(loC))
+
+        def inv_of(a):
+            if a.dtype == jnp.float64 and \
+                    jax.devices()[0].platform not in ("cpu", "gpu"):
+                # TPU LuDecomposition is F32-only; the coarsest-level
+                # correction tolerates reduced precision
+                return jnp.linalg.inv(a.astype(jnp.float32)) \
+                    .astype(a.dtype)
+            return jnp.linalg.inv(a)
+
+        if dC.ndim == 1:
+            invC = inv_of(dense_of(dC))
+        else:
+            # column-batched vector system: per-component inverse
+            invC = jnp.stack([inv_of(dense_of(dC[:, k]))
+                              for k in range(dC.shape[1])])
 
     def vcycle(x, b):
         # down-leg: smooth, residual, restrict
@@ -344,21 +436,16 @@ def make_vcycle(mesh: MeshArrays, m, amul_fine, diag, controls,
                 xi = smooth(i, bs[i], xi, n_pre)
             r = bs[i] - amuls[i](xi)
             xs[i] = xi
-            bs.append(_seg_sum(r, lv.restrict_addr, lv.n_coarse))
-            xs.append(jnp.zeros(lv.n_coarse, x.dtype))
-        # coarsest: dense direct solve
+            bs.append(_restrict(lv, r))
+            xs.append(jnp.zeros((lv.n_coarse,) + x.shape[1:], x.dtype))
+        # coarsest: precomputed-inverse matmul (MXU)
         if levels:
-            if denseC.dtype == jnp.float64 and \
-                    jax.devices()[0].platform not in ("cpu", "gpu"):
-                # TPU LuDecomposition is F32-only; the coarsest-level
-                # correction tolerates reduced precision (the V-cycle
-                # iterates on the fine residual)
-                sol = jnp.linalg.solve(
-                    denseC.astype(jnp.float32),
-                    bs[-1].astype(jnp.float32)[:, None])[:, 0]
-                xs[-1] = sol.astype(denseC.dtype)
+            if invC.ndim == 2 and bs[-1].ndim == 1:
+                xs[-1] = invC @ bs[-1]
+            elif invC.ndim == 2:
+                xs[-1] = invC @ bs[-1]          # (ncc,ncc)@(ncc,m)
             else:
-                xs[-1] = jnp.linalg.solve(denseC, bs[-1][:, None])[:, 0]
+                xs[-1] = jnp.einsum("kij,jk->ik", invC, bs[-1])
         else:
             xs[-1] = smooth(0, bs[-1], xs[-1], 8)
         # up-leg: prolong + scale correction + post-smooth. The scaling

@@ -153,7 +153,8 @@ def solve_component(mesh: MeshArrays, m: FvMatrix, cmpt: int | None,
     if name in ("PCG", "ICCG"):
         return _pcg(mesh, amul, ell, diag, source, psi0, controls, m=m)
     if name in ("PBiCGStab", "PBiCG", "BICCG"):
-        return _pbicgstab(mesh, amul, ell, diag, source, psi0, controls)
+        return _pbicgstab(mesh, amul, ell, diag, source, psi0, controls,
+                          m=m)
     if name == "smoothSolver":
         return _smooth_solver(mesh, amul, ell, diag, source, psi0, controls)
     if name == "diagonal":
@@ -177,7 +178,7 @@ def _pcg(mesh, amul, ell, diag, source, psi0, c: SolverControls, m=None):
     """Preconditioned conjugate gradient (reference PCG.C:67-205).
     preconditioner GAMG uses one unscaled multigrid V-cycle per
     application (the reference's GAMG-preconditioned PCG)."""
-    if c.preconditioner == "GAMG" and m is not None and psi0.ndim == 1:
+    if c.preconditioner == "GAMG" and m is not None:
         from .gamg import make_vcycle
         vc = make_vcycle(mesh, m, amul, diag, c, scale_correction=False,
                          fixed_scale=c.vcycle_scale)
@@ -228,10 +229,21 @@ def _pcg(mesh, amul, ell, diag, source, psi0, c: SolverControls, m=None):
     return psi, (res0, res, it)
 
 
-def _pbicgstab(mesh, amul, ell, diag, source, psi0, c: SolverControls):
+def _pbicgstab(mesh, amul, ell, diag, source, psi0, c: SolverControls,
+               m=None):
     """Preconditioned BiCGStab (reference PBiCGStab.H:50), for asymmetric
-    systems (convection-dominated equations)."""
-    precond = lookup("lduPreconditioner", c.preconditioner)(mesh, ell, diag)
+    systems (convection-dominated equations). preconditioner GAMG uses
+    one linear multigrid V-cycle per application (column-batched for
+    vector systems)."""
+    if c.preconditioner == "GAMG" and m is not None:
+        from .gamg import make_vcycle
+        vc = make_vcycle(mesh, m, amul, diag, c, scale_correction=False,
+                         fixed_scale=c.vcycle_scale)
+        def precond(r):
+            return vc(jnp.zeros_like(r), r)
+    else:
+        precond = lookup("lduPreconditioner", c.preconditioner)(
+            mesh, ell, diag)
     v_ones = jnp.ones_like(psi0)
 
     apsi = amul(psi0)
@@ -349,10 +361,11 @@ def solve(mesh: MeshArrays, m: FvMatrix, controls: SolverControls,
     amul = _amul_fn(mesh, ell, diag)
     name = controls.solver
     if name in ("PCG", "ICCG"):
-        x, perf = _pcg(mesh, amul, ell, diag, source, psi.data, controls)
+        x, perf = _pcg(mesh, amul, ell, diag, source, psi.data, controls,
+                       m=m)
     elif name in ("PBiCGStab", "PBiCG", "BICCG"):
         x, perf = _pbicgstab(mesh, amul, ell, diag, source, psi.data,
-                             controls)
+                             controls, m=m)
     elif name == "smoothSolver":
         x, perf = _smooth_solver(mesh, amul, ell, diag, source, psi.data,
                                  controls)
