@@ -31,6 +31,9 @@ SOLVERS = {
     "adjointShapeOptimizationFoam": (
         "rapidcfd_tpu.solvers.adjointshapeopt", {}),
     "pimpleFoam": ("rapidcfd_tpu.solvers.pimplefoam", {}),
+    "SRFSimpleFoam": ("rapidcfd_tpu.solvers.srffoam", {}),
+    "SRFPimpleFoam": ("rapidcfd_tpu.solvers.srffoam",
+                      {"_fn": "run_pimple"}),
     "pisoFoam": ("rapidcfd_tpu.solvers.pimplefoam", {"piso_mode": True}),
     "sonicFoam": ("rapidcfd_tpu.solvers.sonicfoam", {}),
     "rhoSimpleFoam": ("rapidcfd_tpu.solvers.rhosimplefoam", {}),

@@ -460,6 +460,26 @@ class PressureInletOutletVelocity(BC):
         return (vic - 1.0) * mesh.patch_delta_coeffs(patch)[:, None]
 
 
+@register("fvPatchField", "SRFVelocity")
+@dataclass(frozen=True)
+class SRFVelocity(FixedValue):
+    """Velocity in the single rotating frame (reference:
+    cfdTools/general/SRF/derivedFvPatchFields/SRFVelocityFvPatchVector-
+    Field): Urel = inletValue if `relative yes`, else inletValue minus
+    the frame velocity at the patch faces. The frame velocity is static
+    per mesh, so the SRF solvers stash it in bd['srfValue'] at startup
+    (the reference recomputes it each updateCoeffs)."""
+
+    def evaluate(self, mesh, patch, field, bd, env=None):
+        shape = field.patch_internal(mesh, patch).shape
+        val = jnp.broadcast_to(bd["inletValue"], shape)
+        srf_v = bd.get("srfValue")
+        if srf_v is None:
+            return val
+        rel = bd.get("relative", jnp.asarray(0.0))
+        return val - (1.0 - rel) * srf_v
+
+
 @register("fvPatchField", "flowRateInletVelocity")
 @dataclass(frozen=True)
 class FlowRateInletVelocity(BC):

@@ -88,6 +88,14 @@ def read_vol_field(case_dir: str, time: str, name: str, mesh: MeshArrays,
             if pd.lookup(key) is not None:
                 v = _parse_value(pd.lookup(key), patch.size, dtype)
                 bd[key] = jnp.asarray(v)
+        # Switch-valued entries (yes/no words) stored as 0/1 scalars so
+        # they stay jit-safe pytree leaves
+        for key in ("relative",):
+            if pd.lookup(key) is not None:
+                w = pd.word(key)
+                bd[key] = jnp.asarray(
+                    1.0 if w in ("yes", "true", "on", "1") else 0.0,
+                    dtype)
         bcs.append(bc)
         bcdata.append(bd)
         if "value" in bd:

@@ -27,18 +27,22 @@ from .icofoam import continuity_errors, courant_number
 from .simplefoam import div_dev_reff, relax_field
 
 
-def make_step(case: Case, transport, turb, ctrl, piso_mode: bool):
+def make_step(case: Case, transport, turb, ctrl, piso_mode: bool,
+              u_source=None, u_name="U"):
+    """u_source: optional (mesh, U) -> (n,3) acceleration added to the
+    momentum LHS (SRFPimpleFoam's `+ SRF->Su()`); u_name: fvSolution/
+    fvSchemes key for the velocity (SRF solvers use 'Urel')."""
     mesh = case.mesh
     from ..models.fvoptions import FvOptions
     fv_options = FvOptions(case)
-    div_u = case.div_scheme("div(phi,U)")
+    div_u = case.div_scheme(f"div(phi,{u_name})")
     lap_corr = case.laplacian_scheme()
     ddt_scheme = case.ddt_scheme()
-    u_controls = case.solver_controls("U")
-    u_final = case.solver_controls("U", final=True)
+    u_controls = case.solver_controls(u_name)
+    u_final = case.solver_controls(u_name, final=True)
     p_controls = case.solver_controls("p")
     p_final = case.solver_controls("p", final=True)
-    u_relax = case.relaxation_factor("U", "equations", 0.0)
+    u_relax = case.relaxation_factor(u_name, "equations", 0.0)
     n_outer = 1 if piso_mode else ctrl.n_outer
     n_corr = ctrl.n_correctors
     n_non_orth = ctrl.n_non_orth
@@ -57,6 +61,10 @@ def make_step(case: Case, transport, turb, ctrl, piso_mode: bool):
             UEqn = (fvm.ddt(mesh, U, dt, ddt_scheme)
                     + fvm.div(mesh, phi, U, div_u)
                     + div_dev_reff(mesh, nu_eff, U, lap_corr))
+            if u_source is not None:
+                UEqn = UEqn.replace(
+                    source=UEqn.source
+                    - mesh.V[:, None] * u_source(mesh, U))
             UEqn = fv_options(mesh, "U", UEqn, {"nu": nu})
             if not final_outer:
                 UEqn = UEqn.relax(mesh, u_relax)

@@ -43,15 +43,19 @@ def div_dev_reff(mesh, nu_eff, U: VolField, lap_corr: str):
     return m.equals(expl)
 
 
-def make_step(case: Case, transport, turb, simple: SimpleControl):
+def make_step(case: Case, transport, turb, simple: SimpleControl,
+              u_source=None, u_name="U"):
+    """u_source: optional (mesh, U) -> (n,3) acceleration added to the
+    momentum LHS (SRFSimpleFoam's `+ SRF->Su()`); u_name: fvSolution/
+    fvSchemes key for the velocity (SRF solvers use 'Urel')."""
     mesh = case.mesh
     from ..models.fvoptions import FvOptions
     fv_options = FvOptions(case)
-    div_u = case.div_scheme("div(phi,U)")
+    div_u = case.div_scheme(f"div(phi,{u_name})")
     lap_corr = case.laplacian_scheme()
-    u_controls = case.solver_controls("U")
+    u_controls = case.solver_controls(u_name)
     p_controls = case.solver_controls("p")
-    u_relax = case.relaxation_factor("U", "equations", 0.0)
+    u_relax = case.relaxation_factor(u_name, "equations", 0.0)
     p_relax = case.relaxation_factor("p", "fields", 0.0)
     n_non_orth = simple.n_non_orth
     p_ref_cell, p_ref_value = simple.p_ref_cell, simple.p_ref_value
@@ -64,6 +68,9 @@ def make_step(case: Case, transport, turb, simple: SimpleControl):
         # momentum predictor (UEqn.H)
         UEqn = fvm.div(mesh, phi, U, div_u) \
             + div_dev_reff(mesh, nu_eff, U, lap_corr)
+        if u_source is not None:
+            UEqn = UEqn.replace(
+                source=UEqn.source - mesh.V[:, None] * u_source(mesh, U))
         UEqn = fv_options(mesh, "U", UEqn, {"nu": nu})
         UEqn = UEqn.relax(mesh, u_relax)
         UEqn = fv_options.constrain(mesh, "U", UEqn)
