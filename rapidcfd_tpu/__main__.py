@@ -38,8 +38,11 @@ SOLVERS = {
     "sonicFoam": ("rapidcfd_tpu.solvers.sonicfoam", {}),
     "rhoSimpleFoam": ("rapidcfd_tpu.solvers.rhosimplefoam", {}),
     "rhoPimpleFoam": ("rapidcfd_tpu.solvers.rhopimplefoam", {}),
+    "rhoLTSPimpleFoam": ("rapidcfd_tpu.solvers.rhopimplefoam",
+                         {"lts": True}),
     "rhoCentralFoam": ("rapidcfd_tpu.solvers.rhocentralfoam", {}),
     "interFoam": ("rapidcfd_tpu.solvers.interfoam", {}),
+    "LTSInterFoam": ("rapidcfd_tpu.solvers.interfoam", {"lts": True}),
     "twoLiquidMixingFoam": ("rapidcfd_tpu.solvers.interfoam",
                             {"mixing": True}),
     "interMixingFoam": ("rapidcfd_tpu.solvers.intermixingfoam", {}),

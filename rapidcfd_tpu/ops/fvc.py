@@ -392,3 +392,17 @@ def ddt(mesh: MeshArrays, vf: VolField, dt) -> VolField:
     b = (vf.bvalues - vf.old.bvalues) / dt
     return vf.with_calculated_bcs(d, b, vf.dims / DimensionSet.of(0, 0, 1),
                                   f"ddt({vf.name})")
+
+
+def smooth(mesh: MeshArrays, data: jnp.ndarray, coeff: float,
+           sweeps: int = 8) -> jnp.ndarray:
+    """fvc::smooth (reference: fvcSmooth/fvcSmooth.C): raise each cell to
+    at least coeff * the max of its neighbours. The reference runs a
+    FaceCellWave to completion; a bounded sweep count (covering
+    `sweeps`-cell distances) is the static-shape TPU equivalent."""
+    from jax import lax
+
+    def body(_, f):
+        nb = jnp.take(f, mesh.cell_nbr, axis=0).max(1)
+        return jnp.maximum(f, coeff * nb)
+    return lax.fori_loop(0, sweeps, body, data)

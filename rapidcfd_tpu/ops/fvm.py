@@ -52,7 +52,11 @@ def ddt(mesh: MeshArrays, vf: VolField, dt, scheme: str = "Euler",
                        symmetric=True)
     if scheme == "steadyState":
         return m
-    if scheme == "Euler":
+    if scheme in ("Euler", "localEuler", "CoEuler", "SLTS"):
+        # localEuler/CoEuler/SLTS (reference: localEulerDdtScheme.C,
+        # CoEulerDdtScheme, SLTSDdtScheme) share the Euler stencil with a
+        # PER-CELL dt: pass dt as an (nCells,) array of 1/rDeltaT —
+        # every expression below is elementwise in dt
         if vf.old is None:
             raise ValueError(f"ddt({vf.name}): no old-time field stored")
         rdt = 1.0 / dt

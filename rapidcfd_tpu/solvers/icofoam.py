@@ -25,11 +25,13 @@ from .case import Case
 
 
 def courant_number(mesh, phi: SurfaceField, dt):
-    """CourantNo.H: Co = 0.5*dt*sum|phi|/V."""
+    """CourantNo.H: Co = 0.5*dt*sum|phi|/V. dt may be a scalar or a
+    per-cell (nCells,) array (LTS pseudo-time)."""
     from ..linalg.solvers import gmax, gsum
     sum_phi = fvc.surface_sum_faces(mesh, jnp.abs(phi.data), signed=False)
-    co_max = 0.5 * gmax(sum_phi / mesh.V) * dt
-    co_mean = 0.5 * gsum(sum_phi) / gsum(mesh.V) * dt
+    per_cell = 0.5 * sum_phi / mesh.V * dt
+    co_max = gmax(per_cell)
+    co_mean = gsum(per_cell * mesh.V) / gsum(mesh.V)
     return co_mean, co_max
 
 

@@ -30,10 +30,12 @@ from .icofoam import courant_number
 
 
 def make_step(case: Case, consts, ctrl: PimpleControl,
-              mixing: bool = False):
+              mixing: bool = False, lts: bool = False):
     """mixing=True gives twoLiquidMixingFoam semantics (reference:
     multiphase/twoLiquidMixingFoam): no interface compression, no
-    surface tension, plus an implicit Dab diffusion of alpha."""
+    surface tension, plus an implicit Dab diffusion of alpha.
+    lts=True gives LTSInterFoam: the step takes a per-cell rDeltaT
+    (reference: LTSInterFoam/setrDeltaT.H + localEuler ddt)."""
     mesh = case.mesh
     rho1, rho2, nu1, nu2, sigma, g = consts
     solvers_d = case.fv_solution.subdict("solvers")
@@ -91,6 +93,8 @@ def make_step(case: Case, consts, ctrl: PimpleControl,
     @jax.jit
     def step(alpha: VolField, U: VolField, p_rgh: VolField,
              phi: SurfaceField, dt):
+        if lts:
+            dt = 1.0 / dt      # caller passes rDeltaT (nCells,)
         U = U.store_old()
         alpha = alpha.store_old()
 
@@ -215,9 +219,13 @@ def _read_constants(case: Case):
 
 
 def run(case_dir: str, write: bool = True, max_steps: int | None = None,
-        mixing: bool = False):
+        mixing: bool = False, lts: bool | None = None):
+    """lts=True runs as LTSInterFoam; None auto-detects from
+    `ddtSchemes { default localEuler; }`."""
     case = Case(case_dir)
     mesh = case.mesh
+    if lts is None:
+        lts = case.ddt_scheme() in ("localEuler", "CoEuler", "SLTS")
     consts = _read_constants(case)
     info(f"Two phases: rho1={consts[0]} rho2={consts[1]} "
          f"sigma={consts[4]}\n")
@@ -230,23 +238,36 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None,
     phi = fvc.flux(mesh, U)
     ctrl = PimpleControl(case)
 
-    step = make_step(case, consts, ctrl, mixing=mixing)
+    step = make_step(case, consts, ctrl, mixing=mixing, lts=lts)
     timer = ExecutionTimer()
     cumulative_err = 0.0
+
+    rdt = None
+    if lts:
+        from .lts import (LTSControls, log_time_scale,
+                          make_rdelta_t_interface)
+        lts_ctrl = LTSControls.from_dict(ctrl.dict)
+        max_alpha_co = float(ctrl.dict.scalar("maxAlphaCo", 0.2))
+        rdelta_t = make_rdelta_t_interface(mesh, lts_ctrl, max_alpha_co)
 
     info("\nStarting time loop\n")
     n = 0
     co_max_prev = 0.0
     while case.time.run():
-        if case.time.adjust_time_step and co_max_prev > 0:
+        if not lts and case.time.adjust_time_step and co_max_prev > 0:
             f = min(min(case.time.max_co / (co_max_prev + 1e-30), 1.0
                         + 0.1 * case.time.max_co / (co_max_prev + 1e-30)),
                     1.2)
             case.time.set_delta_t(f * case.time.delta_t)
         case.time.increment()
         info(f"Time = {case.time.name}\n")
-        alpha, U, p_rgh, phi, stats = step(alpha, U, p_rgh, phi,
-                                           case.time.delta_t)
+        if lts:
+            rdt = rdelta_t(phi.data, alpha.data, rdt)
+            log_time_scale(rdt)
+            dt_arg = rdt
+        else:
+            dt_arg = case.time.delta_t
+        alpha, U, p_rgh, phi, stats = step(alpha, U, p_rgh, phi, dt_arg)
         co_mean, co_max = stats["co"]
         co_max_prev = float(co_max)
         log_courant(co_mean, co_max)

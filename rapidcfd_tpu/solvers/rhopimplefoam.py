@@ -25,7 +25,11 @@ from .controls import PimpleControl
 from .icofoam import courant_number
 
 
-def make_step(case: Case, thermo: PsiThermo, ctrl: PimpleControl):
+def make_step(case: Case, thermo: PsiThermo, ctrl: PimpleControl,
+              lts: bool = False):
+    """lts=True (rhoLTSPimpleFoam): the step takes a per-cell rDeltaT
+    instead of a scalar dt; every ddt/division below is elementwise in
+    the resulting dt (reference: rhoLTSPimpleFoam.C + localEuler)."""
     mesh = case.mesh
     m = thermo.model
     div_u = case.div_scheme("div(phi,U)")
@@ -53,6 +57,8 @@ def make_step(case: Case, thermo: PsiThermo, ctrl: PimpleControl):
     @jax.jit
     def step(U: VolField, p: VolField, T: VolField, rho: VolField,
              phi: SurfaceField, dt):
+        if lts:
+            dt = 1.0 / dt      # caller passes rDeltaT (nCells,)
         U = U.store_old()
         p = p.store_old()
         T = T.store_old()
@@ -154,9 +160,14 @@ def make_step(case: Case, thermo: PsiThermo, ctrl: PimpleControl):
     return step
 
 
-def run(case_dir: str, write: bool = True, max_steps: int | None = None):
+def run(case_dir: str, write: bool = True, max_steps: int | None = None,
+        lts: bool | None = None):
+    """lts=True runs as rhoLTSPimpleFoam; None auto-detects from
+    `ddtSchemes { default localEuler; }` (the reference's convention)."""
     case = Case(case_dir)
     mesh = case.mesh
+    if lts is None:
+        lts = case.ddt_scheme() in ("localEuler", "CoEuler", "SLTS")
     thermo_model = read_thermo(case.constant_dict(
         "thermophysicalProperties"))
     thermo = PsiThermo(case, thermo_model)
@@ -174,16 +185,27 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
                        DimensionSet.of(1, 0, -1), "phi")
 
     ctrl = PimpleControl(case)
-    step = make_step(case, thermo, ctrl)
+    step = make_step(case, thermo, ctrl, lts=lts)
     timer = ExecutionTimer()
     cumulative_err = 0.0
+
+    rdt = None
+    if lts:
+        from .lts import LTSControls, log_time_scale, make_rdelta_t
+        lts_ctrl = LTSControls.from_dict(ctrl.dict)
+        rdelta_t = make_rdelta_t(mesh, lts_ctrl)
 
     info("\nStarting time loop\n")
     n = 0
     while case.time.loop():
         info(f"Time = {case.time.name}\n")
-        U, p, T, rho, phi, stats = step(U, p, T, rho, phi,
-                                        case.time.delta_t)
+        if lts:
+            rdt = rdelta_t(phi.data, rho.data, rdt)
+            log_time_scale(rdt)
+            dt_arg = rdt
+        else:
+            dt_arg = case.time.delta_t
+        U, p, T, rho, phi, stats = step(U, p, T, rho, phi, dt_arg)
         log_courant(*stats["co"])
         for cmpt, perf in zip("xyz", stats["u_perf"]):
             log_solve(case.solver_controls("U").solver, f"U{cmpt}",

@@ -221,3 +221,65 @@ snGradSchemes { default corrected; }
     t = np.asarray(T.data)
     assert np.isfinite(pp).all() and np.isfinite(t).all()
     assert pp.max() > 2.0 and pp.min() > 0.0
+
+
+def test_rho_lts_pimplefoam(tmp_path_factory):
+    """rhoLTSPimpleFoam: localEuler pseudo-time marching on the heated
+    channel reaches a bounded state (reference: rhoLTSPimpleFoam.C with
+    setrDeltaT.H — per-cell rDeltaT from the local Courant limit)."""
+    import os
+    from rapidcfd_tpu.utils.casegen import _write
+    from rapidcfd_tpu.utils.dictionary import foamfile_header
+    d = str(tmp_path_factory.mktemp("hotch_lts"))
+    hot_channel_case(d)
+    _write(os.path.join(d, "system", "controlDict"),
+           foamfile_header("dictionary", "controlDict", "system"), """
+application rhoLTSPimpleFoam; startFrom startTime; startTime 0;
+stopAt endTime; endTime 0.01; deltaT 0.0005;
+writeControl timeStep; writeInterval 1000; writeFormat ascii;
+""")
+    _write(os.path.join(d, "system", "fvSchemes"),
+           foamfile_header("dictionary", "fvSchemes", "system"), """
+ddtSchemes { default localEuler; }
+gradSchemes { default Gauss linear; }
+divSchemes
+{
+    default none;
+    div(phi,U) Gauss upwind;
+    div(phi,h) Gauss upwind;
+    div(phi,K) Gauss upwind;
+}
+laplacianSchemes { default Gauss linear orthogonal; }
+interpolationSchemes { default linear; }
+snGradSchemes { default orthogonal; }
+""")
+    _write(os.path.join(d, "system", "fvSolution"),
+           foamfile_header("dictionary", "fvSolution", "system"), """
+solvers
+{
+    p      { solver PCG; preconditioner DIC; tolerance 1e-08; relTol 0.01; }
+    pFinal { solver PCG; preconditioner DIC; tolerance 1e-08; relTol 0; }
+    "(U|h)" { solver smoothSolver; smoother symGaussSeidel;
+              tolerance 1e-08; relTol 0; }
+    "(U|h)Final" { solver smoothSolver; smoother symGaussSeidel;
+                   tolerance 1e-08; relTol 0; }
+}
+PIMPLE { nOuterCorrectors 1; nCorrectors 2;
+         nNonOrthogonalCorrectors 0;
+         maxCo 0.5; rDeltaTSmoothingCoeff 0.02;
+         rDeltaTDampingCoeff 0.5; maxDeltaT 0.01; }
+""")
+    L.Info.enabled = False
+    try:
+        from rapidcfd_tpu.solvers import rhopimplefoam
+        case, U, p, T, rho, phi = rhopimplefoam.run(d, write=False,
+                                                    max_steps=12)
+    finally:
+        L.Info.enabled = True
+    u = np.asarray(U.data)
+    pp = np.asarray(p.data)
+    t = np.asarray(T.data)
+    assert np.isfinite(u).all() and np.isfinite(pp).all()
+    # bounded near-ambient state, heated above inlet temperature
+    assert abs(pp / 1e5 - 1.0).max() < 0.3
+    assert t.max() > 300.0 and t.max() < 400.0
