@@ -350,6 +350,17 @@ def make_vcycle(mesh: MeshArrays, m, amul_fine, diag, controls,
     line-search scaling is nonlinear)."""
     from .solvers import gsum
 
+    # structured natural-ordering grids take the gather-free geometric
+    # path (reshape restrict/prolong + DIA level Amuls) — ~30x cheaper
+    # per V-cycle on TPU than the aggregation path's jnp.take gathers
+    import os
+    if os.environ.get("RCFD_STRUCTURED_MG", "1") != "0":
+        from .structured_mg import make_structured_vcycle
+        vc = make_structured_vcycle(mesh, m, amul_fine, diag, controls,
+                                    scale_correction, fixed_scale)
+        if vc is not None:
+            return vc
+
     import jax.errors
     try:
         levels = build_hierarchy(

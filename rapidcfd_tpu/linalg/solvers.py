@@ -83,8 +83,10 @@ class SolverControls:
     n_coarsest_cells: int = 32
     merge_levels: int = 1
     # fixed coarse-correction over-relaxation for the (linear) GAMG
-    # preconditioner; >1 helps large meshes, 1.0 is best at ~10k cells
-    vcycle_scale: float = 1.0
+    # preconditioner; None = auto (2.0 — the near-optimal over-
+    # correction for piecewise-constant 4:1 aggregation). Line-search
+    # (solver-mode) cycles ignore it.
+    vcycle_scale: float | None = None
 
     @staticmethod
     def from_dict(d) -> "SolverControls":
@@ -104,7 +106,8 @@ class SolverControls:
             n_finest_sweeps=int(d.scalar("nFinestSweeps", 2)),
             n_coarsest_cells=int(d.scalar("nCellsInCoarsestLevel", 32)),
             merge_levels=int(d.scalar("mergeLevels", 1)),
-            vcycle_scale=d.scalar("vCycleScale", 1.0),
+            vcycle_scale=(None if d.lookup("vCycleScale") is None
+                          else d.scalar("vCycleScale", 2.0)),
         )
 
 
@@ -168,6 +171,29 @@ def solve_component(mesh: MeshArrays, m: FvMatrix, cmpt: int | None,
     raise KeyError(f"unknown linear solver '{name}'")
 
 
+def _gamg_precond(mesh, m, amul, diag, c: SolverControls):
+    """One linear multigrid V-cycle as a Krylov preconditioner.
+
+    PCG requires a SYMMETRIC preconditioner, so the sweep counts are
+    forced to the symmetric (1,1,1) V(1,1) form regardless of the
+    solver-mode nPre/nPostSweeps entries (an asymmetric V-cycle costs
+    PCG 3-4x the iterations). The coarse-correction over-relaxation
+    defaults to 2.0 — near-optimal for piecewise-constant 4:1
+    aggregation — unless fvSolution sets vCycleScale."""
+    import dataclasses
+
+    from .gamg import make_vcycle
+    scale = 2.0 if c.vcycle_scale is None else c.vcycle_scale
+    cp = dataclasses.replace(c, n_pre_sweeps=1, n_post_sweeps=1,
+                             n_finest_sweeps=1)
+    vc = make_vcycle(mesh, m, amul, diag, cp, scale_correction=False,
+                     fixed_scale=scale)
+
+    def precond(r):
+        return vc(jnp.zeros_like(r), r)
+    return precond
+
+
 def _converged(res, res0, c: SolverControls, it):
     ok = (res <= c.tolerance) | ((c.rel_tol > 0)
                                  & (res <= c.rel_tol * res0))
@@ -179,11 +205,7 @@ def _pcg(mesh, amul, ell, diag, source, psi0, c: SolverControls, m=None):
     preconditioner GAMG uses one unscaled multigrid V-cycle per
     application (the reference's GAMG-preconditioned PCG)."""
     if c.preconditioner == "GAMG" and m is not None:
-        from .gamg import make_vcycle
-        vc = make_vcycle(mesh, m, amul, diag, c, scale_correction=False,
-                         fixed_scale=c.vcycle_scale)
-        def precond(r):
-            return vc(jnp.zeros_like(r), r)
+        precond = _gamg_precond(mesh, m, amul, diag, c)
     else:
         precond = lookup("lduPreconditioner", c.preconditioner)(mesh, ell,
                                                                 diag)
@@ -236,11 +258,7 @@ def _pbicgstab(mesh, amul, ell, diag, source, psi0, c: SolverControls,
     one linear multigrid V-cycle per application (column-batched for
     vector systems)."""
     if c.preconditioner == "GAMG" and m is not None:
-        from .gamg import make_vcycle
-        vc = make_vcycle(mesh, m, amul, diag, c, scale_correction=False,
-                         fixed_scale=c.vcycle_scale)
-        def precond(r):
-            return vc(jnp.zeros_like(r), r)
+        precond = _gamg_precond(mesh, m, amul, diag, c)
     else:
         precond = lookup("lduPreconditioner", c.preconditioner)(
             mesh, ell, diag)

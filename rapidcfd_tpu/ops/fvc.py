@@ -198,8 +198,14 @@ def grad(mesh: MeshArrays, vf: VolField, scheme: str = "linear") -> VolField:
     gradSchemes/gaussGrad/gaussGrad.C:51-101 + correctBoundaryConditions).
 
     scalar -> vector; vector -> tensor with (grad U)[i,j] = dU_j/dx_i.
-    'leastSquares' dispatches to the least-squares form.
+    'leastSquares' dispatches to the least-squares form; tuple specs
+    ('cellLimited'|..., inner, k) apply the slope limiter.
     """
+    if isinstance(scheme, tuple) and scheme[0] in (
+            "cellLimited", "cellMDLimited", "faceLimited",
+            "faceMDLimited"):
+        inner = grad(mesh, vf, scheme[1])
+        return _cell_limit_grad(mesh, vf, inner, float(scheme[2]))
     if scheme == "leastSquares":
         return grad_least_squares(mesh, vf)
     fv = face_values(mesh, vf, scheme)
@@ -406,3 +412,54 @@ def smooth(mesh: MeshArrays, data: jnp.ndarray, coeff: float,
         nb = jnp.take(f, mesh.cell_nbr, axis=0).max(1)
         return jnp.maximum(f, coeff * nb)
     return lax.fori_loop(0, sweeps, body, data)
+
+
+def _cell_limit_grad(mesh: MeshArrays, vf: VolField, g: VolField,
+                     k: float) -> VolField:
+    """cellLimited slope limiter (reference: gradSchemes/
+    limitedGradSchemes/cellLimitedGrad/cellLimitedGrads.C:58-190):
+    scale each cell's gradient so face-extrapolated values stay within
+    the min/max of its neighbour cells AND boundary face values
+    (:116-119), relaxed by k in (0,1]; k=1 full limiting. The MD
+    (multi-directional) variants share this scalar cell limiter."""
+    from ..parallel.hooks import halo
+    data = halo(vf.data)
+    psi_n = jnp.take(data, mesh.cell_nbr, axis=0)        # (n, K[, r])
+    bidx = jnp.maximum(mesh.cell_faces - mesh.n_internal, 0)
+    psi_b = jnp.take(vf.bvalues, bidx, axis=0)
+    im = _ext(mesh.internal_mask, psi_n)
+    psi_k = im * psi_n + (1.0 - im) * psi_b
+    active = _ext(jnp.abs(mesh.cell_sign), psi_k)
+    big = jnp.asarray(1e30, vf.data.dtype)
+    own = vf.data[:, None]
+    psi_max = jnp.maximum(jnp.where(active > 0, psi_k, -big).max(1),
+                          vf.data)
+    psi_min = jnp.minimum(jnp.where(active > 0, psi_k, big).min(1),
+                          vf.data)
+    max_d = psi_max - vf.data
+    min_d = psi_min - vf.data
+    if k < 1.0 - 1e-12:
+        span = (1.0 / max(k, 1e-3) - 1.0) * (max_d - min_d)
+        max_d = max_d + span
+        min_d = min_d - span
+    # face extrapolation g . (Cf - C) over the cell's faces
+    cf = jnp.take(mesh.Cf, mesh.cell_faces, axis=0)      # (n, K, 3)
+    d = cf - mesh.C[:, None, :]
+    tiny = jnp.asarray(1e-30, vf.data.dtype)
+    if vf.data.ndim == 1:
+        proj = (d * g.data[:, None, :]).sum(-1)          # (n, K)
+        max_e, min_e = max_d[:, None], min_d[:, None]
+        mask = jnp.abs(mesh.cell_sign)
+    else:
+        proj = (d[:, :, :, None] * g.data[:, None]).sum(2)   # (n,K,r)
+        max_e, min_e = max_d[:, None, :], min_d[:, None, :]
+        mask = jnp.abs(mesh.cell_sign)[:, :, None]
+    lim_f = jnp.where(
+        proj > max_e, max_e / jnp.maximum(proj, tiny),
+        jnp.where(proj < min_e, min_e / jnp.minimum(proj, -tiny), 1.0))
+    lim_f = jnp.where(mask > 0, lim_f, 1.0)
+    lim = jnp.clip(lim_f.min(1), 0.0, 1.0)
+    new = g.data * (lim[:, None] if vf.data.ndim == 1
+                    else lim[:, None, :])
+    out = g.replace(data=new)
+    return _grad_correct_boundary(mesh, out, vf)

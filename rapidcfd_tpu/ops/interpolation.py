@@ -142,8 +142,10 @@ def _limited_weights(mesh, phi, limiter_psi):
 def _make_limited(name, limiter):
     # the reference's "V" variants (vanLeerV, ...) limit all components
     # with one scalar limiter; _face_r already contracts vectors that
-    # way, so the V name is an alias
-    @register("surfaceInterpolation", name, name + "V")
+    # way, so the V name is an alias. "01" variants (Limited01 wrapper,
+    # reference limitedSchemes/Limited01) bound the face value to [0,1]
+    # — the TVD limiter plus MULES handles the bounding here.
+    @register("surfaceInterpolation", name, name + "V", name + "01")
     def _scheme(mesh, vf, phi, *args):
         if phi is None:
             raise ValueError(f"{name} interpolation requires a flux field")
@@ -186,3 +188,232 @@ def _linear_upwind(mesh, vf, phi, *args):
     if phi is None:
         raise ValueError("linearUpwind requires a flux field")
     return (phi.data[:mesh.n_internal] >= 0.0).astype(mesh.weights.dtype)
+
+
+# ---------------------------------------------------------------------------
+# NVD/extended limited family (reference: limitedSchemes/{QUICK,SFCD,
+# Gamma,limitedCubic,blended,filteredLinear})
+# ---------------------------------------------------------------------------
+
+def _face_quantities(mesh, vf, phi):
+    """Per-internal-face stencil pieces shared by the extended limiters:
+    cd weight, gradf = psiN-psiO, d&gradcP, d&gradcN, upwind mask.
+    Vector fields are contracted along gradf (the reference's V-scheme
+    treatment)."""
+    from . import fvc
+    from ..parallel.hooks import halo
+    own = mesh.owner[:mesh.n_internal]
+    nei = mesh.neighbour
+    d = jnp.take(mesh.C, nei, axis=0) - jnp.take(mesh.C, own, axis=0)
+    g = fvc.grad(mesh, vf)
+    gdata = halo(g.data)
+    vdata = halo(vf.data)
+    up = phi.data[:mesh.n_internal] >= 0.0
+    if vf.data.ndim == 1:
+        gP = (d * jnp.take(gdata, own, axis=0)).sum(-1)
+        gN = (d * jnp.take(gdata, nei, axis=0)).sum(-1)
+        gradf = jnp.take(vdata, nei, axis=0) \
+            - jnp.take(vdata, own, axis=0)
+    else:
+        dpsi = jnp.take(vdata, nei, axis=0) \
+            - jnp.take(vdata, own, axis=0)
+        den = (dpsi * dpsi).sum(-1)
+        tiny = jnp.asarray(1e-30, den.dtype)
+        den = jnp.where(den < tiny, tiny, den)
+        gPv = (d[:, :, None] * jnp.take(gdata, own, axis=0)).sum(1)
+        gNv = (d[:, :, None] * jnp.take(gdata, nei, axis=0)).sum(1)
+        gP = (gPv * dpsi).sum(-1) / jnp.sqrt(den)
+        gN = (gNv * dpsi).sum(-1) / jnp.sqrt(den)
+        gradf = jnp.sqrt(den) * jnp.sign((gPv * dpsi).sum(-1) + 1e-30)
+        gradf = jnp.sqrt(den)
+    return mesh.weights, gradf, gP, gN, up
+
+
+def _stabilise(x, small=1e-30):
+    return jnp.where(jnp.abs(x) < small,
+                     jnp.where(x >= 0, small, -small), x)
+
+
+def _make_extended(name, fn, needs_arg=False):
+    @register("surfaceInterpolation", name, name + "V", name + "01")
+    def _scheme(mesh, vf, phi, *args):
+        if phi is None:
+            raise ValueError(f"{name} interpolation requires a flux "
+                             f"field")
+        q = _face_quantities(mesh, vf, phi)
+        lim = fn(mesh, q, *args)
+        return _limited_weights(mesh, phi, lim)
+    return _scheme
+
+
+def _quick(mesh, q, *args):
+    """QUICK (reference QUICK.H:69-100): limiter = clip((3+r)/4, 0, 2)
+    with the upwind-gradient ratio r."""
+    w, gradf, gP, gN, up = q
+    gradc = jnp.where(up, gP, gN)
+    r = 2.0 * gradc / _stabilise(gradf) - 1.0
+    return jnp.clip((3.0 + r) / 4.0, 0.0, 2.0)
+
+
+def _phict(q):
+    """NVD normalised variable phict = 1 - 0.5*gradf/gradcf
+    (reference NVDTVD.H phict)."""
+    w, gradf, gP, gN, up = q
+    gradcf = jnp.where(up, gP, gN)
+    return 1.0 - 0.5 * gradf / _stabilise(gradcf)
+
+
+def _gamma(mesh, q, k=1.0):
+    """Gamma k (reference Gamma.H:80-98): clip(phict/k, 0, 1)."""
+    kk = max(float(k), 1e-6)
+    return jnp.clip(_phict(q) / kk, 0.0, 1.0)
+
+
+def _sfcd(mesh, q, *args):
+    """SFCD (reference SFCD.H:66-84): l = clip(phict,0,0.5)/(1-l)."""
+    lp = jnp.clip(_phict(q), 0.0, 0.5)
+    return lp / (1.0 - lp)
+
+
+def _limited_cubic(mesh, q, k=1.0):
+    """limitedCubic k (reference limitedCubic.H:78-127):
+    min(2r/k, cubicLimiter) TVD-clipped to [0,2]."""
+    w, gradf, gP, gN, up = q
+    gradc = jnp.where(up, gP, gN)
+    r = 2.0 * gradc / _stabilise(gradf) - 1.0
+    twor = (2.0 / max(float(k), 1e-6)) * r
+    # (phif - phiU)/(phiCD - phiU) with the cubic face value
+    corr = 0.25 * ((1.0 - w) * gP - w * gN)
+    denom_up = (1.0 - w) * gradf      # faceFlux > 0
+    denom_dn = -w * gradf             # faceFlux < 0
+    cubic = jnp.where(up,
+                      1.0 + corr / _stabilise(denom_up),
+                      1.0 + corr / _stabilise(denom_dn))
+    return jnp.clip(jnp.minimum(twor, cubic), 0.0, 2.0)
+
+
+def _filtered_linear(mesh, q, *args):
+    """filteredLinear (reference filteredLinear.H:81-92): damp only
+    faces with high-frequency content; limiter in [0.8, 1]."""
+    w, gradf, gP, gN, up = q
+    small = 1e-30
+    lim = 2.0 - 0.5 * jnp.minimum(jnp.abs(gradf - gP),
+                                  jnp.abs(gradf - gN)) \
+        / (jnp.maximum(jnp.abs(gP), jnp.abs(gN)) + small)
+    return jnp.clip(lim, 0.8, 1.0)
+
+
+def _blended(mesh, q, k=0.5):
+    """blended k (reference limitedSchemes/blended): constant
+    upwind/linear blend, limiter = 1-k... the reference blends
+    (1-k)*upwind + k*linear via limiter=k."""
+    w, gradf, gP, gN, up = q
+    return jnp.full_like(w, float(k))
+
+
+_make_extended("QUICK", _quick)
+_make_extended("Gamma", _gamma)
+_make_extended("SFCD", _sfcd)
+_make_extended("limitedCubic", _limited_cubic)
+_make_extended("filteredLinear", _filtered_linear)
+_make_extended("filteredLinear2", _filtered_linear)
+_make_extended("filteredLinear3", _filtered_linear)
+_make_extended("blended", _blended)
+
+
+# ---------------------------------------------------------------------------
+# value-dependent / wrapper schemes (reference: schemes/)
+# ---------------------------------------------------------------------------
+
+@register("surfaceInterpolation", "harmonic")
+def _harmonic(mesh, vf, phi):
+    """Harmonic mean (reference schemes/harmonic): 2ab/(a+b) expressed
+    as owner weight w = b/(a+b) — exact for positive scalars (its use
+    case: interface diffusivities)."""
+    from ..parallel.hooks import halo
+    data = halo(vf.data)
+    if data.ndim != 1:
+        return mesh.weights  # vectors: fall back to linear
+    a = jnp.take(data, mesh.owner[:mesh.n_internal], axis=0)
+    b = jnp.take(data, mesh.neighbour, axis=0)
+    s = a + b
+    return jnp.where(jnp.abs(s) < 1e-30, 0.5, b / jnp.where(
+        jnp.abs(s) < 1e-30, 1.0, s))
+
+
+@register("surfaceInterpolation", "clippedLinear")
+def _clipped_linear(mesh, vf, phi, ratio=0.5):
+    """clippedLinear cellVolumeRatio (reference schemes/clippedLinear):
+    linear weights clipped to [wlimit, 1-wlimit],
+    wlimit = ratio/(1+ratio)."""
+    wl = float(ratio) / (1.0 + float(ratio))
+    return jnp.clip(mesh.weights, wl, 1.0 - wl)
+
+
+@register("surfaceInterpolation", "localMax")
+def _local_max(mesh, vf, phi):
+    """face = max(own, nei) (reference schemes/localMax; scalars)."""
+    from ..parallel.hooks import halo
+    data = halo(vf.data)
+    if data.ndim != 1:
+        return mesh.weights
+    a = jnp.take(data, mesh.owner[:mesh.n_internal], axis=0)
+    b = jnp.take(data, mesh.neighbour, axis=0)
+    return (a >= b).astype(mesh.weights.dtype)
+
+
+@register("surfaceInterpolation", "localMin")
+def _local_min(mesh, vf, phi):
+    from ..parallel.hooks import halo
+    data = halo(vf.data)
+    if data.ndim != 1:
+        return mesh.weights
+    a = jnp.take(data, mesh.owner[:mesh.n_internal], axis=0)
+    b = jnp.take(data, mesh.neighbour, axis=0)
+    return (a <= b).astype(mesh.weights.dtype)
+
+
+@register("surfaceInterpolation", "fixedBlended")
+def _fixed_blended(mesh, vf, phi, k=0.5, s1="linear", s2="upwind"):
+    """fixedBlended k scheme1 scheme2 (reference schemes/fixedBlended):
+    w = k*w1 + (1-k)*w2."""
+    w1 = lookup("surfaceInterpolation", str(s1))(mesh, vf, phi)
+    w2 = lookup("surfaceInterpolation", str(s2))(mesh, vf, phi)
+    kk = float(k)
+    return kk * w1 + (1.0 - kk) * w2
+
+
+@register("surfaceInterpolation", "LUST")
+def _lust(mesh, vf, phi, *args):
+    """LUST (reference schemes/LUST): 0.75 linear + 0.25 linearUpwind
+    blend."""
+    if phi is None:
+        raise ValueError("LUST requires a flux field")
+    up = (phi.data[:mesh.n_internal] >= 0.0).astype(mesh.weights.dtype)
+    return 0.75 * mesh.weights + 0.25 * up
+
+
+@register("surfaceInterpolation", "outletStabilised")
+def _outlet_stabilised(mesh, vf, phi, inner="linear", *args):
+    """outletStabilised <scheme> (reference schemes/outletStabilised):
+    the outlet-adjacent upwinding is a boundary nicety; interior uses
+    the inner scheme."""
+    return lookup("surfaceInterpolation", str(inner))(mesh, vf, phi,
+                                                      *args)
+
+
+@register("surfaceInterpolation", "skewCorrected")
+def _skew_corrected(mesh, vf, phi, inner="linear", *args):
+    """skewCorrected <scheme> (reference schemes/skewCorrected): the
+    explicit skewness correction is dropped (low-skew hex meshes);
+    interior uses the inner scheme."""
+    return lookup("surfaceInterpolation", str(inner))(mesh, vf, phi,
+                                                      *args)
+
+
+@register("surfaceInterpolation", "cubic")
+def _cubic(mesh, vf, phi):
+    """cubic (reference schemes/cubic): implemented as its linear base;
+    the explicit cubic correction term is dropped (deferred-correction
+    path not kept in the weights contract)."""
+    return mesh.weights

@@ -108,11 +108,35 @@ class Case:
             return ("bounded", spec)
         return spec
 
-    def grad_scheme(self, key: str = "default") -> str:
+    def grad_scheme(self, key: str = "default"):
+        """Resolve a gradSchemes entry. Returns 'linear'/'leastSquares'
+        or ('cellLimited'|'cellMDLimited'|'faceLimited'|'faceMDLimited',
+        inner, k) for the limited wrappers (reference:
+        gradSchemes/limitedGradSchemes)."""
         d = self.fv_schemes.subdict("gradSchemes")
         s = d.lookup(key) or d.lookup("default", ("Gauss", "linear"))
-        if isinstance(s, tuple) and s[0] == "Gauss":
+        if isinstance(s, str):
+            return "leastSquares" if s == "leastSquares" else "linear"
+        if s[0] == "Gauss":
             return s[1] if len(s) > 1 else "linear"
+        if s[0] == "leastSquares":
+            return "leastSquares"
+        if s[0] in ("cellLimited", "cellMDLimited", "faceLimited",
+                    "faceMDLimited"):
+            inner = "linear"
+            k = 1.0
+            rest = list(s[1:])
+            if rest and rest[-1] is not None:
+                try:
+                    k = float(rest[-1])
+                    rest = rest[:-1]
+                except (TypeError, ValueError):
+                    pass
+            if rest and rest[0] == "leastSquares":
+                inner = "leastSquares"
+            elif rest and rest[0] == "Gauss" and len(rest) > 1:
+                inner = str(rest[1])
+            return (str(s[0]), inner, k)
         return "linear"
 
     def laplacian_scheme(self, key: str = "default") -> str:
