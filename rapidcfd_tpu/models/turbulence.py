@@ -17,7 +17,7 @@ from ..fields.field import Dimensioned, VolField
 from ..linalg.solvers import gsum, solve
 from ..ops import fvc, fvm
 from ..utils.dictionary import Dictionary
-from ..utils.dimensions import DimensionSet, dim_viscosity
+from ..utils.dimensions import DimensionSet, dim_length, dim_viscosity
 
 _RTIME = DimensionSet.of(0, 0, -1)
 from ..utils.registry import lookup, register
@@ -265,9 +265,10 @@ class KEpsilon:
                                   env={"phi": phi})
         eps_new = bound(eps_new, self.eps_min)
 
-        # k equation
+        # k equation (optional low-Re wall sink D, LaunderSharma)
         rhs_k = k.with_calculated_bcs(
-            G, jnp.zeros_like(k.bvalues),
+            G - self._k_sink(mesh, U, k, nu),
+            jnp.zeros_like(k.bvalues),
             k.dims / DimensionSet.of(0, 0, 1))
         k_eqn = (fvm.ddt(mesh, k, (1.0 if dt is None else dt), ddt_scheme)
                  + fvm.div(mesh, phi, k, self.div_k)
@@ -291,6 +292,9 @@ class KEpsilon:
         return new_state, perf
 
     # -- variant hooks -------------------------------------------------------
+    def _k_sink(self, mesh, U, k, nu):
+        return 0.0
+
     def _eps_prod(self, mesh, U, G, k, eps, s2):
         return self.C1 * G * eps.data / jnp.maximum(k.data, self.k_min)
 
@@ -679,8 +683,7 @@ class Smagorinsky:
         self.case = case
         c = coeffs or Dictionary()
         self.cs = c.scalar("Cs", 0.17)
-        delta_coeff = c.scalar("deltaCoeff", 1.0)
-        self.delta = delta_coeff * jnp.cbrt(case.mesh.V)
+        self.delta = les_delta(case, c)
 
     def init_state(self, U):
         return {"nut": self.case.read_field("nut")} \
@@ -713,8 +716,7 @@ class OneEqEddy:
         c = coeffs or Dictionary()
         self.ck = c.scalar("ck", 0.094)
         self.ce = c.scalar("ce", 1.048)
-        delta_coeff = c.scalar("deltaCoeff", 1.0)
-        self.delta = delta_coeff * jnp.cbrt(case.mesh.V)
+        self.delta = les_delta(case, c)
         self.k_min = 1e-15
         self.k_controls = case.solver_controls("k")
         self.div_k = case.div_scheme("div(phi,k)")
@@ -795,3 +797,526 @@ def make_ras_model(case, U):
     if not on:
         name = "laminar"
     return lookup("RASModel", name)(case, coeffs)
+
+
+def magsqr_skew_grad(mesh, U: VolField):
+    """2*|skew(grad U)|^2 (so sqrt() = sqrt(2)*mag(skew(grad U)) — the
+    vorticity magnitude the SA production uses)."""
+    g = fvc.grad(mesh, U)
+    sk = 0.5 * (g.data - jnp.swapaxes(g.data, 1, 2))
+    return 2.0 * (sk * sk).sum((-2, -1))
+
+
+@register("RASModel", "SpalartAllmaras")
+class SpalartAllmaras:
+    """Spalart-Allmaras one-equation model (reference:
+    incompressible/RAS/SpalartAllmaras/SpalartAllmaras.C:45-136 for
+    chi/fv1/fv2/fw, :437-463 for the nuTilda transport):
+    nut = nuTilda*fv1, Stilda = sqrt(2)|skew(grad U)| +
+    fv2*nuTilda/(kappa*d)^2, production Cb1*Stilda*nuTilda, destruction
+    Cw1*fw*(nuTilda/d)^2 implicit."""
+    needs = ("nuTilda", "nut")
+
+    def __init__(self, case, coeffs: Dictionary):
+        self.case = case
+        c = coeffs or Dictionary()
+        self.sigma_nut = c.scalar("sigmaNut", 0.66666)
+        self.kappa = c.scalar("kappa", 0.41)
+        self.cb1 = c.scalar("Cb1", 0.1355)
+        self.cb2 = c.scalar("Cb2", 0.622)
+        self.cw1 = self.cb1 / self.kappa ** 2 \
+            + (1.0 + self.cb2) / self.sigma_nut
+        self.cw2 = c.scalar("Cw2", 0.3)
+        self.cw3 = c.scalar("Cw3", 2.0)
+        self.cv1 = c.scalar("Cv1", 7.1)
+        self.controls = case.solver_controls("nuTilda")
+        self.relax = case.relaxation_factor("nuTilda", default=0.7)
+        self.div_nt = case.div_scheme("div(phi,nuTilda)")
+        self.lap_corr = case.laplacian_scheme()
+        self.ddt_scheme = case.ddt_scheme()
+        self.y = jnp.maximum(wall_distance(case), 1e-10)
+
+    def init_state(self, U):
+        return {name: self.case.read_field(name) for name in self.needs}
+
+    def nut(self, state):
+        return state["nut"]
+
+    nu_eff = KEpsilon.nu_eff
+
+    def _d_tilde(self, mesh, state):
+        """Wall scale; DES variants override (d_tilde = min(y, CDES*delta))."""
+        return self.y
+
+    def correct(self, mesh, state, U, phi, nu, dt=None):
+        nu_tilda, nut = state["nuTilda"], state["nut"]
+        if dt is not None:
+            nu_tilda = nu_tilda.store_old()
+        ddt_scheme = "steadyState" if dt is None else self.ddt_scheme
+        nu_c = nu.value if isinstance(nu, Dimensioned) else nu.data
+        d = self._d_tilde(mesh, state)
+
+        nt_pos = jnp.maximum(nu_tilda.data, 0.0)
+        chi = nt_pos / nu_c
+        chi3 = chi ** 3
+        fv1 = chi3 / (chi3 + self.cv1 ** 3)
+        fv2 = 1.0 - chi / (1.0 + chi * fv1)
+        omega_mag = jnp.sqrt(jnp.maximum(magsqr_skew_grad(mesh, U), 0.0))
+        stilda = jnp.maximum(
+            omega_mag + fv2 * nt_pos / (self.kappa * d) ** 2, 1e-20)
+
+        r = jnp.minimum(nt_pos / (stilda * (self.kappa * d) ** 2), 10.0)
+        g = r + self.cw2 * (r ** 6 - r)
+        fw = g * ((1.0 + self.cw3 ** 6)
+                  / (g ** 6 + self.cw3 ** 6)) ** (1.0 / 6.0)
+
+        d_nt = nu_tilda.with_calculated_bcs(
+            (nt_pos + nu_c) / self.sigma_nut,
+            (jnp.maximum(nu_tilda.bvalues, 0.0)
+             + (nu.value if isinstance(nu, Dimensioned) else nu.bvalues))
+            / self.sigma_nut, dim_viscosity, "DnuTildaEff")
+
+        g_nt = fvc.grad(mesh, nu_tilda)
+        rhs = nu_tilda.with_calculated_bcs(
+            self.cb1 * stilda * nt_pos
+            + (self.cb2 / self.sigma_nut)
+            * (g_nt.data * g_nt.data).sum(-1),
+            jnp.zeros_like(nu_tilda.bvalues),
+            nu_tilda.dims / DimensionSet.of(0, 0, 1))
+        eqn = (fvm.ddt(mesh, nu_tilda, (1.0 if dt is None else dt),
+                       ddt_scheme)
+               + fvm.div(mesh, phi, nu_tilda, self.div_nt)
+               - fvm.laplacian(mesh, d_nt, nu_tilda, self.lap_corr)
+               + fvm.Sp(mesh, Dimensioned(
+                   "Cw1*fw*nuTilda/d^2", _RTIME,
+                   self.cw1 * fw * nt_pos / (d * d)), nu_tilda))
+        eqn = eqn.equals(rhs)
+        eqn = eqn.relax(mesh, self.relax)
+        nt_new, perf = solve(mesh, eqn, self.controls, env={"phi": phi})
+        nt_new = bound(nt_new, 0.0)
+
+        chi_n = nt_new.data / nu_c
+        fv1_n = chi_n ** 3 / (chi_n ** 3 + self.cv1 ** 3)
+        nut_new = nut.replace(data=fv1_n * nt_new.data) \
+            .correct_boundary_conditions(mesh, env={"k": nt_new,
+                                                    "nu": nu})
+        return dict(nuTilda=nt_new, nut=nut_new), {"nuTilda": perf[0]}
+
+
+@register("LESModel", "SpalartAllmarasDES", "SpalartAllmaras")
+class SpalartAllmarasDES(SpalartAllmaras):
+    """DES-97 (reference: incompressible/LES/SpalartAllmaras*):
+    the SA equation with d_tilde = min(d_wall, CDES*delta)."""
+
+    def __init__(self, case, coeffs: Dictionary):
+        super().__init__(case, coeffs)
+        c = coeffs or Dictionary()
+        self.cdes = c.scalar("CDES", 0.65)
+        delta_coeff = c.scalar("deltaCoeff", 1.0)
+        self.delta = delta_coeff * jnp.cbrt(case.mesh.V)
+
+    def _d_tilde(self, mesh, state):
+        return jnp.minimum(self.y, self.cdes * self.delta)
+
+
+@register("LESModel", "SpalartAllmarasDDES")
+class SpalartAllmarasDDES(SpalartAllmarasDES):
+    """Delayed DES (reference: incompressible/LES/SpalartAllmarasDDES):
+    d_tilde = d - fd*max(0, d - CDES*delta), fd = 1 - tanh((8 rd)^3)."""
+
+    def _d_tilde(self, mesh, state):
+        nu_tilda = state["nuTilda"]
+        # rd needs |grad U|; use stored nuTilda with the SA kappa
+        U = state.get("_U")
+        if U is None:
+            return jnp.minimum(self.y, self.cdes * self.delta)
+        g = fvc.grad(mesh, U)
+        mag_grad = jnp.sqrt(jnp.maximum(
+            (g.data * g.data).sum((-2, -1)), 1e-30))
+        rd = jnp.minimum(
+            jnp.maximum(nu_tilda.data, 0.0)
+            / (mag_grad * (self.kappa * self.y) ** 2), 10.0)
+        fd = 1.0 - jnp.tanh((8.0 * rd) ** 3)
+        return self.y - fd * jnp.maximum(
+            0.0, self.y - self.cdes * self.delta)
+
+    def correct(self, mesh, state, U, phi, nu, dt=None):
+        state = dict(state, _U=U)
+        new, perf = super().correct(mesh, state, U, phi, nu, dt=dt)
+        new.pop("_U", None)
+        return new, perf
+
+
+@register("RASModel", "LaunderSharmaKE")
+class LaunderSharmaKE(KEpsilon):
+    """Launder-Sharma low-Re k-epsilon (reference:
+    incompressible/RAS/LaunderSharmaKE/LaunderSharmaKE.C): damping
+    fMu = exp(-3.4/(1+Rt/50)^2) on nut, f2 = 1-0.3exp(-Rt^2) on the
+    epsilon destruction, wall sink D = 2 nu |grad sqrt(k)|^2 in the k
+    equation and source E = 2 nu nut |grad grad U|^2 in epsilon."""
+
+    def _rt(self, k, eps, nu_c):
+        return jnp.maximum(k, 0.0) ** 2 / (nu_c
+                                           * jnp.maximum(eps, 1e-20))
+
+    def _k_sink(self, mesh, U, k, nu):
+        nu_c = nu.value if isinstance(nu, Dimensioned) else nu.data
+        sqrt_k = k.replace(
+            data=jnp.sqrt(jnp.maximum(k.data, 0.0)),
+            bvalues=jnp.sqrt(jnp.maximum(k.bvalues, 0.0)))
+        g = fvc.grad(mesh, sqrt_k)
+        return 2.0 * nu_c * (g.data * g.data).sum(-1)
+
+    def _eps_prod(self, mesh, U, G, k, eps, s2):
+        nu_c = self._nu_c
+        base = self.C1 * G * eps.data / jnp.maximum(k.data, self.k_min)
+        # E = 2 nu nut |grad grad U|^2 via the (n,9)-flattened gradient
+        gu = fvc.grad(mesh, U)                       # (n, 3, 3)
+        gu_flat = gu.replace(
+            data=gu.data.reshape(gu.data.shape[0], 9),
+            bvalues=gu.bvalues.reshape(gu.bvalues.shape[0], 9))
+        gg = fvc.grad(mesh, gu_flat)                 # (n, 3, 9)
+        nut = self._nut_cache
+        E = 2.0 * nu_c * nut * (gg.data * gg.data).sum((-2, -1))
+        return base + E
+
+    def _eps_dest(self, mesh, U, k, eps, nu):
+        nu_c = nu.value if isinstance(nu, Dimensioned) else nu.data
+        rt = self._rt(k.data, eps.data, nu_c)
+        f2 = 1.0 - 0.3 * jnp.exp(-jnp.minimum(rt * rt, 50.0))
+        return self.C2 * f2 * eps.data / jnp.maximum(k.data, self.k_min)
+
+    def _nut_from(self, mesh, U, k, eps):
+        fmu = jnp.exp(-3.4 / (1.0 + self._rt(k.data, eps.data,
+                                             self._nu_c) / 50.0) ** 2)
+        return self.Cmu * fmu * jnp.maximum(k.data, 0.0) ** 2 \
+            / jnp.maximum(eps.data, self.eps_min)
+
+    def correct(self, mesh, state, U, phi, nu, dt=None):
+        self._nu_c = nu.value if isinstance(nu, Dimensioned) else nu.data
+        self._nut_cache = state["nut"].data
+        return super().correct(mesh, state, U, phi, nu, dt=dt)
+
+
+@register("RASModel", "qZeta")
+class QZeta(KEpsilon):
+    """q-zeta low-Re model (reference: incompressible/RAS/qZeta):
+    solved in the (k, epsilon) variables with the qZeta damping
+    fMu = exp(-2.5/(1+Rt/50)) — the q=sqrt(k), zeta=eps/2q transform is
+    a host-solver detail of the reference, not of the model physics."""
+
+    def _nut_from(self, mesh, U, k, eps):
+        nu_c = getattr(self, "_nu_c", 1e-5)
+        rt = jnp.maximum(k.data, 0.0) ** 2 \
+            / (nu_c * jnp.maximum(eps.data, 1e-20))
+        fmu = jnp.exp(-2.5 / (1.0 + rt / 50.0))
+        return self.Cmu * fmu * jnp.maximum(k.data, 0.0) ** 2 \
+            / jnp.maximum(eps.data, self.eps_min)
+
+    def correct(self, mesh, state, U, phi, nu, dt=None):
+        self._nu_c = nu.value if isinstance(nu, Dimensioned) else nu.data
+        return super().correct(mesh, state, U, phi, nu, dt=dt)
+
+
+from ..fields.bcs import FixedValue as _FixedValue
+
+
+@register("fvPatchField", "v2WallFunction")
+@dataclass(frozen=True)
+class V2WallFunction(_FixedValue):
+    """v2 wall value (reference: v2f/derivedFvPatchFields/
+    v2WallFunction — v2 -> small at the wall)."""
+
+
+@register("fvPatchField", "fWallFunction")
+@dataclass(frozen=True)
+class FWallFunction(_FixedValue):
+    """f wall value (reference: v2f/derivedFvPatchFields/fWallFunction
+    — f -> 0 at the wall with the N=6 formulation)."""
+
+
+@register("RASModel", "v2f")
+class V2F:
+    """Lien-Kalitzin v2-f with the Davidson limiter (reference:
+    incompressible/RAS/v2f/v2f.C:360-450; Ts/Ls :78-87): four
+    equations epsilon, k, f (elliptic relaxation) and v2;
+    nut = min(Cmu*v2*Ts, CmuKEps*k^2/epsilon)."""
+    needs = ("k", "epsilon", "v2", "f", "nut")
+    N = 6.0
+
+    def __init__(self, case, coeffs: Dictionary):
+        self.case = case
+        c = coeffs or Dictionary()
+        self.cmu = c.scalar("Cmu", 0.22)
+        self.cmu_keps = c.scalar("CmuKEps", 0.09)
+        self.c1 = c.scalar("C1", 1.4)
+        self.c2 = c.scalar("C2", 0.3)
+        self.cl = c.scalar("CL", 0.23)
+        self.ceta = c.scalar("Ceta", 70.0)
+        self.ceps2 = c.scalar("Ceps2", 1.9)
+        self.sigma_k = c.scalar("sigmaK", 1.0)
+        self.sigma_eps = c.scalar("sigmaEps", 1.3)
+        self.k_min = 1e-15
+        self.eps_min = 1e-15
+        self.v2_min = 1e-15
+        self.f_min = 0.0
+        self.controls = {n: case.solver_controls(n)
+                         for n in ("k", "epsilon", "v2", "f")}
+        self.relax = {n: case.relaxation_factor(n, default=0.7)
+                      for n in ("k", "epsilon", "v2", "f")}
+        self.div_of = {}
+        for n in ("k", "epsilon", "v2"):
+            try:
+                self.div_of[n] = case.div_scheme(f"div(phi,{n})")
+            except KeyError:
+                self.div_of[n] = case.div_scheme("div(phi,k)")
+        self.lap_corr = case.laplacian_scheme()
+        self.ddt_scheme = case.ddt_scheme()
+
+    def init_state(self, U):
+        return {name: self.case.read_field(name) for name in self.needs}
+
+    def nut(self, state):
+        return state["nut"]
+
+    nu_eff = KEpsilon.nu_eff
+    _dcoeff = KEpsilon._dcoeff
+    _wall_fix = KEpsilon._wall_fix
+
+    def correct(self, mesh, state, U, phi, nu, dt=None):
+        k, eps = state["k"], state["epsilon"]
+        v2, f, nut = state["v2"], state["f"], state["nut"]
+        if dt is not None:
+            k, eps, v2 = k.store_old(), eps.store_old(), v2.store_old()
+        ddt_scheme = "steadyState" if dt is None else self.ddt_scheme
+        dt_v = 1.0 if dt is None else dt
+        nu_c = nu.value if isinstance(nu, Dimensioned) else nu.data
+
+        g = fvc.grad(mesh, U)
+        sym = 0.5 * (g.data + jnp.swapaxes(g.data, 1, 2))
+        dev = sym - (jnp.trace(sym, axis1=1, axis2=2) / 3.0)[
+            :, None, None] * jnp.eye(3, dtype=sym.dtype)
+        s2 = 2.0 * (dev * dev).sum((-2, -1))
+        G = nut.data * s2
+        G, eps_fix, eps_vals = self._wall_fix(mesh, state, U, nu, G)
+
+        k_pos = jnp.maximum(k.data, self.k_min)
+        eps_pos = jnp.maximum(eps.data, self.eps_min)
+        v2_pos = jnp.maximum(v2.data, self.v2_min)
+        T = jnp.maximum(k_pos / eps_pos,
+                        6.0 * jnp.sqrt(nu_c / eps_pos))
+        L2 = (self.cl * jnp.maximum(
+            k_pos ** 1.5 / eps_pos,
+            self.ceta * (nu_c ** 3 / eps_pos) ** 0.25)) ** 2
+        alpha = ((self.c1 - self.N) * v2_pos
+                 - (2.0 / 3.0) * k_pos * (self.c1 - 1.0)) / T
+        ceps1 = 1.4 * (1.0 + 0.05 * jnp.minimum(
+            jnp.sqrt(k_pos / v2_pos), 100.0))
+
+        one = Dimensioned("1", DimensionSet(), 1.0)
+        rdims = DimensionSet.of(0, 0, -1)
+
+        # epsilon
+        rhs = eps.with_calculated_bcs(
+            ceps1 * G / T, jnp.zeros_like(eps.bvalues), eps.dims * rdims)
+        eqn = (fvm.ddt(mesh, eps, dt_v, ddt_scheme)
+               + fvm.div(mesh, phi, eps, self.div_of["epsilon"])
+               - fvm.laplacian(mesh, self._dcoeff(mesh, state, nu,
+                                                  self.sigma_eps),
+                               eps, self.lap_corr)
+               + fvm.Sp(mesh, Dimensioned("Ceps2/T", rdims,
+                                          self.ceps2 / T), eps))
+        eqn = eqn.equals(rhs).relax(mesh, self.relax["epsilon"])
+        eqn = eqn.set_values(mesh, eps_fix, eps_vals)
+        eps_new, eps_perf = solve(mesh, eqn, self.controls["epsilon"],
+                                  env={"phi": phi})
+        eps_new = bound(eps_new, self.eps_min)
+
+        # k
+        rhs = k.with_calculated_bcs(G, jnp.zeros_like(k.bvalues),
+                                    k.dims * rdims)
+        eqn = (fvm.ddt(mesh, k, dt_v, ddt_scheme)
+               + fvm.div(mesh, phi, k, self.div_of["k"])
+               - fvm.laplacian(mesh, self._dcoeff(mesh, state, nu,
+                                                  self.sigma_k),
+                               k, self.lap_corr)
+               + fvm.Sp(mesh, Dimensioned(
+                   "eps/k", rdims, eps_new.data / k_pos), k))
+        eqn = eqn.equals(rhs).relax(mesh, self.relax["k"])
+        k_new, k_perf = solve(mesh, eqn, self.controls["k"],
+                              env={"phi": phi})
+        k_new = bound(k_new, self.k_min)
+
+        # f: -laplacian(f) + Sp(1/L2, f) == -(alpha - C2*G)/(L2*k)
+        rhs = f.with_calculated_bcs(
+            -(alpha - self.c2 * G) / (L2 * k_pos),
+            jnp.zeros_like(f.bvalues),
+            f.dims / (dim_length ** 2))
+        eqn = (-fvm.laplacian(mesh, one, f, self.lap_corr)
+               + fvm.Sp(mesh, Dimensioned("1/L2",
+                                          DimensionSet.of(0, -2, 0),
+                                          1.0 / L2), f))
+        eqn = eqn.equals(rhs).relax(mesh, self.relax["f"])
+        f_new, f_perf = solve(mesh, eqn, self.controls["f"],
+                              env={"phi": phi})
+        f_new = bound(f_new, self.f_min)
+
+        # v2
+        rhs = v2.with_calculated_bcs(
+            jnp.minimum(k_new.data * f_new.data,
+                        -alpha + self.c2 * G),
+            jnp.zeros_like(v2.bvalues), v2.dims * rdims)
+        eqn = (fvm.ddt(mesh, v2, dt_v, ddt_scheme)
+               + fvm.div(mesh, phi, v2, self.div_of["v2"])
+               - fvm.laplacian(mesh, self._dcoeff(mesh, state, nu,
+                                                  self.sigma_k),
+                               v2, self.lap_corr)
+               + fvm.Sp(mesh, Dimensioned(
+                   "N*eps/k", rdims,
+                   self.N * eps_new.data
+                   / jnp.maximum(k_new.data, self.k_min)), v2))
+        eqn = eqn.equals(rhs).relax(mesh, self.relax["v2"])
+        v2_new, v2_perf = solve(mesh, eqn, self.controls["v2"],
+                                env={"phi": phi})
+        v2_new = bound(v2_new, self.v2_min)
+
+        # nut with the Davidson limiter
+        T_new = jnp.maximum(
+            jnp.maximum(k_new.data, self.k_min)
+            / jnp.maximum(eps_new.data, self.eps_min),
+            6.0 * jnp.sqrt(nu_c / jnp.maximum(eps_new.data,
+                                              self.eps_min)))
+        nut_data = jnp.minimum(
+            self.cmu * v2_new.data * T_new,
+            self.cmu_keps * k_new.data ** 2
+            / jnp.maximum(eps_new.data, self.eps_min))
+        nut_new = nut.replace(data=nut_data).correct_boundary_conditions(
+            mesh, env={"k": k_new, "nu": nu})
+
+        new_state = dict(k=k_new, epsilon=eps_new, v2=v2_new, f=f_new,
+                         nut=nut_new)
+        perf = {"epsilon": eps_perf[0], "k": k_perf[0],
+                "f": f_perf[0], "v2": v2_perf[0]}
+        return new_state, perf
+
+
+def simple_filter(mesh, cell_data):
+    """LES test filter (reference: LESfilters/simpleFilter/
+    simpleFilter.C:69-76): surfaceSum(magSf*interp(phi)) /
+    surfaceSum(magSf) with zero-order boundary extrapolation."""
+    b = jnp.take(cell_data, mesh.owner[mesh.n_internal:], axis=0)
+    w = mesh.weights.reshape((-1,) + (1,) * (cell_data.ndim - 1))
+    own = jnp.take(cell_data, mesh.owner[:mesh.n_internal], axis=0)
+    nei = jnp.take(cell_data, mesh.neighbour, axis=0)
+    face = jnp.concatenate([w * own + (1.0 - w) * nei, b], axis=0)
+    msf = mesh.mag_sf.reshape((-1,) + (1,) * (cell_data.ndim - 1))
+    num = fvc.surface_sum_faces(mesh, face * msf, signed=False)
+    den = fvc.surface_sum_faces(mesh, mesh.mag_sf, signed=False)
+    return num / den.reshape((-1,) + (1,) * (cell_data.ndim - 1))
+
+
+def les_delta(case, coeffs):
+    """LESdelta selector (reference: LESdeltas/): cubeRootVol (default),
+    maxDeltaxyz, smooth (bounded ratio between neighbours), Prandtl
+    (min(cubeRootVol, kappa*y/Cdelta)); vanDriest falls back to Prandtl
+    (its y+ damping needs the wall shear each step)."""
+    c = coeffs or Dictionary()
+    mesh = case.mesh
+    name = c.word("delta", "cubeRootVol")
+    delta_coeff = c.scalar("deltaCoeff", 1.0)
+    base = delta_coeff * jnp.cbrt(mesh.V)
+    if name in ("cubeRootVol",):
+        return base
+    if name == "maxDeltaxyz":
+        cf = jnp.take(mesh.Cf, mesh.cell_faces, axis=0)
+        d = jnp.abs(cf - mesh.C[:, None, :])
+        active = jnp.abs(mesh.cell_sign)[:, :, None]
+        return 2.0 * (d * active).max((1, 2))
+    if name == "smooth":
+        sub = c.subdict("smoothCoeffs", required=False) or Dictionary()
+        ratio = sub.scalar("maxDeltaRatio", 1.1)
+        return fvc.smooth(mesh, base, 1.0 / ratio, sweeps=8)
+    if name in ("Prandtl", "vanDriest"):
+        sub = c.subdict(name + "Coeffs", required=False) or Dictionary()
+        kappa = sub.scalar("kappa", 0.41)
+        cdelta = sub.scalar("Cdelta", 0.158)
+        y = wall_distance(case)
+        return jnp.minimum(base, kappa * y / cdelta)
+    return base
+
+
+@register("LESModel", "dynOneEqEddy", "homogeneousDynOneEqEddy")
+class DynOneEqEddy(OneEqEddy):
+    """Dynamic one-equation SGS model (reference:
+    incompressible/LES/dynOneEqEddy/dynOneEqEddy.C:46-172): ck and ce
+    computed each step from the Germano identity with the simple test
+    filter; nuSgs = ck*sqrt(k)*delta."""
+
+    def __init__(self, case, coeffs: Dictionary):
+        super().__init__(case, coeffs)
+        self.delta = les_delta(case, coeffs)
+
+    def _dyn_coeffs(self, mesh, U, k, nut, nu):
+        d = self.delta
+        u = U.data
+        filt_u = simple_filter(mesh, u)
+        uu = u[:, :, None] * u[:, None, :]
+        filt_uu = simple_filter(mesh, uu)
+        kk = 0.5 * (jnp.trace(filt_uu, axis1=1, axis2=2)
+                    - (filt_u * filt_u).sum(-1))
+        kk = jnp.maximum(kk, 1e-20)
+
+        g = fvc.grad(mesh, U)
+        D = 0.5 * (g.data + jnp.swapaxes(g.data, 1, 2))
+        filt_d = simple_filter(mesh, D)
+        ll_raw = filt_uu - filt_u[:, :, None] * filt_u[:, None, :]
+        tr = jnp.trace(ll_raw, axis1=1, axis2=2)
+        ll_dev = ll_raw - (tr / 3.0)[:, None, None] \
+            * jnp.eye(3, dtype=u.dtype)
+        LL = simple_filter(mesh, ll_dev)
+        MM = simple_filter(
+            mesh, -2.0 * d[:, None, None] * jnp.sqrt(kk)[:, None, None]
+            * filt_d)
+        ck = simple_filter(mesh, 0.5 * (LL * MM).sum((-2, -1))) \
+            / (simple_filter(mesh, (MM * MM).sum((-2, -1))) + 1e-30)
+        ck = jnp.maximum(ck, 0.0)
+
+        nu_c = nu.value if isinstance(nu, Dimensioned) else nu.data
+        nu_eff = nut.data + nu_c
+        d2 = (D * D).sum((-2, -1))
+        ce = simple_filter(
+            mesh, nu_eff * (simple_filter(mesh, d2)
+                            - (filt_d * filt_d).sum((-2, -1)))) \
+            / (simple_filter(mesh, kk ** 1.5 / (2.0 * d)) + 1e-30)
+        ce = jnp.maximum(ce, 0.0)
+        return ck, ce
+
+    def correct(self, mesh, state, U, phi, nu, dt=None):
+        k, nut = state["k"], state["nut"]
+        if dt is not None:
+            k = k.store_old()
+        ddt_scheme = "steadyState" if dt is None else self.ddt_scheme
+        ck, ce = self._dyn_coeffs(mesh, U, k, nut, nu)
+
+        s2 = magsqr_symm_grad(mesh, U)
+        G = nut.data * s2
+        d_k = self._dcoeff(mesh, state, nu, 1.0)
+        k_pos = jnp.maximum(k.data, self.k_min)
+        rhs_k = k.with_calculated_bcs(
+            G, jnp.zeros_like(k.bvalues),
+            k.dims / DimensionSet.of(0, 0, 1))
+        k_eqn = (fvm.ddt(mesh, k, (1.0 if dt is None else dt),
+                         ddt_scheme)
+                 + fvm.div(mesh, phi, k, self.div_k)
+                 - fvm.laplacian(mesh, d_k, k, self.lap_corr)
+                 + fvm.Sp(mesh, Dimensioned(
+                     "ce*sqrt(k)/delta", _RTIME,
+                     ce * jnp.sqrt(k_pos) / self.delta), k))
+        k_new, k_perf = solve(mesh, k_eqn.equals(rhs_k),
+                              self.k_controls, env={"phi": phi})
+        k_new = bound(k_new, self.k_min)
+        nut_data = ck * jnp.sqrt(k_new.data) * self.delta
+        nut_new = nut.replace(data=nut_data) \
+            .correct_boundary_conditions(mesh, env={"k": k_new,
+                                                    "nu": nu})
+        return dict(k=k_new, nut=nut_new), {"k": k_perf[0]}

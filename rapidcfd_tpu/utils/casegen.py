@@ -335,6 +335,7 @@ divSchemes
     div(phi,k)      {bnd}Gauss upwind;
     div(phi,epsilon) {bnd}Gauss upwind;
     div(phi,omega)  {bnd}Gauss upwind;
+    div(phi,nuTilda) {bnd}Gauss upwind;
     div((nuEff*dev(T(grad(U))))) Gauss linear;
 }}
 laplacianSchemes {{ default Gauss linear orthogonal; }}
@@ -353,7 +354,7 @@ solvers
         smoother        GaussSeidel;
         nCellsInCoarsestLevel 32;
     }
-    "(U|k|epsilon|omega)"
+    "(U|k|epsilon|omega|nuTilda)"
     {
         solver          smoothSolver;
         smoother        symGaussSeidel;
@@ -376,7 +377,7 @@ SIMPLE
 relaxationFactors
 {
     fields    { p 0.3; }
-    equations { U 0.7; k 0.7; epsilon 0.7; omega 0.7; }
+    equations { U 0.7; k 0.7; epsilon 0.7; omega 0.7; nuTilda 0.7; }
 }
 """)
     _write(os.path.join(case_dir, "constant", "transportProperties"),
@@ -450,6 +451,18 @@ printCoeffs     on;
                             f"        value           uniform {eps_in};\n",
                         "frontAndBack":
                             "        type            empty;\n"})
+    if model == "SpalartAllmaras":
+        nt_in = 4.0 * nu
+        write_field(case_dir, "0", "nuTilda", "volScalarField",
+                    "[0 2 -1 0 0 0 0]", f"uniform {nt_in}", {
+                        "inlet": "        type            fixedValue;\n"
+                                 f"        value           uniform {nt_in};\n",
+                        "outlet": "        type            zeroGradient;\n",
+                        "upperWall": "        type            fixedValue;\n"
+                                     "        value           uniform 0;\n",
+                        "lowerWall": "        type            fixedValue;\n"
+                                     "        value           uniform 0;\n",
+                        "frontAndBack": "        type            empty;\n"})
     write_field(case_dir, "0", "nut", "volScalarField", "[0 2 -1 0 0 0 0]",
                 "uniform 0", {
                     "inlet": "        type            calculated;\n"
