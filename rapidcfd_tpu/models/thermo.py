@@ -6,9 +6,12 @@ EoS<specie>>> and basic/psiThermo/hePsiThermo.C:35-110): on TPU the whole
 per-cell property evaluation is plain vectorized jnp math — the zip-
 iterator thrust kernel becomes a fused elementwise expression.
 
-Round-1 stack: perfectGas EoS, hConst/eConst thermo (constant Cp),
-const/sutherland transport, pureMixture, sensibleEnthalpy /
-sensibleInternalEnergy energy forms.
+Stack: EoS perfectGas / incompressiblePerfectGas / perfectFluid /
+rhoConst / icoPolynomial / linear; thermodynamics hConst/eConst, janaf
+(NASA-7 two-range), hPolynomial; transport const / sutherland /
+polynomial; pureMixture; sensible/absolute enthalpy & internal energy.
+(adiabaticPerfectFluid and PengRobinsonGas deferred: their psi depends
+on p, which the psi-based solver loop does not thread yet.)
 """
 
 from __future__ import annotations
@@ -82,9 +85,14 @@ class PerfectGasThermo:
         return jnp.sqrt(self.gamma * self.r * jnp.maximum(T, 1e-10))
 
 
-def read_thermo(props: Dictionary) -> PerfectGasThermo:
+def read_thermo(props: Dictionary):
     """Parse constant/thermophysicalProperties (reference: basicThermo
-    dictionary layout, both the 2.x thermoType-dict and string forms)."""
+    dictionary layout, both the 2.x thermoType-dict and string forms).
+    Returns the generalized SpecieThermo stack (superset of the round-1
+    PerfectGasThermo interface) whenever janaf/polynomial/extended-EoS
+    features are requested; the plain perfect-gas bundle otherwise."""
+    if _wants_general_stack(props):
+        return read_specie_thermo(props)
     tt = props.lookup("thermoType", required=True)
     if isinstance(tt, Dictionary):
         energy = tt.word("energy", "sensibleInternalEnergy")
@@ -123,6 +131,21 @@ def read_thermo(props: Dictionary) -> PerfectGasThermo:
     )
 
 
+def _wants_general_stack(props: Dictionary) -> bool:
+    tt = props.lookup("thermoType", required=True)
+    words = []
+    if isinstance(tt, Dictionary):
+        words = [tt.word("thermo", "hConst"),
+                 tt.word("equationOfState", "perfectGas"),
+                 tt.word("transport", "const")]
+    else:
+        words = [str(tt if not isinstance(tt, tuple) else tt[0])]
+    blob = " ".join(words).lower()
+    return any(k.lower() in blob for k in (
+        "janaf", "hPolynomial", "polynomial", "icoPolynomial",
+        "incompressiblePerfectGas", "perfectFluid", "rhoConst"))
+
+
 class PsiThermo:
     """Field-level thermo (reference: hePsiThermo): owns T and p-coupled
     property evaluation; the solved energy field's BCs are derived from
@@ -154,9 +177,14 @@ class PsiThermo:
         return he.correct_boundary_conditions(mesh)
 
     def update_t(self, mesh, T: VolField, he: VolField) -> VolField:
-        """thermo.correct(): T from the solved energy."""
+        """thermo.correct(): T from the solved energy (the previous T
+        seeds the Newton iteration of variable-Cp models)."""
         m = self.model
-        T2 = T.replace(data=m.t_from_he(he.data))
+        try:
+            data = m.t_from_he(he.data, T0=T.data)
+        except TypeError:
+            data = m.t_from_he(he.data)
+        T2 = T.replace(data=data)
         return T2.correct_boundary_conditions(mesh)
 
 
@@ -262,3 +290,287 @@ def read_rho_thermo(props: Dictionary) -> PhaseRhoThermo:
               if eqn else 0.0),
         sutherland=sutherland, as_=trans.scalar("As", 0.0),
         ts=trans.scalar("Ts", 0.0))
+
+
+# ---------------------------------------------------------------------------
+# generalized specie stack (reference: specie/thermo/{hConst,janaf,
+# hPolynomial}, equationOfState/*, transport/{const,sutherland,polynomial})
+# ---------------------------------------------------------------------------
+
+def _polyval(coeffs, T):
+    """Horner evaluation of sum_i c_i T^i (OpenFOAM Polynomial order)."""
+    import numpy as np
+    acc = jnp.zeros_like(T)
+    for c in reversed(list(coeffs)):
+        acc = acc * T + float(c)
+    return acc
+
+
+def _polyint(coeffs):
+    """Antiderivative coefficients of sum_i c_i T^i (constant 0)."""
+    return [0.0] + [float(c) / (i + 1) for i, c in enumerate(coeffs)]
+
+
+@dataclass(frozen=True)
+class SpecieThermo:
+    """The full layered property stack as one frozen bundle of pure
+    functions (reference: species::thermo<Thermo<EoS<specie>>>;
+    janaf polynomials janafThermo.H, NASA-7). Drop-in superset of
+    PerfectGasThermo: scalar .r/.cp/.cv/.gamma remain available (Cp
+    evaluated at t_std for the variable-Cp models)."""
+    mol_weight: float
+    energy: str = "sensibleInternalEnergy"
+    t_std: float = 298.15
+    # -- thermodynamics --
+    cp_mode: str = "const"            # const | janaf | polynomial
+    cp0: float = 1005.0               # const-Cp [J/kg/K]
+    hf: float = 0.0
+    janaf_low: tuple = ()             # 7 NASA coeffs (mole basis * R)
+    janaf_high: tuple = ()
+    t_low: float = 200.0
+    t_high: float = 5000.0
+    t_common: float = 1000.0
+    cp_poly: tuple = ()               # mass-basis Cp(T) polynomial
+    # -- equation of state --
+    eos: str = "perfectGas"
+    p_ref: float = 1e5                # incompressiblePerfectGas pRef
+    rho0: float = 0.0                 # rhoConst / perfectFluid
+    r_eos: float = 0.0                # perfectFluid R
+    rho_poly: tuple = ()              # icoPolynomial rhoCoeffs
+    psi0: float = 0.0                 # linear EoS psi
+    # -- transport --
+    transport: str = "const"          # const | sutherland | polynomial
+    mu0: float = 0.0
+    pr: float = 1.0
+    as_: float = 0.0
+    ts: float = 0.0
+    mu_poly: tuple = ()
+    kappa_poly: tuple = ()
+
+    # -- scalar conveniences ------------------------------------------------
+    @property
+    def r(self) -> float:
+        return R_UNIVERSAL / self.mol_weight
+
+    @property
+    def cp(self) -> float:
+        import numpy as np
+        return float(np.asarray(self.cp_t(jnp.asarray(self.t_std))))
+
+    @property
+    def cv(self) -> float:
+        return self.cp - self._cp_m_cv()
+
+    @property
+    def gamma(self) -> float:
+        return self.cp / max(self.cv, 1e-30)
+
+    def _cp_m_cv(self) -> float:
+        """Cp - Cv by EoS (reference equationOfState CpMCv)."""
+        if self.eos in ("perfectGas", "incompressiblePerfectGas"):
+            return self.r
+        if self.eos == "perfectFluid":
+            return self.r_eos
+        return 0.0
+
+    # -- thermodynamics -----------------------------------------------------
+    def cp_t(self, T):
+        if self.cp_mode == "janaf":
+            a_lo = self.janaf_low
+            a_hi = self.janaf_high
+            cp_lo = _polyval(a_lo[:5], T)
+            cp_hi = _polyval(a_hi[:5], T)
+            return self.r * jnp.where(T < self.t_common, cp_lo, cp_hi)
+        if self.cp_mode == "polynomial":
+            return _polyval(self.cp_poly, T)
+        return jnp.full_like(T, self.cp0) if hasattr(T, "shape") \
+            else self.cp0
+
+    def _ha(self, T):
+        """Absolute enthalpy (janaf: R*T*(sum a_i T^i/(i+1)) + R*a5)."""
+        if self.cp_mode == "janaf":
+            def ha_of(a):
+                return self.r * (T * _polyval(
+                    [a[0], a[1] / 2, a[2] / 3, a[3] / 4, a[4] / 5], T)
+                    + a[5])
+            return jnp.where(T < self.t_common, ha_of(self.janaf_low),
+                             ha_of(self.janaf_high))
+        if self.cp_mode == "polynomial":
+            return _polyval(_polyint(self.cp_poly), T) + self.hf
+        return self.cp0 * T + self.hf
+
+    def he_from_t(self, T):
+        ha = self._ha(T)
+        if self.energy == "absoluteEnthalpy":
+            return ha
+        hs = ha - self._ha(jnp.full_like(T, self.t_std) * 0 + self.t_std) \
+            if hasattr(T, "shape") else ha - self._ha(self.t_std)
+        if self.energy == "sensibleEnthalpy":
+            return hs
+        if self.energy == "absoluteInternalEnergy":
+            return ha - self._cp_m_cv() * T
+        return hs - self._cp_m_cv() * T      # sensibleInternalEnergy
+
+    def t_from_he(self, he, T0=None):
+        if self.cp_mode == "const":
+            cmc = self._cp_m_cv()
+            h_std = self.cp0 * self.t_std + self.hf
+            if self.energy == "sensibleEnthalpy":
+                return (he + h_std - self.hf) / self.cp0
+            if self.energy == "absoluteEnthalpy":
+                return (he - self.hf) / self.cp0
+            if self.energy == "absoluteInternalEnergy":
+                return (he - self.hf) / (self.cp0 - cmc)
+            return (he + h_std - self.hf) / (self.cp0 - cmc)
+        # variable Cp: Newton from the previous T (reference
+        # thermo::T, janafThermo): 8 iterations suffice for NASA-7
+        T = jnp.full_like(he, 1000.0) if T0 is None else T0
+        cmc = self._cp_m_cv()
+        with_e = self.energy in ("sensibleInternalEnergy",
+                                 "absoluteInternalEnergy")
+        for _ in range(8):
+            f = self.he_from_t(T) - he
+            fp = self.cp_t(T) - (cmc if with_e else 0.0)
+            T = jnp.clip(T - f / jnp.maximum(fp, 1e-3), 10.0, 2e4)
+        return T
+
+    # -- equation of state --------------------------------------------------
+    def psi(self, T):
+        if self.eos == "perfectGas":
+            return 1.0 / (self.r * jnp.maximum(T, 1e-10))
+        if self.eos == "perfectFluid":
+            return 1.0 / (self.r_eos * jnp.maximum(T, 1e-10))
+        return jnp.zeros_like(T)
+
+    def rho(self, p, T):
+        if self.eos == "perfectGas":
+            return p / (self.r * jnp.maximum(T, 1e-10))
+        if self.eos == "incompressiblePerfectGas":
+            return self.p_ref / (self.r * jnp.maximum(T, 1e-10))
+        if self.eos == "perfectFluid":
+            return p / (self.r_eos * jnp.maximum(T, 1e-10)) + self.rho0
+        if self.eos == "icoPolynomial":
+            return _polyval(self.rho_poly, T)
+        if self.eos == "linear":
+            return self.psi0 * p + self.rho0
+        return jnp.full_like(T, self.rho0)   # rhoConst
+
+    def c_sound(self, T):
+        g = self.gamma
+        if self.eos == "perfectGas":
+            return jnp.sqrt(g * self.r * jnp.maximum(T, 1e-10))
+        if self.eos == "perfectFluid":
+            return jnp.sqrt(g * self.r_eos * jnp.maximum(T, 1e-10))
+        return jnp.full_like(T, 1e3)
+
+    # -- transport ----------------------------------------------------------
+    def mu(self, T):
+        if self.transport == "sutherland":
+            return self.as_ * jnp.sqrt(T) / (1.0 + self.ts / T)
+        if self.transport == "polynomial":
+            return _polyval(self.mu_poly, T)
+        return self.mu0 if not hasattr(T, "shape") \
+            else jnp.full_like(T, self.mu0)
+
+    def alpha_h(self, T):
+        """kappa/Cp for the energy equation diffusion."""
+        if self.transport == "polynomial" and self.kappa_poly:
+            return _polyval(self.kappa_poly, T) / self.cp_t(T)
+        return self.mu(T) / self.pr
+
+
+def read_specie_thermo(props: Dictionary) -> SpecieThermo:
+    """Parse constant/thermophysicalProperties into the generalized
+    stack (reference: basicThermo::New thermoType dispatch)."""
+    tt = props.lookup("thermoType", required=True)
+    energy = "sensibleInternalEnergy"
+    transport = "const"
+    thermo_name = "hConst"
+    eos = "perfectGas"
+    if isinstance(tt, Dictionary):
+        energy = tt.word("energy", "sensibleInternalEnergy")
+        transport = tt.word("transport", "const")
+        thermo_name = tt.word("thermo", "hConst")
+        eos = tt.word("equationOfState", "perfectGas")
+    else:
+        sname = str(tt if not isinstance(tt, tuple) else tt[0])
+        low = sname.lower()
+        energy = "sensibleEnthalpy" if low.startswith("h") \
+            else "sensibleInternalEnergy"
+        for cand in ("sutherland", "polynomial", "const"):
+            if cand.lower() in low:
+                transport = cand
+                break
+        for cand in ("janaf", "hPolynomial"):
+            if cand.lower() in low:
+                thermo_name = cand
+        for cand in ("incompressiblePerfectGas", "perfectFluid",
+                     "rhoConst", "icoPolynomial", "perfectGas"):
+            if cand.lower() in low:
+                eos = cand
+                break
+
+    mix = props.subdict("mixture", required=False)
+    if not mix:
+        for k, v in props.items():
+            if isinstance(v, Dictionary) \
+                    and v.lookup("specie") is not None:
+                mix = v
+                break
+    if not mix:
+        raise KeyError("thermophysicalProperties: no mixture dictionary")
+    specie = mix.subdict("specie")
+    th = mix.subdict("thermodynamics")
+    tr = mix.subdict("transport")
+    eq = mix.subdict("equationOfState", required=False) or Dictionary()
+    mw = specie.scalar("molWeight")
+
+    kw = dict(mol_weight=mw, energy=energy, eos=eos)
+
+    def tuple_of(d, key):
+        v = d.lookup(key)
+        if v is None:
+            return ()
+        if isinstance(v, (int, float)):
+            return (float(v),)
+        return tuple(float(x) for x in v)
+
+    if th.lookup("highCpCoeffs") is not None or thermo_name == "janaf":
+        kw.update(cp_mode="janaf",
+                  janaf_low=tuple_of(th, "lowCpCoeffs"),
+                  janaf_high=tuple_of(th, "highCpCoeffs"),
+                  t_low=th.scalar("Tlow", 200.0),
+                  t_high=th.scalar("Thigh", 5000.0),
+                  t_common=th.scalar("Tcommon", 1000.0))
+    elif th.lookup("CpCoeffs<8>") is not None \
+            or th.lookup("CpCoeffs") is not None:
+        kw.update(cp_mode="polynomial",
+                  cp_poly=(tuple_of(th, "CpCoeffs<8>")
+                           or tuple_of(th, "CpCoeffs")),
+                  hf=th.scalar("Hf", 0.0))
+    else:
+        cp = th.scalar("Cp", 0.0) or (th.scalar("Cv", 0.0)
+                                      + R_UNIVERSAL / mw)
+        kw.update(cp_mode="const", cp0=cp, hf=th.scalar("Hf", 0.0))
+
+    if tr.lookup("muCoeffs<8>") is not None \
+            or tr.lookup("muCoeffs") is not None:
+        kw.update(transport="polynomial",
+                  mu_poly=(tuple_of(tr, "muCoeffs<8>")
+                           or tuple_of(tr, "muCoeffs")),
+                  kappa_poly=(tuple_of(tr, "kappaCoeffs<8>")
+                              or tuple_of(tr, "kappaCoeffs")))
+    elif transport == "sutherland" or tr.lookup("As") is not None:
+        kw.update(transport="sutherland", as_=tr.scalar("As", 0.0),
+                  ts=tr.scalar("Ts", 0.0), pr=tr.scalar("Pr", 1.0))
+    else:
+        kw.update(transport="const", mu0=tr.scalar("mu", 0.0),
+                  pr=tr.scalar("Pr", 1.0))
+
+    kw.update(p_ref=eq.scalar("pRef", 1e5),
+              rho0=(eq.scalar("rho0", 0.0) or eq.scalar("rho", 0.0)),
+              r_eos=eq.scalar("R", 0.0),
+              rho_poly=(tuple_of(eq, "rhoCoeffs<8>")
+                        or tuple_of(eq, "rhoCoeffs")),
+              psi0=eq.scalar("psi", 0.0))
+    return SpecieThermo(**kw)
