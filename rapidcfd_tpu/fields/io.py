@@ -22,7 +22,8 @@ from .field import VolField
 
 _BC_DATA_KEYS = ("value", "gradient", "refValue", "refGradient",
                  "valueFraction", "inletValue", "outletValue", "p0",
-                 "volumetricFlowRate", "uniformValue", "freestreamValue")
+                 "volumetricFlowRate", "uniformValue", "freestreamValue",
+                 "emissivity")
 
 
 def _parse_value(entry, n: int, dtype):

@@ -67,9 +67,13 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
     n_outer, n_corr = ctrl.n_outer, ctrl.n_correctors
     n_non_orth = ctrl.n_non_orth
 
+    from ..models.radiation import make_radiation_model
+    rad = make_radiation_model(case)
+    G0 = rad.read_g() if rad else None
+
     @jax.jit
     def step(U: VolField, p_rgh: VolField, T: VolField, p: VolField,
-             rho: VolField, phi: SurfaceField, dt):
+             rho: VolField, phi: SurfaceField, dt, G=None):
         U = U.store_old()
         T = T.store_old()
         p = p.store_old()
@@ -116,7 +120,16 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
             hEqn = (fvm.ddt(mesh, h, dt, ddt_scheme, coeff=rho)
                     + fvm.div(mesh, phi, h, div_h)
                     - fvm.laplacian(mesh, alpha_f, h, lap_corr))
-            h, h_perf = solve(mesh, hEqn.equals(rhs), h_controls)
+            hEqn = hEqn.equals(rhs)
+            g_perf = None
+            if rad is not None:
+                G, g_perf = rad.correct(mesh, G, T)
+                cpv = m.cp_t(T.data) if hasattr(m, "cp_t") \
+                    else jnp.full_like(T.data, m.cp)
+                sp, expl = rad.sh(mesh, G, T, cpv, h.data)
+                hEqn = hEqn.replace(diag=hEqn.diag + mesh.V * sp,
+                                    source=hEqn.source + mesh.V * expl)
+            h, h_perf = solve(mesh, hEqn, h_controls)
             T = thermo.update_t(mesh, T, h)
 
             # ---- pEqn.H
@@ -178,7 +191,9 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
         stats = dict(u_perf=u_perf, h_perf=h_perf,
                      p_perf=tuple(p_perf_all),
                      cont=(local_err, glob_err),
-                     rho_minmax=(rho.data.min(), rho.data.max()))
+                     rho_minmax=(rho.data.min(), rho.data.max()),
+                     **({"G": G, "g_perf": g_perf}
+                        if rad is not None else {}))
         return U, p_rgh, T, p, rho, phi, stats
 
     rho = T.with_calculated_bcs(m.rho(p.data, T.data),
@@ -194,8 +209,11 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
     n = 0
     while case.time.loop():
         info(f"Time = {case.time.name}\n")
-        U, p_rgh, T, p, rho, phi, stats = step(U, p_rgh, T, p, rho, phi,
-                                               case.time.delta_t)
+        U, p_rgh, T, p, rho, phi, stats = step(U, p_rgh, T, p, rho,
+                                               phi, case.time.delta_t,
+                                               G0)
+        if rad is not None:
+            G0 = stats.pop("G")
         for cmpt, perf in zip("xyz", stats["u_perf"]):
             log_solve(u_controls.solver, f"U{cmpt}", perf[0], perf[1],
                       perf[2])

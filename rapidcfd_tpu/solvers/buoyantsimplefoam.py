@@ -48,6 +48,10 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
     U = case.read_field("U")
     p = case.read_field("p")
 
+    from ..models.radiation import make_radiation_model
+    rad = make_radiation_model(case)
+    G0 = rad.read_g() if rad else None
+
     simple = SimpleControl(case)
     div_u = case.div_scheme("div(phi,U)")
     try:
@@ -72,7 +76,7 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
 
     @jax.jit
     def step(U: VolField, p_rgh: VolField, T: VolField, p: VolField,
-             rho: VolField, phi: SurfaceField):
+             rho: VolField, phi: SurfaceField, G: VolField | None):
         mu_f = Dimensioned("mu", DimensionSet.of(1, -1, -1),
                            m.mu(fvc.face_values(mesh, T)))
         # ---- UEqn.H
@@ -98,6 +102,15 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
         hEqn = (fvm.div(mesh, phi, h, div_h)
                 - fvm.laplacian(mesh, alpha_f, h, lap_corr))
         hEqn = hEqn.equals(-fvc.div(mesh, phi, K, div_h))
+        g_perf = None
+        if rad is not None:
+            # EEqn.H: radiation->correct(); == radiation->Sh(thermo)
+            G, g_perf = rad.correct(mesh, G, T)
+            cpv = m.cp_t(T.data) if hasattr(m, "cp_t") \
+                else jnp.full_like(T.data, m.cp)
+            sp, expl = rad.sh(mesh, G, T, cpv, h.data)
+            hEqn = hEqn.replace(diag=hEqn.diag + mesh.V * sp,
+                                source=hEqn.source + mesh.V * expl)
         hEqn = hEqn.relax(mesh, h_relax)
         h, h_perf = solve(mesh, hEqn, h_controls)
         T = thermo.update_t(mesh, T, h)
@@ -161,6 +174,8 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
                           bvalues=m.rho(p.bvalues, T.bvalues))
 
         stats = dict(u_perf=u_perf, h_perf=h_perf,
+                     **({"G": G, "g_perf": g_perf}
+                        if rad is not None else {}),
                      p_perf=tuple(p_perf_all),
                      cont=(local_err, glob_err),
                      rho_minmax=(rho.data.min(), rho.data.max()))
@@ -180,12 +195,18 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
     initial_residuals = None
     while simple.loop(initial_residuals):
         info(f"Time = {case.time.name}\n")
-        U, p_rgh, T, p, rho, phi, stats = step(U, p_rgh, T, p, rho, phi)
+        U, p_rgh, T, p, rho, phi, stats = step(U, p_rgh, T, p, rho,
+                                               phi, G0)
+        if rad is not None:
+            G0 = stats.pop("G")
         initial_residuals = {}
         for cmpt, perf in zip("xyz", stats["u_perf"]):
             log_solve(u_controls.solver, f"U{cmpt}", perf[0], perf[1],
                       perf[2])
             initial_residuals[f"U{cmpt}"] = float(perf[0])
+        if rad is not None and stats.get("g_perf") is not None:
+            gp = stats["g_perf"][0]
+            log_solve(rad.g_controls.solver, "G", gp[0], gp[1], gp[2])
         log_solve(h_controls.solver, "h", stats["h_perf"][0][0],
                   stats["h_perf"][0][1], stats["h_perf"][0][2])
         initial_residuals["h"] = float(stats["h_perf"][0][0])
@@ -201,7 +222,8 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
         timer.log()
         if write and case.time.write_time():
             case.write_fields([U, p_rgh, T, p.replace(name="p"),
-                               rho.replace(name="rho")])
+                               rho.replace(name="rho")]
+                              + ([G0] if rad is not None else []))
         n += 1
         if max_steps and n >= max_steps:
             break

@@ -256,3 +256,122 @@ PIMPLE { nOuterCorrectors 1; nCorrectors 2;
     hot_side = C[:, 0] < 0.02
     assert u[hot_side, 1].max() > 1e-4      # buoyant rise
     assert np.abs(u).max() < 2.0
+
+
+def _buoyant_rad_case(d):
+    mesh = box_mesh(12, 12, 1, size=(0.1, 0.1, 0.01), patch_spec={
+        "xmin": ("hot", "wall"), "xmax": ("cold", "wall"),
+        "ymin": ("floor", "wall"), "ymax": ("ceiling", "wall"),
+        "zmin": ("fb", "empty"), "zmax": ("fb", "empty")})
+    write_polymesh(mesh, d)
+    _write(os.path.join(d, "system", "controlDict"),
+           foamfile_header("dictionary", "controlDict", "system"), """
+application buoyantSimpleFoam; startFrom startTime; startTime 0;
+stopAt endTime; endTime 12; deltaT 1;
+writeControl timeStep; writeInterval 1000; writeFormat ascii;
+""")
+    _write(os.path.join(d, "system", "fvSchemes"),
+           foamfile_header("dictionary", "fvSchemes", "system"), """
+ddtSchemes { default steadyState; }
+gradSchemes { default Gauss linear; }
+divSchemes { default none; div(phi,U) bounded Gauss upwind;
+             div(phi,h) bounded Gauss upwind; }
+laplacianSchemes { default Gauss linear orthogonal; }
+interpolationSchemes { default linear; }
+snGradSchemes { default orthogonal; }
+""")
+    _write(os.path.join(d, "system", "fvSolution"),
+           foamfile_header("dictionary", "fvSolution", "system"), """
+solvers
+{
+    p_rgh { solver GAMG; smoother GaussSeidel; tolerance 1e-08;
+            relTol 0.01; }
+    "(U|h)" { solver smoothSolver; smoother symGaussSeidel;
+              tolerance 1e-08; relTol 0.1; }
+    G { solver PCG; preconditioner DIC; tolerance 1e-10; relTol 0; }
+}
+SIMPLE
+{
+    nNonOrthogonalCorrectors 0;
+    pRefCell 0; pRefValue 100000;
+    residualControl { }
+}
+relaxationFactors
+{
+    fields    { p_rgh 0.7; rho 0.3; }
+    equations { U 0.3; h 0.7; }
+}
+""")
+    _write(os.path.join(d, "constant", "thermophysicalProperties"),
+           foamfile_header("dictionary", "thermophysicalProperties",
+                           "constant"), _THERMO)
+    _write(os.path.join(d, "constant", "g"),
+           foamfile_header("uniformDimensionedVectorField", "g",
+                           "constant"),
+           "\ndimensions      [0 1 -2 0 0 0 0];\nvalue           "
+           "(0 -9.81 0);\n")
+    walls = {"hot": _fv(310), "cold": _fv(290),
+             "floor": _ZG, "ceiling": _ZG, "fb": _EMPTY}
+    write_field(d, "0", "T", "volScalarField", "[0 0 0 1 0 0 0]",
+                "uniform 300", walls)
+    uw = {k: (_fv("(0 0 0)") if k != "fb" else _EMPTY) for k in walls}
+    write_field(d, "0", "U", "volVectorField", "[0 1 -1 0 0 0 0]",
+                "uniform (0 0 0)", uw)
+    zgs = {k: (_ZG if k != "fb" else _EMPTY) for k in walls}
+    write_field(d, "0", "p_rgh", "volScalarField", "[1 -1 -2 0 0 0 0]",
+                "uniform 100000", zgs)
+    write_field(d, "0", "p", "volScalarField", "[1 -1 -2 0 0 0 0]",
+                "uniform 100000", zgs)
+
+
+def test_buoyant_simple_p1_radiation(tmp_path_factory):
+    """buoyantSimpleFoam + P1 radiation: G equilibrates toward the
+    blackbody level 4*sigma*T^4 in a near-isothermal box and the
+    energy coupling stays bounded (reference: radiationModels/P1)."""
+    d = str(tmp_path_factory.mktemp("p1rad"))
+    _buoyant_rad_case(d)
+    _write(os.path.join(d, "constant", "radiationProperties"),
+           foamfile_header("dictionary", "radiationProperties",
+                           "constant"), """
+radiation       on;
+radiationModel  P1;
+absorptionEmissionModel constantAbsorptionEmission;
+constantAbsorptionEmissionCoeffs
+{
+    absorptivity    absorptivity [ 0 -1 0 0 0 0 0 ] 0.5;
+    emissivity      emissivity [ 0 -1 0 0 0 0 0 ] 0.5;
+    E               E [ 1 -1 -3 0 0 0 0 ] 0;
+}
+scatterModel    constantScatter;
+constantScatterCoeffs
+{
+    sigma           sigma [ 0 -1 0 0 0 0 0 ] 0;
+    C               C [ 0 0 0 0 0 0 0 ] 0;
+}
+""")
+    bspec = {
+        "fb": _EMPTY,
+        **{n: ("        type            MarshakRadiation;\n"
+               "        emissivity      uniform 1.0;\n"
+               "        value           uniform 0;\n")
+           for n in ("hot", "cold", "floor", "ceiling")}}
+    write_field(d, "0", "G", "volScalarField", "[1 0 -3 0 0 0 0]",
+                "uniform 0", bspec)
+    L.Info.enabled = False
+    try:
+        from rapidcfd_tpu.solvers.buoyantsimplefoam import run
+        case, U, p_rgh, T, p, rho, phi = run(d, write=False,
+                                             max_steps=12)
+    finally:
+        L.Info.enabled = True
+    t = np.asarray(T.data)
+    assert np.isfinite(t).all()
+    assert 285 < t.min() and t.max() < 315
+    # G equilibrated near the blackbody level of the enclosure
+    from rapidcfd_tpu.models.radiation import SIGMA_SB, P1Radiation
+    from rapidcfd_tpu.models.radiation import make_radiation_model
+    rad = make_radiation_model(case)
+    G, perf = rad.correct(case.mesh, case.read_field('G', '0'), T)
+    g = np.asarray(G.data)
+    g_bb = 4.0 * SIGMA_SB * 300.0 ** 4
+    assert 0.5 * g_bb < g.mean() < 1.5 * g_bb
