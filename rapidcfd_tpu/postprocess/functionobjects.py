@@ -357,7 +357,9 @@ class FieldValue(FunctionObject):
 
 
 def _write_derived(case, name, vf):
-    case.write_fields([vf.replace(name=name)])
+    # mark=False: a derived-field write must not consume the step's
+    # write trigger (it starved later FOs and the solver's own writes)
+    case.write_fields([vf.replace(name=name)], mark=False)
 
 
 @register("functionObject", "surfaces")
@@ -588,6 +590,370 @@ class YPlus(FunctionObject):
             f.write(f"{time:.8g} {patch.name} {yp.min():.8g} "
                     f"{yp.max():.8g} {yp.mean():.8g}\n")
         f.flush()
+
+
+@register("functionObject", "Lambda2")
+class Lambda2(FunctionObject):
+    """Lambda2 vortex criterion: second eigenvalue of S^2 + Omega^2
+    (reference: postProcessing/utilities/Lambda2)."""
+
+    def execute(self, time, fields, mesh):
+        if "U" not in fields or not self.case.time.write_time():
+            return
+        import jax.numpy as jnp
+        from ..ops import fvc
+        U = fields["U"]
+        g = fvc.grad(mesh, U)
+
+        def lam2(t):
+            s = 0.5 * (t + jnp.swapaxes(t, -1, -2))
+            o = 0.5 * (t - jnp.swapaxes(t, -1, -2))
+            m = s @ s + o @ o
+            ev = jnp.linalg.eigvalsh(m)      # ascending
+            return ev[..., 1]
+        f = U.with_calculated_bcs(lam2(g.data), lam2(g.bvalues),
+                                  g.dims * g.dims, "Lambda2")
+        _write_derived(self.case, "Lambda2", f)
+
+
+@register("functionObject", "Peclet")
+class Peclet(FunctionObject):
+    """Face Peclet number |phi|/(deltaCoeffs*magSf*nuEff) logged
+    min/max (reference: postProcessing/utilities/Peclet)."""
+
+    def execute(self, time, fields, mesh):
+        if "phi" not in fields:
+            return
+        phi = fields["phi"]
+        nu_eff = fields.get("nuEff")
+        if nu_eff is None:
+            return
+        from ..ops import fvc
+        if hasattr(nu_eff, "bvalues"):
+            nu_f = np.asarray(fvc.face_values(mesh, nu_eff))[
+                :mesh.n_internal]
+        else:
+            nu_f = float(getattr(nu_eff, "value", nu_eff))
+        pe = np.abs(np.asarray(phi.data[:mesh.n_internal])) / (
+            np.asarray(mesh.delta_coeffs)
+            * np.asarray(mesh.mag_sf[:mesh.n_internal])
+            * np.maximum(nu_f, 1e-30))
+        f = self.file("Peclet.dat", header="# Time min max mean\n")
+        f.write(f"{time:.8g} {pe.min():.8g} {pe.max():.8g} "
+                f"{pe.mean():.8g}\n")
+        f.flush()
+
+
+@register("functionObject", "CourantNo")
+class CourantNoFO(FunctionObject):
+    """Per-cell Courant number written at write times (reference:
+    postProcessing/utilities/CourantNo)."""
+
+    def execute(self, time, fields, mesh):
+        if "phi" not in fields or not self.case.time.write_time():
+            return
+        import jax.numpy as jnp
+        from ..ops import fvc
+        phi = fields["phi"]
+        sum_phi = fvc.surface_sum_faces(mesh, jnp.abs(phi.data),
+                                        signed=False)
+        dt = self.case.time.delta_t
+        co = 0.5 * sum_phi / mesh.V * dt
+        from ..utils.dimensions import DimensionSet
+        ref = fields.get("p")
+        if ref is None or ref.data.ndim != 1:
+            return
+        f = ref.with_calculated_bcs(
+            co, co[mesh.owner[mesh.n_internal:]], DimensionSet(), "Co")
+        _write_derived(self.case, "Co", f)
+
+
+@register("functionObject", "wallHeatFlux")
+class WallHeatFlux(FunctionObject):
+    """Integrated wall heat flux per patch: kappa*snGrad(T) (reference:
+    postProcessing/utilities/wallHeatFlux, incompressible kappa form)."""
+
+    def execute(self, time, fields, mesh):
+        T = fields.get("T")
+        if T is None:
+            return
+        from ..ops import fvc
+        kappa = fields.get("kappaEff") or fields.get("alphaEff") \
+            or fields.get("nuEff")
+        sng = fvc.sn_grad(mesh, T)
+        f = self.file("wallHeatFlux.dat",
+                      header="# Time patch integral min max\n")
+        for patch in mesh.patches:
+            if patch.type != "wall" or patch.size == 0:
+                continue
+            sl = slice(patch.start, patch.start + patch.size)
+            bsl = slice(patch.bstart, patch.bstart + patch.size)
+            if kappa is None:
+                k_b = 1.0
+            elif hasattr(kappa, "bvalues"):
+                k_b = np.asarray(kappa.bvalues[bsl])
+            else:
+                k_b = float(getattr(kappa, "value", kappa))
+            q = k_b * np.asarray(sng.data[sl])
+            msf = np.asarray(mesh.patch_mag_sf(patch))
+            f.write(f"{time:.8g} {patch.name} {(q * msf).sum():.8g} "
+                    f"{q.min():.8g} {q.max():.8g}\n")
+        f.flush()
+
+
+@register("functionObject", "pressureTools")
+class PressureTools(FunctionObject):
+    """Total pressure p0 = p + 0.5|U|^2 (incompressible form) written
+    at write times (reference: postProcessing/utilities/pressureTools,
+    calcTotal option)."""
+
+    def execute(self, time, fields, mesh):
+        if "p" not in fields or "U" not in fields \
+                or not self.case.time.write_time():
+            return
+        p, U = fields["p"], fields["U"]
+        data = p.data + 0.5 * (U.data * U.data).sum(-1)
+        bv = p.bvalues + 0.5 * (U.bvalues * U.bvalues).sum(-1)
+        f = p.with_calculated_bcs(data, bv, p.dims, "total(p)")
+        _write_derived(self.case, "total(p)", f)
+
+
+@register("functionObject", "turbulenceFields", "R")
+class TurbulenceFields(FunctionObject):
+    """Derived Reynolds stress R = (2/3)k I - 2 nut S written at write
+    times (reference: postProcessing/utilities/turbulenceFields; the R
+    field of the Boussinesq closure)."""
+
+    def execute(self, time, fields, mesh):
+        if "U" not in fields or "nut" not in fields \
+                or not self.case.time.write_time():
+            return
+        import jax.numpy as jnp
+        from ..ops import fvc
+        U, nut = fields["U"], fields["nut"]
+        k = fields.get("k")
+        g = fvc.grad(mesh, U)
+        s = 0.5 * (g.data + jnp.swapaxes(g.data, -1, -2))
+        eye = jnp.eye(3, dtype=s.dtype)
+        kk = k.data if k is not None else jnp.zeros(mesh.n_cells,
+                                                    s.dtype)
+        R = (2.0 / 3.0) * kk[:, None, None] * eye \
+            - 2.0 * nut.data[:, None, None] * s
+        # store the 6 symmetric components as a (n,6) field
+        idx = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+        data = jnp.stack([R[:, i, j] for i, j in idx], axis=-1)
+        f = U.with_calculated_bcs(
+            data, jnp.take(data, mesh.owner[mesh.n_internal:], axis=0),
+            U.dims * U.dims, "R")
+        _write_derived(self.case, "R", f)
+
+
+@register("functionObject", "scalarTransport")
+class ScalarTransport(FunctionObject):
+    """Passive-scalar transport solved each step (reference:
+    postProcessing/utilities/scalarTransport): ddt(s) + div(phi,s) -
+    laplacian(D, s) = 0 with D = nu + nut (or the 'D' entry)."""
+
+    def __init__(self, name, d, case):
+        super().__init__(name, d, case)
+        self.field_name = d.word("field", "s")
+        self.s = case.read_field(self.field_name) \
+            if case.field_exists(self.field_name) else None
+        self.d_coeff = d.scalar("D", -1.0)
+        from ..linalg.solvers import SolverControls
+        try:
+            self.controls = case.solver_controls(self.field_name)
+        except KeyError:
+            self.controls = SolverControls(solver="smoothSolver",
+                                           tolerance=1e-8)
+
+    def execute(self, time, fields, mesh):
+        if self.s is None or "phi" not in fields:
+            return
+        import jax
+        import jax.numpy as jnp
+        from ..fields.field import Dimensioned
+        from ..linalg import solve
+        from ..ops import fvc, fvm
+        from ..utils.dimensions import DimensionSet
+        phi = fields["phi"]
+        nu_eff = fields.get("nuEff")
+        dt = self.case.time.delta_t
+
+        @jax.jit
+        def step(s, phi_d, nu_d):
+            s = s.store_old()
+            if self.d_coeff >= 0.0:
+                D = Dimensioned("D", DimensionSet.of(0, 2, -1),
+                                self.d_coeff)
+            else:
+                D = Dimensioned("D", DimensionSet.of(0, 2, -1), nu_d)
+            eqn = (fvm.ddt(mesh, s, dt)
+                   + fvm.div(mesh, phi, s, "upwind")
+                   - fvm.laplacian(mesh, D, s))
+            s_new, perf = solve(mesh, eqn, self.controls,
+                                env={"phi": phi})
+            return s_new
+        if nu_eff is None:
+            nu_d = jnp.zeros(mesh.n_faces)
+        elif hasattr(nu_eff, "bvalues"):
+            nu_d = fvc.face_values(mesh, nu_eff)
+        else:
+            nu_d = jnp.full(mesh.n_faces,
+                            float(getattr(nu_eff, "value", nu_eff)))
+        self.s = step(self.s, phi.data, nu_d)
+        if self.case.time.write_time():
+            self.case.write_fields([self.s], mark=False)
+
+
+@register("functionObject", "blendingFactor")
+class BlendingFactor(FunctionObject):
+    """Cell-average limiter weight of the named field's div scheme
+    (reference: postProcessing/utilities/blendingFactor)."""
+
+    def __init__(self, name, d, case):
+        super().__init__(name, d, case)
+        self.field_name = d.word("field", "U")
+
+    def execute(self, time, fields, mesh):
+        if self.field_name not in fields or "phi" not in fields \
+                or not self.case.time.write_time():
+            return
+        import jax.numpy as jnp
+        from ..ops.interpolation import scheme_weights
+        vf = fields[self.field_name]
+        phi = fields["phi"]
+        try:
+            scheme = self.case.div_scheme(f"div(phi,{self.field_name})")
+        except KeyError:
+            return
+        w = scheme_weights(mesh, vf, scheme, phi)
+        face = jnp.concatenate([w, jnp.ones(mesh.n_boundary, w.dtype)])
+        from ..ops import fvc
+        cell = fvc.surface_sum_faces(mesh, face, signed=False) \
+            / fvc.surface_sum_faces(mesh, jnp.ones_like(face),
+                                    signed=False)
+        from ..utils.dimensions import DimensionSet
+        p_like = vf if vf.data.ndim == 1 else fields.get("p", vf)
+        f = p_like.with_calculated_bcs(
+            cell, cell[mesh.owner[mesh.n_internal:]], DimensionSet(),
+            f"blendingFactor({self.field_name})")
+        _write_derived(self.case, f.name, f)
+
+
+@register("functionObject", "systemCall")
+class SystemCall(FunctionObject):
+    """Shell hooks (reference: postProcessing/systemCall): entries
+    executeCalls/writeCalls run at each step / write time."""
+
+    def execute(self, time, fields, mesh):
+        import subprocess
+        calls = self.dict.lookup("executeCalls") or []
+        if self.case.time.write_time():
+            calls = list(calls) + list(self.dict.lookup("writeCalls")
+                                       or [])
+        for c in calls:
+            subprocess.run(str(c), shell=True, check=False)
+
+
+@register("functionObject", "abortCalculation", "abort")
+class AbortCalculation(FunctionObject):
+    """Watch a trigger file and stop the run (reference:
+    postProcessing/jobControl/abortCalculation)."""
+
+    def execute(self, time, fields, mesh):
+        fname = self.dict.word("file", os.path.join(self.case.dir,
+                                                    "ABORT"))
+        if os.path.isfile(fname):
+            info(f"abortCalculation: triggered by {fname}")
+            # end the run at the current time (Time.run() then fails)
+            self.case.time.end_time = self.case.time.value
+
+
+@register("functionObject", "writeRegisteredObject")
+class WriteRegisteredObject(FunctionObject):
+    """Force-write the named fields at write times (reference:
+    postProcessing/jobControl/writeRegisteredObject)."""
+
+    def execute(self, time, fields, mesh):
+        if not self.case.time.write_time():
+            return
+        names = [str(x) for x in (self.dict.lookup("objects") or [])]
+        for n in names:
+            f = fields.get(n)
+            if f is not None and hasattr(f, "bvalues"):
+                self.case.write_fields([f.replace(name=n)],
+                                       mark=False)
+
+
+@register("functionObject", "streamLine")
+class StreamLine(FunctionObject):
+    """Streamlines integrated through the current U (reference:
+    postProcessing/field/streamLine, which tracks particles with
+    lagrangian/basic): host-side RK2 through a nearest-cell velocity
+    lookup, written as VTK polylines at write times."""
+
+    def __init__(self, name, d, case):
+        super().__init__(name, d, case)
+        sub = d.subdict("seedSampleSet", required=False) or d
+        self.n_points = int(d.scalar("nPoints", 10))
+        start = sub.lookup("start") or [0.0, 0.0, 0.0]
+        end = sub.lookup("end") or [1.0, 0.0, 0.0]
+        self.start = np.asarray(start, float)
+        self.end = np.asarray(end, float)
+        self.lifetime = int(d.scalar("lifeTime", 500))
+        self._tree = None
+
+    def execute(self, time, fields, mesh):
+        if "U" not in fields or not self.case.time.write_time():
+            return
+        from scipy.spatial import cKDTree
+        C = np.asarray(mesh.C)
+        if self._tree is None:
+            self._tree = cKDTree(C)
+        U = np.asarray(fields["U"].data)
+        h = float(np.cbrt(np.asarray(mesh.V)).mean())
+        lo = C.min(0) - 1e-6
+        hi = C.max(0) + 1e-6
+        seeds = np.linspace(self.start, self.end, self.n_points)
+        lines = []
+        for s in seeds:
+            pts = [s.copy()]
+            x = s.copy()
+            for _ in range(self.lifetime):
+                _, i = self._tree.query(x)
+                u1 = U[i]
+                sp = np.linalg.norm(u1)
+                if sp < 1e-12:
+                    break
+                dtp = 0.5 * h / sp
+                xm = x + 0.5 * dtp * u1
+                _, im = self._tree.query(xm)
+                u2 = U[im]
+                x = x + dtp * u2
+                if (x < lo).any() or (x > hi).any():
+                    break
+                pts.append(x.copy())
+            lines.append(np.asarray(pts))
+        os.makedirs(self.out_dir, exist_ok=True)
+        path = os.path.join(self.out_dir,
+                            f"streamlines_{time:.8g}.vtk")
+        with open(path, "w") as f:
+            npts = sum(len(l) for l in lines)
+            f.write("# vtk DataFile Version 2.0\nstreamLine\nASCII\n"
+                    "DATASET POLYDATA\n")
+            f.write(f"POINTS {npts} float\n")
+            for l in lines:
+                for p in l:
+                    f.write(f"{p[0]:.8g} {p[1]:.8g} {p[2]:.8g}\n")
+            total = sum(len(l) + 1 for l in lines)
+            f.write(f"LINES {len(lines)} {total}\n")
+            off = 0
+            for l in lines:
+                f.write(str(len(l)) + " "
+                        + " ".join(str(off + i)
+                                   for i in range(len(l))) + "\n")
+                off += len(l)
 
 
 class FunctionObjectList:

