@@ -1320,3 +1320,48 @@ class DynOneEqEddy(OneEqEddy):
             .correct_boundary_conditions(mesh, env={"k": k_new,
                                                     "nu": nu})
         return dict(k=k_new, nut=nut_new), {"k": k_perf[0]}
+
+
+class CompressibleTurbulence:
+    """Compressible adapter over the incompressible model zoo
+    (reference: src/turbulenceModels/compressible/{RAS,LES} — the
+    rho-weighted forms of the same models; muEff = mu + mut,
+    alphaEff = alpha + mut/Prt with mut = rho*nut).
+
+    TPU-first simplification: the turbulence transport equations are
+    solved in kinematic form with the volumetric flux phi/rho_f and
+    nu = mu/rho (exact for solenoidal-density regions; the drho/dt
+    transport corrections of the reference's rho-weighted forms are
+    dropped). The momentum/energy coupling uses the full mut."""
+
+    def __init__(self, case, U, prt: float = 1.0):
+        self.inner = make_ras_model(case, U)
+        self.prt = prt
+
+    @property
+    def laminar(self) -> bool:
+        return isinstance(self.inner, Laminar)
+
+    def init_state(self, U):
+        return self.inner.init_state(U)
+
+    def correct(self, mesh, state, U, phi_mass, rho, nu: VolField,
+                dt=None):
+        if self.laminar:
+            return state, {}
+        rho_f = fvc.face_values(mesh, rho)
+        from ..fields.field import SurfaceField
+        phi_vol = SurfaceField(
+            phi_mass.data / jnp.maximum(rho_f, 1e-10),
+            phi_mass.dims / rho.dims, "phiByRho")
+        return self.inner.correct(mesh, state, U, phi_vol, nu, dt=dt)
+
+    def mut_faces(self, mesh, state, rho_f):
+        """Face eddy viscosity rho_f * nut_f, or None (laminar)."""
+        if self.laminar:
+            return None
+        nut = self.inner.nut(state)
+        if nut is None:
+            return None
+        nut_f = fvc.face_values(mesh, nut)
+        return rho_f * jnp.maximum(nut_f, 0.0)

@@ -26,7 +26,7 @@ from .icofoam import courant_number
 
 
 def make_step(case: Case, thermo: PsiThermo, ctrl: PimpleControl,
-              lts: bool = False):
+              lts: bool = False, turb=None):
     """lts=True (rhoLTSPimpleFoam): the step takes a per-cell rDeltaT
     instead of a scalar dt; every ddt/division below is elementwise in
     the resulting dt (reference: rhoLTSPimpleFoam.C + localEuler)."""
@@ -54,9 +54,11 @@ def make_step(case: Case, thermo: PsiThermo, ctrl: PimpleControl,
     p_min = float(ctrl.dict.scalar("pMin", 0.0))
     t_min = float(ctrl.dict.scalar("TMin", 0.0))
 
+    has_turb = turb is not None and not turb.laminar
+
     @jax.jit
     def step(U: VolField, p: VolField, T: VolField, rho: VolField,
-             phi: SurfaceField, dt):
+             phi: SurfaceField, turb_state, dt):
         if lts:
             dt = 1.0 / dt      # caller passes rDeltaT (nCells,)
         U = U.store_old()
@@ -74,9 +76,14 @@ def make_step(case: Case, thermo: PsiThermo, ctrl: PimpleControl,
         for outer in range(n_outer):
             final_outer = outer == n_outer - 1
 
-            # ---- UEqn.H
-            mu_f = Dimensioned("mu", DimensionSet.of(1, -1, -1),
-                               m.mu(fvc.face_values(mesh, T)))
+            # ---- UEqn.H (muEff = mu + rho*nut when turbulent)
+            mu_face = m.mu(fvc.face_values(mesh, T))
+            mut_f = turb.mut_faces(mesh, turb_state,
+                                   fvc.face_values(mesh, rho)) \
+                if has_turb else None
+            mu_f = Dimensioned(
+                "muEff", DimensionSet.of(1, -1, -1),
+                mu_face + mut_f if mut_f is not None else mu_face)
             UEqn = (fvm.ddt(mesh, U, dt, ddt_scheme, coeff=rho)
                     + fvm.div(mesh, phi, U, div_u)
                     - fvm.laplacian(mesh, mu_f, U, lap_corr))
@@ -87,8 +94,11 @@ def make_step(case: Case, thermo: PsiThermo, ctrl: PimpleControl,
             h = thermo.he_field(mesh, T, "h").replace(old=None)
             h = h.replace(old=thermo.he_field(mesh, T.old, "h")
                           .replace(old=None))
-            alpha_f = Dimensioned("alpha", DimensionSet.of(1, -1, -1),
-                                  m.alpha_h(fvc.face_values(mesh, T)))
+            alpha_face = m.alpha_h(fvc.face_values(mesh, T))
+            if mut_f is not None:
+                alpha_face = alpha_face + mut_f / turb.prt
+            alpha_f = Dimensioned("alphaEff", DimensionSet.of(1, -1, -1),
+                                  alpha_face)
             K = h.with_calculated_bcs(
                 0.5 * (U.data * U.data).sum(-1),
                 0.5 * (U.bvalues * U.bvalues).sum(-1), h.dims, "K")
@@ -148,14 +158,24 @@ def make_step(case: Case, thermo: PsiThermo, ctrl: PimpleControl,
                 rho = rho.replace(data=m.rho(p.data, T.data),
                                   bvalues=m.rho(p.bvalues, T.bvalues))
 
+        if has_turb:
+            nu_lam = T.with_calculated_bcs(
+                m.mu(T.data) / rho.data, m.mu(T.bvalues) / rho.bvalues,
+                DimensionSet.of(0, 2, -1), "nu")
+            turb_state, turb_perf = turb.correct(
+                mesh, turb_state, U, phi, rho, nu_lam,
+                dt=(None if lts else dt) if not lts else dt)
+        else:
+            turb_perf = {}
+
         cont = (rho.data - rho.old.data) / dt + fvc.div(mesh, phi).data
         local_err = gsum(jnp.abs(cont) * mesh.V)
         glob_err = gsum(cont * mesh.V)
         co = courant_number(mesh, phi / fvc.interpolate(mesh, rho), dt)
         stats = dict(u_perf=u_perf, h_perf=h_perf,
-                     p_perf=tuple(p_perf_all),
+                     p_perf=tuple(p_perf_all), turb=turb_perf,
                      cont=(local_err, glob_err), co=co)
-        return U, p, T, rho, phi, stats
+        return U, p, T, rho, phi, turb_state, stats
 
     return step
 
@@ -185,7 +205,10 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None,
                        DimensionSet.of(1, 0, -1), "phi")
 
     ctrl = PimpleControl(case)
-    step = make_step(case, thermo, ctrl, lts=lts)
+    from ..models.turbulence import CompressibleTurbulence
+    turb = CompressibleTurbulence(case, U)
+    turb_state = turb.init_state(U)
+    step = make_step(case, thermo, ctrl, lts=lts, turb=turb)
     timer = ExecutionTimer()
     cumulative_err = 0.0
 
@@ -205,7 +228,8 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None,
             dt_arg = rdt
         else:
             dt_arg = case.time.delta_t
-        U, p, T, rho, phi, stats = step(U, p, T, rho, phi, dt_arg)
+        U, p, T, rho, phi, turb_state, stats = step(
+            U, p, T, rho, phi, turb_state, dt_arg)
         log_courant(*stats["co"])
         for cmpt, perf in zip("xyz", stats["u_perf"]):
             log_solve(case.solver_controls("U").solver, f"U{cmpt}",
@@ -213,6 +237,9 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None,
         log_solve(case.solver_controls("h").solver, "h",
                   stats["h_perf"][0][0], stats["h_perf"][0][1],
                   stats["h_perf"][0][2])
+        for tname, perf in stats.get("turb", {}).items():
+            log_solve(case.solver_controls(tname).solver, tname,
+                      perf[0], perf[1], perf[2])
         for perf in stats["p_perf"]:
             log_solve(case.solver_controls("p").solver, "p",
                       perf[0], perf[1], perf[2])
@@ -221,7 +248,8 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None,
         log_continuity(cumulative_err, local_err, glob_err)
         timer.log()
         if write and case.time.write_time():
-            case.write_fields([U, p, T, rho.replace(name="rho")])
+            case.write_fields([U, p, T, rho.replace(name="rho")]
+                              + list(turb_state.values()))
         n += 1
         if max_steps and n >= max_steps:
             break

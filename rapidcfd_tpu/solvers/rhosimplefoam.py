@@ -24,7 +24,12 @@ from .controls import SimpleControl
 from .simplefoam import relax_field
 
 
-def make_step(case: Case, thermo: PsiThermo, simple: SimpleControl):
+def make_step(case: Case, thermo: PsiThermo, simple: SimpleControl,
+              turb=None):
+    """turb: optional CompressibleTurbulence adapter; when present the
+    momentum uses muEff = mu + rho*nut (+ explicit dev2 stress) and the
+    energy alphaEff = alpha + rho*nut/Prt (reference: compressible RAS
+    divDevRhoReff / alphaEff)."""
     mesh = case.mesh
     m = thermo.model
     div_u = case.div_scheme("div(phi,U)")
@@ -43,21 +48,51 @@ def make_step(case: Case, thermo: PsiThermo, simple: SimpleControl):
     n_non_orth = simple.n_non_orth
     p_ref_cell, p_ref_value = simple.p_ref_cell, simple.p_ref_value
 
+    has_turb = turb is not None and not turb.laminar
+
     @jax.jit
     def step(U: VolField, p: VolField, T: VolField, rho: VolField,
-             phi: SurfaceField):
-        mu_f = Dimensioned("mu", DimensionSet.of(1, -1, -1),
-                           m.mu(fvc.face_values(mesh, T)))
+             phi: SurfaceField, turb_state):
+        mu_face = m.mu(fvc.face_values(mesh, T))
+        rho_f0 = fvc.face_values(mesh, rho)
+        mut_f = turb.mut_faces(mesh, turb_state, rho_f0) \
+            if has_turb else None
+        mu_eff = mu_face + mut_f if mut_f is not None else mu_face
+        mu_f = Dimensioned("muEff", DimensionSet.of(1, -1, -1), mu_eff)
         # ---- UEqn.H (steady, mass-flux convection)
         UEqn = (fvm.div(mesh, phi, U, div_u)
                 - fvm.laplacian(mesh, mu_f, U, lap_corr))
+        if has_turb:
+            # explicit part of divDevRhoReff: div(muEff*dev2(T(grad U)))
+            g = fvc.grad(mesh, U)
+
+            def dev2t(t):
+                tr = jnp.trace(t, axis1=-2, axis2=-1)
+                eye = jnp.eye(3, dtype=t.dtype)
+                return jnp.swapaxes(t, -1, -2) \
+                    - (2.0 / 3.0) * tr[..., None, None] * eye
+            devT = g.with_calculated_bcs(dev2t(g.data),
+                                         dev2t(g.bvalues), g.dims,
+                                         "dev2T")
+            nut_c = turb.inner.nut(turb_state)
+            mu_eff_c = T.with_calculated_bcs(
+                m.mu(T.data) + rho.data * jnp.maximum(nut_c.data, 0.0),
+                m.mu(T.bvalues)
+                + rho.bvalues * jnp.maximum(nut_c.bvalues, 0.0),
+                DimensionSet.of(1, -1, -1), "muEff")
+            expl = fvc.div_tensor(mesh, devT * mu_eff_c)
+            UEqn = UEqn.replace(
+                source=UEqn.source + mesh.V[:, None] * expl.data)
         UEqn = UEqn.relax(mesh, u_relax)
         U, u_perf = solve(mesh, UEqn == (-fvc.grad(mesh, p)), u_controls)
 
         # ---- EEqn.H: enthalpy
         h = thermo.he_field(mesh, T, "h")
-        alpha_f = Dimensioned("alpha", DimensionSet.of(1, -1, -1),
-                              m.alpha_h(fvc.face_values(mesh, T)))
+        alpha_face = m.alpha_h(fvc.face_values(mesh, T))
+        if mut_f is not None:
+            alpha_face = alpha_face + mut_f / turb.prt
+        alpha_f = Dimensioned("alphaEff", DimensionSet.of(1, -1, -1),
+                              alpha_face)
         ek_data = 0.5 * (U.data * U.data).sum(-1)
         ek_b = 0.5 * (U.bvalues * U.bvalues).sum(-1)
         Ek = h.with_calculated_bcs(ek_data, ek_b, h.dims, "K")
@@ -101,10 +136,19 @@ def make_step(case: Case, thermo: PsiThermo, simple: SimpleControl):
         rho = rho.replace(data=m.rho(p.data, T.data),
                           bvalues=m.rho(p.bvalues, T.bvalues))
 
+        if has_turb:
+            nu_lam = T.with_calculated_bcs(
+                m.mu(T.data) / rho.data, m.mu(T.bvalues) / rho.bvalues,
+                DimensionSet.of(0, 2, -1), "nu")
+            turb_state, turb_perf = turb.correct(
+                mesh, turb_state, U, phi, rho, nu_lam)
+        else:
+            turb_perf = {}
+
         stats = dict(u_perf=u_perf, h_perf=h_perf,
-                     p_perf=tuple(p_perf_all),
+                     p_perf=tuple(p_perf_all), turb=turb_perf,
                      cont=(local_err, glob_err))
-        return U, p, T, rho, phi, stats
+        return U, p, T, rho, phi, turb_state, stats
 
     return step
 
@@ -128,7 +172,10 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
                        DimensionSet.of(1, 0, -1), "phi")
 
     simple = SimpleControl(case)
-    step = make_step(case, thermo, simple)
+    from ..models.turbulence import CompressibleTurbulence
+    turb = CompressibleTurbulence(case, U)
+    turb_state = turb.init_state(U)
+    step = make_step(case, thermo, simple, turb=turb)
     timer = ExecutionTimer()
     cumulative_err = 0.0
 
@@ -137,7 +184,8 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
     initial_residuals = None
     while simple.loop(initial_residuals):
         info(f"Time = {case.time.name}\n")
-        U, p, T, rho, phi, stats = step(U, p, T, rho, phi)
+        U, p, T, rho, phi, turb_state, stats = step(U, p, T, rho, phi,
+                                                    turb_state)
         initial_residuals = {}
         for cmpt, perf in zip("xyz", stats["u_perf"]):
             log_solve(case.solver_controls("U").solver, f"U{cmpt}",
@@ -151,13 +199,18 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
             log_solve(case.solver_controls("p").solver, "p",
                       perf[0], perf[1], perf[2])
         initial_residuals["p"] = float(stats["p_perf"][0][0])
+        for tname, perf in stats.get("turb", {}).items():
+            log_solve(case.solver_controls(tname).solver, tname,
+                      perf[0], perf[1], perf[2])
+            initial_residuals[tname] = float(perf[0])
         local_err, glob_err = stats["cont"]
         cumulative_err += float(glob_err)
         log_continuity(cumulative_err, local_err, glob_err)
         timer.log()
 
         if write and case.time.write_time():
-            case.write_fields([U, p, T, rho.replace(name="rho")])
+            case.write_fields([U, p, T, rho.replace(name="rho")]
+                              + list(turb_state.values()))
         n += 1
         if max_steps and n >= max_steps:
             break

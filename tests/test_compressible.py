@@ -283,3 +283,156 @@ PIMPLE { nOuterCorrectors 1; nCorrectors 2;
     # bounded near-ambient state, heated above inlet temperature
     assert abs(pp / 1e5 - 1.0).max() < 0.3
     assert t.max() > 300.0 and t.max() < 400.0
+
+
+def test_rhosimplefoam_kepsilon(tmp_path_factory):
+    """Compressible turbulence: rhoSimpleFoam + kEpsilon (muEff/alphaEff
+    coupling via the CompressibleTurbulence adapter) produces eddy
+    viscosity in the heated channel."""
+    import os
+    from rapidcfd_tpu.utils.casegen import _write, write_field
+    from rapidcfd_tpu.utils.dictionary import foamfile_header
+    d = str(tmp_path_factory.mktemp("rhoke"))
+    hot_channel_case(d)
+    _write(os.path.join(d, "constant", "RASProperties"),
+           foamfile_header("dictionary", "RASProperties", "constant"),
+           "\nRASModel        kEpsilon;\nturbulence      on;\n")
+    fs = os.path.join(d, "system", "fvSolution")
+    s = open(fs).read().replace('"(U|h)"', '"(U|h|k|epsilon)"')
+    open(fs, "w").write(s)
+    fsch = os.path.join(d, "system", "fvSchemes")
+    s = open(fsch).read().replace(
+        "div(phi,U)      bounded Gauss upwind;",
+        "div(phi,U)      bounded Gauss upwind;\n"
+        "    div(phi,k)      bounded Gauss upwind;\n"
+        "    div(phi,epsilon) bounded Gauss upwind;")
+    open(fsch, "w").write(s)
+    k_in = 1.5 * (0.05 * 10.0) ** 2
+    eps_in = 0.09 ** 0.75 * k_in ** 1.5 / 0.01
+    write_field(d, "0", "k", "volScalarField", "[0 2 -2 0 0 0 0]",
+                f"uniform {k_in}", {
+                    "inlet": "        type            fixedValue;\n"
+                             f"        value           uniform {k_in};\n",
+                    "outlet": "        type            zeroGradient;\n",
+                    "walls": "        type            kqRWallFunction;\n"
+                             f"        value           uniform {k_in};\n",
+                    "frontAndBack": "        type            empty;\n"})
+    write_field(d, "0", "epsilon", "volScalarField", "[0 2 -3 0 0 0 0]",
+                f"uniform {eps_in}", {
+                    "inlet": "        type            fixedValue;\n"
+                             f"        value           uniform {eps_in};\n",
+                    "outlet": "        type            zeroGradient;\n",
+                    "walls":
+                        "        type            epsilonWallFunction;\n"
+                        f"        value           uniform {eps_in};\n",
+                    "frontAndBack": "        type            empty;\n"})
+    write_field(d, "0", "nut", "volScalarField", "[0 2 -1 0 0 0 0]",
+                "uniform 0", {
+                    "inlet": "        type            calculated;\n"
+                             "        value           uniform 0;\n",
+                    "outlet": "        type            calculated;\n"
+                              "        value           uniform 0;\n",
+                    "walls": "        type            nutkWallFunction;\n"
+                             "        value           uniform 0;\n",
+                    "frontAndBack": "        type            empty;\n"})
+    L.Info.enabled = False
+    try:
+        from rapidcfd_tpu.solvers import rhosimplefoam
+        case, U, p, T, rho, phi = rhosimplefoam.run(d, write=False,
+                                                    max_steps=15)
+    finally:
+        L.Info.enabled = True
+    u = np.asarray(U.data)
+    t = np.asarray(T.data)
+    assert np.isfinite(u).all() and np.isfinite(t).all()
+    assert 250 < t.min() and t.max() < 400
+
+
+def test_rhopimplefoam_kepsilon(tmp_path_factory):
+    """Transient compressible turbulence: rhoPimpleFoam + kEpsilon."""
+    import os
+    from rapidcfd_tpu.utils.casegen import _write, write_field
+    from rapidcfd_tpu.utils.dictionary import foamfile_header
+    d = str(tmp_path_factory.mktemp("rhopke"))
+    hot_channel_case(d)
+    _write(os.path.join(d, "system", "controlDict"),
+           foamfile_header("dictionary", "controlDict", "system"), """
+application rhoPimpleFoam; startFrom startTime; startTime 0;
+stopAt endTime; endTime 0.01; deltaT 0.0002;
+writeControl timeStep; writeInterval 1000; writeFormat ascii;
+""")
+    _write(os.path.join(d, "system", "fvSchemes"),
+           foamfile_header("dictionary", "fvSchemes", "system"), """
+ddtSchemes { default Euler; }
+gradSchemes { default Gauss linear; }
+divSchemes
+{
+    default none;
+    div(phi,U) Gauss upwind;
+    div(phi,h) Gauss upwind;
+    div(phi,K) Gauss upwind;
+    div(phi,k) Gauss upwind;
+    div(phi,epsilon) Gauss upwind;
+}
+laplacianSchemes { default Gauss linear orthogonal; }
+interpolationSchemes { default linear; }
+snGradSchemes { default orthogonal; }
+""")
+    _write(os.path.join(d, "system", "fvSolution"),
+           foamfile_header("dictionary", "fvSolution", "system"), """
+solvers
+{
+    p      { solver PCG; preconditioner DIC; tolerance 1e-08; relTol 0.01; }
+    pFinal { solver PCG; preconditioner DIC; tolerance 1e-08; relTol 0; }
+    "(U|h|k|epsilon)" { solver smoothSolver; smoother symGaussSeidel;
+              tolerance 1e-08; relTol 0; }
+    "(U|h|k|epsilon)Final" { solver smoothSolver;
+                   smoother symGaussSeidel;
+                   tolerance 1e-08; relTol 0; }
+}
+PIMPLE { nOuterCorrectors 1; nCorrectors 2;
+         nNonOrthogonalCorrectors 0; }
+""")
+    _write(os.path.join(d, "constant", "RASProperties"),
+           foamfile_header("dictionary", "RASProperties", "constant"),
+           "\nRASModel        kEpsilon;\nturbulence      on;\n")
+    k_in = 1.5 * (0.05 * 10.0) ** 2
+    eps_in = 0.09 ** 0.75 * k_in ** 1.5 / 0.01
+    write_field(d, "0", "k", "volScalarField", "[0 2 -2 0 0 0 0]",
+                f"uniform {k_in}", {
+                    "inlet": "        type            fixedValue;\n"
+                             f"        value           uniform {k_in};\n",
+                    "outlet": "        type            zeroGradient;\n",
+                    "walls": "        type            kqRWallFunction;\n"
+                             f"        value           uniform {k_in};\n",
+                    "frontAndBack": "        type            empty;\n"})
+    write_field(d, "0", "epsilon", "volScalarField", "[0 2 -3 0 0 0 0]",
+                f"uniform {eps_in}", {
+                    "inlet": "        type            fixedValue;\n"
+                             f"        value           uniform {eps_in};\n",
+                    "outlet": "        type            zeroGradient;\n",
+                    "walls":
+                        "        type            epsilonWallFunction;\n"
+                        f"        value           uniform {eps_in};\n",
+                    "frontAndBack": "        type            empty;\n"})
+    write_field(d, "0", "nut", "volScalarField", "[0 2 -1 0 0 0 0]",
+                "uniform 0", {
+                    "inlet": "        type            calculated;\n"
+                             "        value           uniform 0;\n",
+                    "outlet": "        type            calculated;\n"
+                              "        value           uniform 0;\n",
+                    "walls": "        type            nutkWallFunction;\n"
+                             "        value           uniform 0;\n",
+                    "frontAndBack": "        type            empty;\n"})
+    L.Info.enabled = False
+    try:
+        from rapidcfd_tpu.solvers import rhopimplefoam
+        case, U, p, T, rho, phi = rhopimplefoam.run(d, write=False,
+                                                    max_steps=10)
+    finally:
+        L.Info.enabled = True
+    u = np.asarray(U.data)
+    t = np.asarray(T.data)
+    pp = np.asarray(p.data)
+    assert np.isfinite(u).all() and np.isfinite(t).all()
+    assert abs(pp / 1e5 - 1.0).max() < 0.5
