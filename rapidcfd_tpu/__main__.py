@@ -31,6 +31,7 @@ SOLVERS = {
     "adjointShapeOptimizationFoam": (
         "rapidcfd_tpu.solvers.adjointshapeopt", {}),
     "pimpleFoam": ("rapidcfd_tpu.solvers.pimplefoam", {}),
+    "pimpleDyMFoam": ("rapidcfd_tpu.solvers.pimpledymfoam", {}),
     "SRFSimpleFoam": ("rapidcfd_tpu.solvers.srffoam", {}),
     "SRFPimpleFoam": ("rapidcfd_tpu.solvers.srffoam",
                       {"_fn": "run_pimple"}),

@@ -379,14 +379,34 @@ class SurfaceNormalFixedValue(FixedValue):
 @register("fvPatchField", "movingWallVelocity")
 @dataclass(frozen=True)
 class MovingWallVelocity(FixedValue):
-    """Wall velocity with the normal component removed so the wall flux
-    is exactly zero (reference: derived/movingWallVelocity; static-mesh
-    form — mesh motion contributes nothing here)."""
+    """Wall velocity with the normal component set so the RELATIVE wall
+    flux is exactly zero (reference: derived/movingWallVelocity). On a
+    static mesh the normal component is removed; on a moving mesh the
+    dynamic-mesh solvers pass env['meshUb'] (boundary mesh velocity)
+    and env['meshPhiB'] (boundary mesh flux), giving U_b = tangential
+    wall velocity + n*(meshPhi/|Sf|)."""
 
     def evaluate(self, mesh, patch, field, bd, env=None):
+        n = mesh.patch_normals(patch)
+        # dynamic-mesh solvers bake the exact wall velocity (tangential
+        # mesh velocity + meshPhi-consistent normal) into bcdata so
+        # env-less matrix assembly sees it verbatim
+        if "meshWallValue" in bd:
+            return jnp.broadcast_to(
+                bd["meshWallValue"],
+                field.patch_internal(mesh, patch).shape)
+        mesh_ub = (env or {}).get("meshUb")
+        if mesh_ub is not None:
+            sl = slice(patch.bstart, patch.bstart + patch.size)
+            v = mesh_ub[sl]
+            mesh_phi_b = (env or {}).get("meshPhiB")
+            vn = (mesh_phi_b[sl] / jnp.maximum(
+                mesh.patch_mag_sf(patch), 1e-30))[:, None] * n \
+                if mesh_phi_b is not None \
+                else n * (v * n).sum(-1, keepdims=True)
+            return v - n * (v * n).sum(-1, keepdims=True) + vn
         v = jnp.broadcast_to(bd["value"],
                              field.patch_internal(mesh, patch).shape)
-        n = mesh.patch_normals(patch)
         return v - n * (v * n).sum(-1, keepdims=True)
 
 
