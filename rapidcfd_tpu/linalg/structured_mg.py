@@ -170,6 +170,13 @@ def coarsen(level: GridLevel) -> GridLevel:
     planes = {k: padded(p) for k, p in level.planes.items()}
 
     d_c = _block_sum(diag, cdims)
+
+    def _add_to_diag(dc, contrib):
+        # diag may carry trailing component axes (column-batched vector
+        # systems); planes never do
+        return dc + contrib.reshape(contrib.shape
+                                    + (1,) * (dc.ndim - contrib.ndim))
+
     shape_c = [1, 1, 1]
     for ax, nn in ((0, nz), (1, ny), (2, nx)):
         shape_c[ax] = (nn + 1) // 2 if ax in cdims else nn
@@ -185,11 +192,11 @@ def coarsen(level: GridLevel) -> GridLevel:
         if ax in cdims:
             # internal faces (even->odd in-block) fold into the diag
             if pp is not None:
-                d_c = d_c + _block_sum(_parity(pp, ax, 0),
-                                       [d for d in cdims if d != ax])
+                d_c = _add_to_diag(d_c, _block_sum(
+                    _parity(pp, ax, 0), [d for d in cdims if d != ax]))
             if pm is not None:
-                d_c = d_c + _block_sum(_parity(pm, ax, 1),
-                                       [d for d in cdims if d != ax])
+                d_c = _add_to_diag(d_c, _block_sum(
+                    _parity(pm, ax, 1), [d for d in cdims if d != ax]))
             # crossing faces (odd->next block) become coarse planes
             others = [d for d in cdims if d != ax]
             if pp is not None:
@@ -281,7 +288,7 @@ def make_structured_vcycle(mesh, m, amul_fine, diag, controls,
 
     ell = m.ell_coeffs(mesh)
     nz, ny, nx = shape
-    rank = ell.ndim - 2  # trailing comp axes of a column-batched system
+    rank = diag.ndim - 1  # trailing comp axes (column-batched system)
 
     d0 = diag.reshape((nz, ny, nx) + diag.shape[1:])
     lv0 = GridLevel(shape, d0, _planes_from_ell(mesh, ell, shape))

@@ -189,3 +189,43 @@ def test_structured_vs_aggregation_same_answer(cavity64):
     x0, _ = solve_with("0")
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x0),
                                atol=1e-7)
+
+
+def test_batched_vector_gamg_precond(tmp_path_factory):
+    """Column-batched (vector) GAMG-preconditioned BiCGStab through the
+    structured path matches the DILU answer (regression: rank was
+    derived from the un-batched ell array)."""
+    import dataclasses
+    import tempfile
+    from rapidcfd_tpu.solvers import icofoam as ico
+    d = str(tmp_path_factory.mktemp("smgv"))
+    cavity_case(d, n=32, delta_t=0.005 * 20 / 32, end_time=1e9,
+                u_solver="PBiCGStab")
+    case = Case(d)
+    from rapidcfd_tpu.utils.dimensions import DimensionSet
+    nu = Dimensioned("nu", DimensionSet.of(0, 2, -1), 0.01)
+
+    def final(upre):
+        kw = dict(div_scheme=case.div_scheme("div(phi,U)"),
+                  lap_corr=case.laplacian_scheme(),
+                  u_controls=dataclasses.replace(
+                      case.solver_controls("U"), preconditioner=upre,
+                      tolerance=1e-10),
+                  p_controls=case.solver_controls("p"),
+                  p_final_controls=case.solver_controls("p", final=True),
+                  n_correctors=2, n_non_orth=0, p_ref_cell=0,
+                  p_ref_value=0.0)
+        step = jax.jit(lambda U, p, phi, dt: ico.piso_step(
+            case.mesh, U, p, phi, dt, nu, **kw))
+        U = case.read_field("U")
+        p = case.read_field("p")
+        from rapidcfd_tpu.ops import fvc
+        phi = jax.jit(lambda u: fvc.flux(case.mesh, u))(U)
+        dt = 0.005 * 20 / 32
+        for _ in range(4):
+            U, p, phi, stats = step(U, p, phi, dt)
+        return np.asarray(U.data)
+
+    u1 = final("GAMG")
+    u2 = final("DILU")
+    np.testing.assert_allclose(u1, u2, atol=1e-8)
