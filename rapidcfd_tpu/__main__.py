@@ -37,6 +37,7 @@ SOLVERS = {
                       {"_fn": "run_pimple"}),
     "pisoFoam": ("rapidcfd_tpu.solvers.pimplefoam", {"piso_mode": True}),
     "sonicFoam": ("rapidcfd_tpu.solvers.sonicfoam", {}),
+    "sonicLiquidFoam": ("rapidcfd_tpu.solvers.sonicliquidfoam", {}),
     "rhoSimpleFoam": ("rapidcfd_tpu.solvers.rhosimplefoam", {}),
     "rhoPimpleFoam": ("rapidcfd_tpu.solvers.rhopimplefoam", {}),
     "rhoLTSPimpleFoam": ("rapidcfd_tpu.solvers.rhopimplefoam",
@@ -83,7 +84,8 @@ SOLVERS = {
 # dynamic part is below fp32 resolution; they default to fp64 (the
 # reference is all-double). Override with -precision fp32.
 X64_DEFAULT = {
-    "rhoSimpleFoam", "rhoPimpleFoam", "sonicFoam", "rhoCentralFoam",
+    "rhoSimpleFoam", "rhoPimpleFoam", "sonicFoam", "sonicLiquidFoam",
+    "rhoCentralFoam",
     "buoyantSimpleFoam", "buoyantPimpleFoam", "thermoFoam",
     "compressibleInterFoam", "twoPhaseEulerFoam",
     "compressibleMultiphaseInterFoam", "multiphaseEulerFoam",

@@ -440,6 +440,10 @@ class SpecieThermo:
             return 1.0 / (self.r * jnp.maximum(T, 1e-10))
         if self.eos == "perfectFluid":
             return 1.0 / (self.r_eos * jnp.maximum(T, 1e-10))
+        if self.eos == "linear":
+            # rho = psi0*p + rho0 -> drho/dp = psi0 (sonicLiquidFoam's
+            # barotropic liquid, reference equationOfState/linear)
+            return jnp.full_like(T, self.psi0)
         return jnp.zeros_like(T)
 
     def rho(self, p, T):

@@ -436,3 +436,97 @@ PIMPLE { nOuterCorrectors 1; nCorrectors 2;
     pp = np.asarray(p.data)
     assert np.isfinite(u).all() and np.isfinite(t).all()
     assert abs(pp / 1e5 - 1.0).max() < 0.5
+
+
+def test_sonic_liquid_foam(tmp_path_factory):
+    """sonicLiquidFoam: barotropic water hammer — a pressure pulse in a
+    closed duct propagates at c = sqrt(1/psi) without blowing up and
+    conserves mass (reference: sonicLiquidFoam.C + linear EoS)."""
+    import os
+    from rapidcfd_tpu.mesh.polymesh import write_polymesh
+    from rapidcfd_tpu.utils.casegen import _write, box_mesh, write_field
+    from rapidcfd_tpu.utils.dictionary import foamfile_header
+    d = str(tmp_path_factory.mktemp("sonicliq"))
+    mesh = box_mesh(60, 1, 1, size=(1.0, 0.05, 0.05), patch_spec={
+        "xmin": ("left", "wall"), "xmax": ("right", "wall"),
+        "ymin": ("sides", "empty"), "ymax": ("sides", "empty"),
+        "zmin": ("fb", "empty"), "zmax": ("fb", "empty")})
+    write_polymesh(mesh, d)
+    # c = sqrt(1/psi) ~ 1414 m/s; dt for acoustic CFL ~ 0.3
+    _write(os.path.join(d, "system", "controlDict"),
+           foamfile_header("dictionary", "controlDict", "system"), """
+application sonicLiquidFoam; startFrom startTime; startTime 0;
+stopAt endTime; endTime 4e-05; deltaT 2e-06;
+writeControl timeStep; writeInterval 1000; writeFormat ascii;
+""")
+    _write(os.path.join(d, "system", "fvSchemes"),
+           foamfile_header("dictionary", "fvSchemes", "system"), """
+ddtSchemes { default Euler; }
+gradSchemes { default Gauss linear; }
+divSchemes { default none; div(phi,U) Gauss upwind;
+             div(phid,p) Gauss upwind; }
+laplacianSchemes { default Gauss linear orthogonal; }
+interpolationSchemes { default linear; }
+snGradSchemes { default orthogonal; }
+""")
+    _write(os.path.join(d, "system", "fvSolution"),
+           foamfile_header("dictionary", "fvSolution", "system"), """
+solvers
+{
+    p { solver PCG; preconditioner DIC; tolerance 1e-09; relTol 0; }
+    pFinal { solver PCG; preconditioner DIC; tolerance 1e-09;
+             relTol 0; }
+    U { solver smoothSolver; smoother symGaussSeidel;
+        tolerance 1e-09; relTol 0; }
+}
+PISO { nCorrectors 2; nNonOrthogonalCorrectors 0; }
+""")
+    _write(os.path.join(d, "constant", "thermodynamicProperties"),
+           foamfile_header("dictionary", "thermodynamicProperties",
+                           "constant"), """
+rho0            rho0 [1 -3 0 0 0 0 0] 1000;
+p0              p0 [1 -1 -2 0 0 0 0] 100000;
+psi             psi [0 -2 2 0 0 0 0] 5e-07;
+""")
+    _write(os.path.join(d, "constant", "transportProperties"),
+           foamfile_header("dictionary", "transportProperties",
+                           "constant"),
+           "\nmu              mu [1 -1 -1 0 0 0 0] 0.001;\n")
+    # pressure pulse on the left half
+    import numpy as np
+    nvals = " ".join("200000" if i < 30 else "100000"
+                     for i in range(60))
+    write_field(d, "0", "p", "volScalarField", "[1 -1 -2 0 0 0 0]",
+                f"nonuniform List<scalar> 60 ({nvals})", {
+                    "left": "        type            zeroGradient;\n",
+                    "right": "        type            zeroGradient;\n",
+                    "sides": "        type            empty;\n",
+                    "fb": "        type            empty;\n"})
+    write_field(d, "0", "U", "volVectorField", "[0 1 -1 0 0 0 0]",
+                "uniform (0 0 0)", {
+                    "left": "        type            fixedValue;\n"
+                            "        value           uniform (0 0 0);\n",
+                    "right": "        type            fixedValue;\n"
+                             "        value           uniform (0 0 0);\n",
+                    "sides": "        type            empty;\n",
+                    "fb": "        type            empty;\n"})
+    L.Info.enabled = False
+    try:
+        from rapidcfd_tpu.solvers import sonicliquidfoam
+        case, U, p, rho, phi = sonicliquidfoam.run(d, write=False,
+                                                   max_steps=20)
+    finally:
+        L.Info.enabled = True
+    pp = np.asarray(p.data)
+    r = np.asarray(rho.data)
+    u = np.asarray(U.data)
+    assert np.isfinite(pp).all() and np.isfinite(u).all()
+    # pressure stays within the initial bounds (+small overshoot)
+    assert pp.min() > 0.4e5 and pp.max() < 2.6e5
+    # Joukowsky velocity scale at the interface: dp/(2 rho c) ~ 0.035
+    assert 0.02 < np.abs(u[:, 0]).max() < 0.2
+    # mass conservation via EoS coupling
+    V = np.asarray(case.mesh.V)
+    m0 = ((1000.0 - 5e-7 * 1e5) + 5e-7
+          * np.where(np.arange(60) < 30, 2e5, 1e5)) @ V
+    assert abs((r @ V) - m0) / m0 < 5e-3

@@ -78,6 +78,7 @@ def test_eos_zoo():
     lin = SpecieThermo(mol_weight=18.0, eos="linear", psi0=1e-5,
                        rho0=500.0)
     np.testing.assert_allclose(np.asarray(lin.rho(p, T)), 502.0)
+    np.testing.assert_allclose(np.asarray(lin.psi(T)), 1e-5)
     rc = SpecieThermo(mol_weight=18.0, eos="rhoConst", rho0=999.0)
     np.testing.assert_allclose(np.asarray(rc.rho(p, T)), 999.0)
 
