@@ -28,6 +28,13 @@ SOLVERS = {
         "rapidcfd_tpu.solvers.soliddisplacement",
         {"_fn": "run_equilibrium"}),
     "simpleFoam": ("rapidcfd_tpu.solvers.simplefoam", {}),
+    # porous* variants = the base solver + explicitPorositySource /
+    # porosityModel entries in system/fvOptions (reference:
+    # porousSimpleFoam reads constant/porosityProperties; cases using
+    # fvOptions run unchanged)
+    "porousSimpleFoam": ("rapidcfd_tpu.solvers.simplefoam", {}),
+    "porousInterFoam": ("rapidcfd_tpu.solvers.interfoam", {}),
+    "rhoPorousSimpleFoam": ("rapidcfd_tpu.solvers.rhosimplefoam", {}),
     "adjointShapeOptimizationFoam": (
         "rapidcfd_tpu.solvers.adjointshapeopt", {}),
     "pimpleFoam": ("rapidcfd_tpu.solvers.pimplefoam", {}),

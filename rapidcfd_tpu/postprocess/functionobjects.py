@@ -886,6 +886,102 @@ class WriteRegisteredObject(FunctionObject):
                                        mark=False)
 
 
+@register("functionObject", "nearWallFields")
+class NearWallFields(FunctionObject):
+    """Sample interior fields at a distance inside the wall and expose
+    them as boundary fields (reference: postProcessing/field/
+    nearWallFields): entry fields ((U UNear)); distance <d>. The sample
+    point is the cell nearest to wallFace - d*n (host KD-tree, built
+    once)."""
+
+    def __init__(self, name, d, case):
+        super().__init__(name, d, case)
+        self.pairs = []
+        for item in (d.lookup("fields") or []):
+            if isinstance(item, (list, tuple)) and len(item) == 2:
+                self.pairs.append((str(item[0]), str(item[1])))
+        self.distance = float(d.scalar("distance", 0.0))
+        self._idx = None
+
+    def _build(self, mesh):
+        import numpy as np
+        from scipy.spatial import cKDTree
+        C = np.asarray(mesh.C)
+        tree = cKDTree(C)
+        idx = {}
+        for p in mesh.patches:
+            if p.type != "wall" or p.size == 0:
+                continue
+            cf = np.asarray(mesh.patch_cf(p))
+            n = np.asarray(mesh.patch_normals(p))
+            pts = cf - self.distance * n
+            _, i = tree.query(pts)
+            idx[p.name] = i
+        return idx
+
+    def execute(self, time, fields, mesh):
+        if not self.pairs or not self.case.time.write_time():
+            return
+        import numpy as np
+        if self._idx is None:
+            self._idx = self._build(mesh)
+        f = self.file("nearWallFields.dat",
+                      header="# Time patch field min max avg\n")
+        for src, dst in self.pairs:
+            vf = fields.get(src)
+            if vf is None:
+                continue
+            data = np.asarray(vf.data)
+            for pname, cells in self._idx.items():
+                vals = data[cells]
+                mag = np.linalg.norm(vals, axis=-1) \
+                    if vals.ndim > 1 else vals
+                f.write(f"{time:.8g} {pname} {dst} {mag.min():.8g} "
+                        f"{mag.max():.8g} {mag.mean():.8g}\n")
+        f.flush()
+
+
+@register("functionObject", "readFields")
+class ReadFields(FunctionObject):
+    """Load the named fields from the current time directory into the
+    hook environment at write times (reference: postProcessing/field/
+    readFields — here they are re-written so downstream tooling sees
+    them registered)."""
+
+    def execute(self, time, fields, mesh):
+        names = [str(x) for x in (self.dict.lookup("fields") or [])]
+        for n in names:
+            if n not in fields and self.case.field_exists(n):
+                fields[n] = self.case.read_field(n)
+
+
+@register("functionObject", "surfaceInterpolateFields")
+class SurfaceInterpolateFields(FunctionObject):
+    """Face-interpolated copies of the named fields, logged min/max
+    (reference: postProcessing/field/surfaceInterpolateFields)."""
+
+    def execute(self, time, fields, mesh):
+        import numpy as np
+        from ..ops import fvc
+        pairs = []
+        for item in (self.dict.lookup("fields") or []):
+            if isinstance(item, (list, tuple)) and len(item) == 2:
+                pairs.append((str(item[0]), str(item[1])))
+        if not pairs:
+            return
+        f = self.file("surfaceInterpolateFields.dat",
+                      header="# Time field min max\n")
+        for src, dst in pairs:
+            vf = fields.get(src)
+            if vf is None or not hasattr(vf, "bvalues"):
+                continue
+            fv = np.asarray(fvc.face_values(mesh, vf))
+            mag = np.linalg.norm(fv, axis=-1) if fv.ndim > 1 else fv
+            f.write(f"{time:.8g} {dst} {mag.min():.8g} "
+                    f"{mag.max():.8g}\n")
+        f.flush()
+
+
 @register("functionObject", "streamLine")
 class StreamLine(FunctionObject):
     """Streamlines integrated through the current U (reference:

@@ -237,3 +237,39 @@ functions
             continue
         assert fn in names or any(fn in n for n in names), \
             (fn, names)
+
+
+def test_near_wall_and_surface_interp_fos(tmp_path_factory):
+    import os
+    import numpy as np
+    from rapidcfd_tpu.utils.casegen import _write, cavity_case
+    from rapidcfd_tpu.utils.dictionary import foamfile_header
+    from rapidcfd_tpu.utils import logging as L
+    d = str(tmp_path_factory.mktemp("fos3"))
+    cavity_case(d, end_time=0.01)
+    _write(os.path.join(d, "constant", "RASProperties"),
+           foamfile_header("dictionary", "RASProperties", "constant"),
+           "\nRASModel        laminar;\nturbulence      off;\n")
+    cd = os.path.join(d, "system", "controlDict")
+    s = open(cd).read().replace("runTimeModifiable true;", """
+runTimeModifiable true;
+functions
+{
+    nwf { type nearWallFields; fields ( (U UNear) );
+          distance 0.01; }
+    sif { type surfaceInterpolateFields; fields ( (U Uf) ); }
+}
+""").replace("writeInterval   20;", "writeInterval   1;")
+    open(cd, "w").write(s)
+    L.Info.enabled = False
+    try:
+        from rapidcfd_tpu.solvers import pimplefoam
+        case, U, p, phi, ts = pimplefoam.run(d, max_steps=2,
+                                             piso_mode=True)
+    finally:
+        L.Info.enabled = True
+    base = os.path.join(d, "postProcessing")
+    assert os.path.isfile(os.path.join(base, "nwf", "0",
+                                       "nearWallFields.dat"))
+    assert os.path.isfile(os.path.join(
+        base, "sif", "0", "surfaceInterpolateFields.dat"))
