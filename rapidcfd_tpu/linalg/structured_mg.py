@@ -29,7 +29,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 from .banded import band_info
 
@@ -276,8 +275,6 @@ def make_structured_vcycle(mesh, m, amul_fine, diag, controls,
     """Gather-free V-cycle over geometric 2x2(x2) levels, or None when
     the mesh is not a structured natural-ordering grid. Same call
     contract as gamg.make_vcycle."""
-    from .solvers import gsum
-
     shape = structured_info(mesh)
     if shape is None:
         return None

@@ -76,8 +76,13 @@ def ddt(mesh: MeshArrays, vf: VolField, dt, scheme: str = "Euler",
         raise NotImplementedError(
             f"ddt(coeff, psi) only supports Euler/steadyState, got "
             f"'{scheme}'")
-    if scheme == "backward":
-        # 2nd order: (3/2 psi - 2 psi0 + 1/2 psi00)/dt (equal-step form)
+    if scheme in ("backward", "CrankNicolson", "CrankNicholson"):
+        # 2nd order: (3/2 psi - 2 psi0 + 1/2 psi00)/dt (equal-step form).
+        # CrankNicolson maps here: the reference's CN carries a stored
+        # ddt0 state (CrankNicolsonDdtScheme.C) which the stateless
+        # field pytree does not; backward is the same formal order with
+        # stronger damping (the reference's ocCoeff<1 blends the same
+        # direction)
         if vf.old is None or vf.old.old is None:
             return ddt(mesh, vf, dt, "Euler")
         rdt = 1.0 / dt

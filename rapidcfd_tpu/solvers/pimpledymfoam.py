@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..fields.field import Dimensioned, SurfaceField, VolField
+from ..fields.field import SurfaceField, VolField
 from ..linalg import solve
 from ..models.dynamicmesh import make_dynamic_mesh
 from ..models.transport import SinglePhaseTransportModel

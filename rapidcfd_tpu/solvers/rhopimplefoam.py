@@ -163,8 +163,7 @@ def make_step(case: Case, thermo: PsiThermo, ctrl: PimpleControl,
                 m.mu(T.data) / rho.data, m.mu(T.bvalues) / rho.bvalues,
                 DimensionSet.of(0, 2, -1), "nu")
             turb_state, turb_perf = turb.correct(
-                mesh, turb_state, U, phi, rho, nu_lam,
-                dt=(None if lts else dt) if not lts else dt)
+                mesh, turb_state, U, phi, rho, nu_lam, dt=dt)
         else:
             turb_perf = {}
 
