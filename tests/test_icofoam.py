@@ -152,3 +152,36 @@ PISO { nCorrectors 2; nNonOrthogonalCorrectors 0;
     from rapidcfd_tpu.ops import fvc
     cont = np.asarray(fvc.div(case.mesh, phi).data)
     assert (np.abs(cont) * np.asarray(case.mesh.V)).sum() < 1e-9
+
+
+def test_restart_equivalence(tmp_path_factory):
+    """Checkpoint/resume parity (SURVEY §5.4): 10 straight steps ==
+    5 steps + write + startFrom latestTime + 5 more steps. The time
+    directory IS the checkpoint (fields + phi + uniform/time)."""
+    import os
+    # straight run: 10 steps
+    d1 = str(tmp_path_factory.mktemp("straight"))
+    cavity_case(d1, end_time=0.05, write_interval=10)
+    L.Info.enabled = False
+    try:
+        from rapidcfd_tpu.solvers import icofoam
+        case1, U1, p1, phi1 = icofoam.run(d1, write=False)
+
+        # split run: 5 steps with a checkpoint, then resume
+        d2 = str(tmp_path_factory.mktemp("resume"))
+        cavity_case(d2, end_time=0.025, write_interval=5)
+        icofoam.run(d2, write=True)
+        # extend endTime and restart from latestTime
+        cd = os.path.join(d2, "system", "controlDict")
+        s = open(cd).read().replace("endTime         0.025",
+                                    "endTime         0.05") \
+            .replace("startFrom       startTime",
+                     "startFrom       latestTime")
+        open(cd, "w").write(s)
+        case2, U2, p2, phi2 = icofoam.run(d2, write=False)
+    finally:
+        L.Info.enabled = True
+    assert abs(case2.time.value - case1.time.value) < 1e-12
+    du = np.abs(np.asarray(U1.data) - np.asarray(U2.data)).max()
+    # ascii checkpoint round-trip at writePrecision limits parity
+    assert du < 1e-5, du
