@@ -202,3 +202,138 @@ class FvOptions:
             if opt.applies_to(field_name):
                 eqn = opt.constrain(mesh, field_name, eqn, env or {})
         return eqn
+
+
+@register("fvOption", "actuationDiskSource")
+class ActuationDiskSource(Option):
+    """Froude actuation disk momentum sink (reference: fvOptions
+    sources/derived/actuationDiskSource/actuationDiskSourceTemplates.C:
+    T = 2*rho*A*|upU|*a*(1-a), a = 1 - Cp/Ct, distributed over the
+    selection volume along diskDir). upstreamPoint selects the
+    reference-velocity cell (nearest cell centre, host once)."""
+
+    def __init__(self, name, d, mesh):
+        super().__init__(name, d, mesh)
+        self.disk_dir = np.asarray(self.dict.lookup("diskDir",
+                                                    [1.0, 0.0, 0.0]),
+                                   float)
+        self.disk_dir = self.disk_dir / np.linalg.norm(self.disk_dir)
+        self.cp = float(self.dict.scalar("Cp", 0.386))
+        self.ct = float(self.dict.scalar("Ct", 0.58))
+        self.area = float(self.dict.scalar("diskArea", 1.0))
+        up = self.dict.lookup("upstreamPoint")
+        C = np.asarray(mesh.C)
+        if up is not None:
+            self.up_cell = int(np.argmin(
+                ((C - np.asarray(up, float)) ** 2).sum(1)))
+        else:
+            self.up_cell = int(np.argmax(self.mask is not None))
+        self.v_zone = float((np.asarray(mesh.V)
+                             * np.asarray(self.mask)).sum())
+
+    def applies_to(self, field_name):
+        return field_name == "U"
+
+    def add_sup(self, mesh, field_name, eqn, env):
+        U = eqn.psi
+        rho = env.get("rho")
+        rho_up = rho.data[self.up_cell] if hasattr(rho, "data") else 1.0
+        up_u = U.data[self.up_cell]
+        a = 1.0 - self.cp / self.ct
+        t_coeff = 2.0 * rho_up * self.area * jnp.linalg.norm(up_u) \
+            * a * (1.0 - a)
+        e = jnp.asarray(self.disk_dir, U.data.dtype)
+        force = t_coeff * (e * up_u)           # E & upU (diagonal E)
+        src = eqn.source - (mesh.V * self.mask / self.v_zone)[:, None] \
+            * force
+        return eqn.replace(source=src)
+
+
+@register("fvOption", "pressureGradientExplicitSource")
+class PressureGradientExplicitSource(Option):
+    """Driving pressure gradient maintaining a target bulk velocity Ubar
+    (reference: sources/derived/pressureGradientExplicitSource): the
+    gradient is adapted each call from the volume-averaged flow-dir
+    velocity error with the matrix diagonal as the relaxation scale."""
+
+    def __init__(self, name, d, mesh):
+        super().__init__(name, d, mesh)
+        ubar = self.dict.lookup("Ubar", required=True)
+        if isinstance(ubar, tuple):
+            ubar = Dimensioned.from_entry(ubar).value
+        self.ubar = np.asarray(ubar, float)
+        self.flow_dir = self.ubar / np.linalg.norm(self.ubar)
+        self.grad_p = float(self.dict.scalar("gradientInitial", 0.0))
+
+    def applies_to(self, field_name):
+        return field_name == "U"
+
+    def add_sup(self, mesh, field_name, eqn, env):
+        U = eqn.psi
+        e = jnp.asarray(self.flow_dir, U.data.dtype)
+        vw = mesh.V * self.mask
+        ubar_now = (vw[:, None] * U.data).sum(0) / vw.sum()
+        mag_err = jnp.linalg.norm(jnp.asarray(self.ubar)) \
+            - (ubar_now * e).sum()
+        # relaxation scale: volume-averaged diagonal (rAU-like)
+        diag = eqn.diag if eqn.diag.ndim == 1 else eqn.diag.mean(-1)
+        r_ave = (vw * (diag / jnp.maximum(mesh.V, 1e-300))).sum() \
+            / vw.sum()
+        grad_p = self.grad_p + mag_err * r_ave
+        src = eqn.source + (mesh.V * self.mask)[:, None] * grad_p * e
+        return eqn.replace(source=src)
+
+
+@register("fvOption", "limitTemperature", "temperatureLimitsConstraint")
+class TemperatureLimits(Option):
+    """Clamp T (via the energy variable) into [Tmin, Tmax] (reference:
+    constraints/fixedTemperatureConstraint family /
+    limitTemperature)."""
+
+    def __init__(self, name, d, mesh):
+        super().__init__(name, d, mesh)
+        self.t_min = float(self.dict.scalar("Tmin",
+                                            self.dict.scalar("min", 0.0)))
+        self.t_max = float(self.dict.scalar("Tmax",
+                                            self.dict.scalar("max", 1e10)))
+
+    def applies_to(self, field_name):
+        return field_name in ("T", "e", "h")
+
+    def constrain(self, mesh, field_name, eqn, env):
+        lo, hi = self.t_min, self.t_max
+        if field_name != "T" and "thermo" in (env or {}):
+            lo = env["thermo"].he_from_t(jnp.asarray(lo))
+            hi = env["thermo"].he_from_t(jnp.asarray(hi))
+        psi = eqn.psi.data
+        clamped = jnp.clip(psi, lo, hi)
+        changed = (jnp.abs(clamped - psi) > 0).astype(psi.dtype) \
+            * self.mask
+        return eqn.set_values(mesh, changed, clamped)
+
+
+@register("fvOption", "explicitSetValue", "vectorExplicitSetValue",
+          "scalarExplicitSetValue")
+class ExplicitSetValue(Option):
+    """Hard-set field values in the selection (reference:
+    constraints/explicitSetValue): injectionRate { U (1 0 0); }."""
+
+    def __init__(self, name, d, mesh):
+        super().__init__(name, d, mesh)
+        inj = self.dict.subdict("injectionRate", required=True)
+        self.values = {str(k): (np.asarray(v, float)
+                                if isinstance(v, list) else float(v))
+                       for k, v in inj.items()}
+
+    def applies_to(self, field_name):
+        return field_name in self.values
+
+    def constrain(self, mesh, field_name, eqn, env):
+        v = self.values[field_name]
+        psi = eqn.psi.data
+        if psi.ndim == 1:
+            vals = jnp.full(mesh.n_cells, float(v), psi.dtype)
+        else:
+            vals = jnp.broadcast_to(jnp.asarray(v, psi.dtype),
+                                    psi.shape)
+        return eqn.set_values(mesh, self.mask, vals)
