@@ -43,9 +43,13 @@ def band_info(mesh):
     meshes kept in natural ordering — the product is D shifted
     multiply-adds, memory D*n) and 'band' (dense block-band, memory
     n*P*B; only worthwhile at small bandwidth)."""
+    # key on id() but hold a strong reference to the keying array and
+    # verify identity: without the ref, CPython reuses freed addresses
+    # and a NEW mesh could silently hit a stale entry
     key = id(mesh.ell_coeff_idx)
-    if key in _BAND_CACHE:
-        return _BAND_CACHE[key]
+    hit = _BAND_CACHE.get(key)
+    if hit is not None and hit[0] is mesh.ell_coeff_idx:
+        return hit[1]
     try:
         nbr = np.asarray(mesh.cell_nbr)
         idx = np.asarray(mesh.ell_coeff_idx)
@@ -54,7 +58,7 @@ def band_info(mesh):
     n, K = nbr.shape
     if n < 2 * B:
         info = None  # tiny mesh: gather is fine and padding dominates
-        _BAND_CACHE[key] = info
+        _BAND_CACHE[key] = (mesh.ell_coeff_idx, info)
         return info
     cells = np.arange(n)[:, None]
     off = nbr - cells
@@ -77,13 +81,13 @@ def band_info(mesh):
             offsets=[int(d) for d in uniq],
             rows=rows, slots=slots, max_off=max_off,
         )
-        _BAND_CACHE[key] = info
+        _BAND_CACHE[key] = (mesh.ell_coeff_idx, info)
         return info
     bandwidth = int(np.abs(nbr - cells).max()) if n else 0
     half_blocks = (bandwidth + B - 1) // B
     P = 2 * half_blocks + 1
     if P > MAX_P:
-        _BAND_CACHE[key] = None
+        _BAND_CACHE[key] = (mesh.ell_coeff_idx, None)
         return None
     n_tiles = (n + B - 1) // B
     tile = cells // B
@@ -102,7 +106,7 @@ def band_info(mesh):
         row=np.broadcast_to(row, nbr.shape).astype(np.int32),
         col=col.astype(np.int32),
     )
-    _BAND_CACHE[key] = info
+    _BAND_CACHE[key] = (mesh.ell_coeff_idx, info)
     return info
 
 

@@ -133,8 +133,9 @@ def build_hierarchy(mesh: MeshArrays, n_coarsest: int = 32,
     depth — on TPU the shallow hierarchy wins (small levels are
     latency-bound)."""
     key = (id(mesh.ell_coeff_idx), n_coarsest, merge_levels)
-    if key in _HIERARCHY_CACHE:
-        return _HIERARCHY_CACHE[key]
+    hit = _HIERARCHY_CACHE.get(key)
+    if hit is not None and hit[0] is mesh.ell_coeff_idx:
+        return hit[1]
 
     own = np.asarray(mesh.owner)[:mesh.n_internal].astype(np.int64)
     nei = np.asarray(mesh.neighbour).astype(np.int64)
@@ -243,7 +244,7 @@ def build_hierarchy(mesh: MeshArrays, n_coarsest: int = 32,
         ))
         own, nei, weights, nc = c_own, c_nei, c_w, ncc
 
-    _HIERARCHY_CACHE[key] = levels
+    _HIERARCHY_CACHE[key] = (mesh.ell_coeff_idx, levels)
     return levels
 
 

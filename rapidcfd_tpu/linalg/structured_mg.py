@@ -40,8 +40,9 @@ def structured_info(mesh):
     Derived from the DIA offset census: 2D grids have offsets {±1, ±nx},
     3D {±1, ±nx, ±nx*ny} (x fastest, natural ordering)."""
     key = id(mesh.cell_nbr)
-    if key in _SINFO_CACHE:
-        return _SINFO_CACHE[key]
+    hit = _SINFO_CACHE.get(key)
+    if hit is not None and hit[0] is mesh.cell_nbr:
+        return hit[1]
     info = band_info(mesh)
     res = None
     if info is not None and info["mode"] == "dia":
@@ -59,7 +60,7 @@ def structured_info(mesh):
                 nx, nxny = offs[1], offs[2]
                 if nxny % nx == 0 and n % nxny == 0:
                     res = (n // nxny, nxny // nx, nx)
-    _SINFO_CACHE[key] = res
+    _SINFO_CACHE[key] = (mesh.cell_nbr, res)
     return res
 
 

@@ -137,8 +137,9 @@ def _lsq_vectors(mesh: MeshArrays):
     Host numpy, cached per mesh; trace-safe (stored as numpy)."""
     import numpy as np
     key = id(mesh.ell_coeff_idx)
-    if key in _LSQ_CACHE:
-        return _LSQ_CACHE[key]
+    hit = _LSQ_CACHE.get(key)
+    if hit is not None and hit[0] is mesh.ell_coeff_idx:
+        return hit[1]
     try:
         nbr = np.asarray(mesh.cell_nbr)
         sign = np.asarray(mesh.cell_sign)
@@ -147,7 +148,7 @@ def _lsq_vectors(mesh: MeshArrays):
         C = np.asarray(mesh.C)
         Cf = np.asarray(mesh.Cf)
     except Exception:
-        _LSQ_CACHE[key] = None
+        _LSQ_CACHE[key] = (mesh.ell_coeff_idx, None)
         return None                     # traced mesh: fall back to Gauss
     n, K = nbr.shape
     active = sign != 0.0
@@ -165,7 +166,7 @@ def _lsq_vectors(mesh: MeshArrays):
     v = w[..., None] * np.einsum("nij,nkj->nki", Ginv, d)
     info = dict(v=v.astype(np.float64),
                 bidx=np.maximum(faces - mesh.n_internal, 0))
-    _LSQ_CACHE[key] = info
+    _LSQ_CACHE[key] = (mesh.ell_coeff_idx, info)
     return info
 
 
