@@ -6,13 +6,16 @@ Metric is cell-updates/sec/chip (BASELINE.md); vs_baseline is relative to
 the 50M cell-updates/s/chip north star.
 
 The benchmarked step is the fully-jitted PISO timestep (momentum +
-2 pressure PCG solves); steps are chained on-device with no host sync
-inside the loop (better than the reference's per-iteration MPI syncs).
+2 pressure solves); steps are chained on-device with no host sync inside
+the loop. Timing: median over --windows windows of --steps steps each
+(VERDICT round-1 item 10: median-of-N, windows >= 50 steps; compile time
+reported separately). --profile captures a jax.profiler trace.
 """
 
 import argparse
 import json
 import os
+import statistics
 import sys
 import tempfile
 import time
@@ -21,8 +24,12 @@ import time
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=96,
-                    help="cavity cells per side (n*n mesh)")
+                    help="cavity cells per side (n*n mesh, or n^3/4 3D)")
+    ap.add_argument("--three-d", action="store_true",
+                    help="3D cavity (n x n x n/4 cells)")
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--windows", type=int, default=5,
+                    help="timing windows; the median wins")
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--x64", action="store_true")
     ap.add_argument("--p-solver", default="PCG",
@@ -30,12 +37,9 @@ def main():
     ap.add_argument("--p-precond", default="GAMG",
                     help="pressure preconditioner (GAMG = one V-cycle)")
     ap.add_argument("--u-solver", default="PBiCGStab")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of one window")
     args = ap.parse_args()
-
-    # natural-ordering DIA SpMV (pure-shift matvec, no gathers): the
-    # benchmark case is single-phase on a structured mesh, where this
-    # path is validated by the icoFoam test suite
-    os.environ.setdefault("RCFD_NATURAL_ORDERING", "1")
 
     import jax
     if args.x64:
@@ -52,7 +56,8 @@ def main():
     d = tempfile.mkdtemp(prefix="bench_cavity_")
     # scale dt so the Courant number stays comparable to the 20x20 case
     dt = 0.005 * 20 / args.n
-    cavity_case(d, n=args.n, delta_t=dt, end_time=1e9,
+    nz = max(args.n // 4, 1) if args.three_d else 1
+    cavity_case(d, n=args.n, nz=nz, delta_t=dt, end_time=1e9,
                 p_solver=args.p_solver, u_solver=args.u_solver,
                 p_precond=args.p_precond)
 
@@ -69,29 +74,42 @@ def main():
     p = case.read_field("p")
     phi = jax.jit(lambda u: fvc.flux(case.mesh, u))(U)
 
+    t0 = time.perf_counter()
+    U1, p1, phi1, _ = step(U, p, phi, dt)
+    jax.block_until_ready(U1.data)
+    compile_s = time.perf_counter() - t0
     for _ in range(args.warmup):
         U, p, phi, stats = step(U, p, phi, dt)
     jax.block_until_ready(U.data)
 
-    # two timing windows, best wins: the remote-TPU tunnel adds
-    # transient per-dispatch jitter that a single window can catch
-    wall = float("inf")
-    for _ in range(2):
+    walls = []
+    for _ in range(args.windows):
         t0 = time.perf_counter()
         for _ in range(args.steps):
             U, p, phi, stats = step(U, p, phi, dt)
         jax.block_until_ready(U.data)
-        wall = min(wall, time.perf_counter() - t0)
+        walls.append(time.perf_counter() - t0)
+    wall = statistics.median(walls)
+
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            for _ in range(min(args.steps, 20)):
+                U, p, phi, stats = step(U, p, phi, dt)
+            jax.block_until_ready(U.data)
+        print(f"profile trace written to {args.profile}", file=sys.stderr)
 
     n_cells = case.mesh.n_cells
     ups = n_cells * args.steps / wall
+    dims = f"{args.n}x{args.n}" + (f"x{nz}" if args.three_d else "")
     out = {
-        "metric": f"icoFoam cavity {args.n}x{args.n} cell-updates/sec/chip",
+        "metric": f"icoFoam cavity {dims} cell-updates/sec/chip",
         "value": round(ups, 1),
         "unit": "cell-updates/s/chip",
         "vs_baseline": round(ups / 50e6, 4),
         "wall_per_step_ms": round(1e3 * wall / args.steps, 3),
+        "compile_s": round(compile_s, 2),
         "n_cells": n_cells,
+        "windows_ms": [round(1e3 * w / args.steps, 3) for w in walls],
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out))

@@ -216,7 +216,7 @@ class VolField:
 
     def patch_internal(self, mesh, patch) -> jax.Array:
         """Internal-cell values adjacent to a patch (patchInternalField)."""
-        return self.data[mesh.patch_face_cells(patch)]
+        return mesh.patch_cell_values(patch, self.data)
 
     def patch_values(self, mesh, patch) -> jax.Array:
         return self.bvalues[patch.bstart:patch.bstart + patch.size]

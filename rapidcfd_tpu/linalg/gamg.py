@@ -487,7 +487,7 @@ def make_vcycle(mesh: MeshArrays, m, amul_fine, diag, controls,
     return vcycle
 
 
-def gamg_solve(mesh: MeshArrays, m, amul_fine, ell_fine, diag, source,
+def gamg_solve(mesh: MeshArrays, m, amul_fine, diag, source,
                psi0, controls):
     """V-cycle iteration until convergence (fvSolution 'solver GAMG')."""
     from .solvers import _converged, _norm_factor, gsum

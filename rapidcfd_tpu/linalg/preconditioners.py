@@ -17,7 +17,7 @@ from ..utils.registry import register
 
 
 @register("lduPreconditioner", "none")
-def none_precond(mesh, ell_coeffs, diag):
+def none_precond(mesh, m, diag):
     return lambda r: r
 
 
@@ -30,29 +30,22 @@ def _safe_recip(diag):
 
 
 @register("lduPreconditioner", "diagonal")
-def diagonal_precond(mesh, ell_coeffs, diag):
+def diagonal_precond(mesh, m, diag):
     rd = _safe_recip(diag)
     return lambda r: rd * r
 
 
 @register("lduPreconditioner", "AINV", "DIC", "DILU", "FDIC")
-def ainv_precond(mesh, ell_coeffs, diag):
+def ainv_precond(mesh, m, diag):
     """Sparse approximate inverse: w = D^-1 r - D^-1 O D^-1 r (one
     off-diagonal product; reference: AINVPreconditioner.C:49-110). Uses
-    the banded MXU product when available."""
+    the matrix's best off-diagonal product (structured DIA planes /
+    banded MXU / ELL gather)."""
     from ..parallel.hooks import halo
-    from .banded import make_offdiag_mv
     rd = _safe_recip(diag)
-    off_mv = make_offdiag_mv(mesh, ell_coeffs)
-    if off_mv is not None:
-        def apply(r):
-            rdr = rd * r
-            return rdr - rd * off_mv(rdr)
-        return apply
+    off_mv = m.offdiag_mv(mesh)
 
     def apply(r):
         rdr = rd * r
-        c = ell_coeffs[..., None] if r.ndim == 2 else ell_coeffs
-        off = (c * jnp.take(halo(rdr), mesh.cell_nbr, axis=0)).sum(1)
-        return rdr - rd * off
+        return rdr - rd * off_mv(halo(rdr))
     return apply

@@ -116,22 +116,16 @@ class SolverControls:
 SolverPerformance = tuple
 
 
-def _amul_fn(mesh: MeshArrays, ell_coeffs, diag):
+def _amul_fn(mesh: MeshArrays, m: FvMatrix, diag):
     """diag may be (n,) or (n,m); x likewise (column-batched vector
-    solves run all components through one matrix product)."""
+    solves run all components through one matrix product). The
+    off-diagonal product comes from FvMatrix.offdiag_mv (structured DIA
+    planes / banded MXU / ELL gather fallback)."""
     from ..parallel.hooks import halo
-    from .banded import make_offdiag_mv
-    off_mv = make_offdiag_mv(mesh, ell_coeffs)
-    if off_mv is not None:
-        def amul(x):
-            return diag * x + off_mv(x)
-        return amul
+    off_mv = m.offdiag_mv(mesh)
 
     def amul(x):
-        xh = halo(x)
-        g = jnp.take(xh, mesh.cell_nbr, axis=0)
-        c = ell_coeffs[..., None] if x.ndim == 2 else ell_coeffs
-        return diag * x + (c * g).sum(1)
+        return diag * x + off_mv(halo(x))
     return amul
 
 
@@ -149,17 +143,15 @@ def solve_component(mesh: MeshArrays, m: FvMatrix, cmpt: int | None,
     """Solve one scalar component of the system; returns (psi, perf)."""
     diag, source = m.component_system(mesh, cmpt)
     psi0 = m.psi.data if cmpt is None else m.psi.data[:, cmpt]
-    ell = m.ell_coeffs(mesh)
-    amul = _amul_fn(mesh, ell, diag)
+    amul = _amul_fn(mesh, m, diag)
 
     name = controls.solver
     if name in ("PCG", "ICCG"):
-        return _pcg(mesh, amul, ell, diag, source, psi0, controls, m=m)
+        return _pcg(mesh, amul, m, diag, source, psi0, controls)
     if name in ("PBiCGStab", "PBiCG", "BICCG"):
-        return _pbicgstab(mesh, amul, ell, diag, source, psi0, controls,
-                          m=m)
+        return _pbicgstab(mesh, amul, m, diag, source, psi0, controls)
     if name == "smoothSolver":
-        return _smooth_solver(mesh, amul, ell, diag, source, psi0, controls)
+        return _smooth_solver(mesh, amul, m, diag, source, psi0, controls)
     if name == "diagonal":
         from .preconditioners import _safe_recip
         psi = source * _safe_recip(diag)
@@ -167,7 +159,7 @@ def solve_component(mesh: MeshArrays, m: FvMatrix, cmpt: int | None,
         return psi, (z, z, jnp.asarray(0, jnp.int32))
     if name == "GAMG":
         from .gamg import gamg_solve
-        return gamg_solve(mesh, m, amul, ell, diag, source, psi0, controls)
+        return gamg_solve(mesh, m, amul, diag, source, psi0, controls)
     raise KeyError(f"unknown linear solver '{name}'")
 
 
@@ -200,14 +192,14 @@ def _converged(res, res0, c: SolverControls, it):
     return jnp.all(ok) & (it >= c.min_iter)
 
 
-def _pcg(mesh, amul, ell, diag, source, psi0, c: SolverControls, m=None):
+def _pcg(mesh, amul, m, diag, source, psi0, c: SolverControls):
     """Preconditioned conjugate gradient (reference PCG.C:67-205).
     preconditioner GAMG uses one unscaled multigrid V-cycle per
     application (the reference's GAMG-preconditioned PCG)."""
     if c.preconditioner == "GAMG" and m is not None:
         precond = _gamg_precond(mesh, m, amul, diag, c)
     else:
-        precond = lookup("lduPreconditioner", c.preconditioner)(mesh, ell,
+        precond = lookup("lduPreconditioner", c.preconditioner)(mesh, m,
                                                                 diag)
     v_ones = jnp.ones_like(psi0)
 
@@ -251,8 +243,7 @@ def _pcg(mesh, amul, ell, diag, source, psi0, c: SolverControls, m=None):
     return psi, (res0, res, it)
 
 
-def _pbicgstab(mesh, amul, ell, diag, source, psi0, c: SolverControls,
-               m=None):
+def _pbicgstab(mesh, amul, m, diag, source, psi0, c: SolverControls):
     """Preconditioned BiCGStab (reference PBiCGStab.H:50), for asymmetric
     systems (convection-dominated equations). preconditioner GAMG uses
     one linear multigrid V-cycle per application (column-batched for
@@ -261,7 +252,7 @@ def _pbicgstab(mesh, amul, ell, diag, source, psi0, c: SolverControls,
         precond = _gamg_precond(mesh, m, amul, diag, c)
     else:
         precond = lookup("lduPreconditioner", c.preconditioner)(
-            mesh, ell, diag)
+            mesh, m, diag)
     v_ones = jnp.ones_like(psi0)
 
     apsi = amul(psi0)
@@ -302,7 +293,7 @@ def _pbicgstab(mesh, amul, ell, diag, source, psi0, c: SolverControls,
     return psi, (res0, res, it)
 
 
-def jacobi_sweeps(mesh, amul, ell, diag, source, psi, n: int,
+def jacobi_sweeps(mesh, amul, diag, source, psi, n: int,
                   omega: float = 0.9):
     """n damped-Jacobi sweeps (reference: JacobiSmoother.C:34-120,
     omega=0.9; GaussSeidel aliases here on data-parallel hardware)."""
@@ -314,7 +305,7 @@ def jacobi_sweeps(mesh, amul, ell, diag, source, psi, n: int,
     return lax.fori_loop(0, n, body, psi)
 
 
-def _smooth_solver(mesh, amul, ell, diag, source, psi0, c: SolverControls):
+def _smooth_solver(mesh, amul, m, diag, source, psi0, c: SolverControls):
     """smoothSolver: sweep in groups of nSweeps until converged
     (reference: smoothSolver.H:54)."""
     v_ones = jnp.ones_like(psi0)
@@ -335,7 +326,7 @@ def _smooth_solver(mesh, amul, ell, diag, source, psi0, c: SolverControls):
 
     def body(carry):
         psi, it, res, best, since_best = carry
-        psi = jacobi_sweeps(mesh, amul, ell, diag, source, psi, n_sweeps)
+        psi = jacobi_sweeps(mesh, amul, diag, source, psi, n_sweeps)
         res = gsum(jnp.abs(source - amul(psi))) / nf
         improved = jnp.any(res < (1.0 - 1e-6) * best)
         best = jnp.minimum(best, res)
@@ -375,17 +366,15 @@ def solve(mesh: MeshArrays, m: FvMatrix, controls: SolverControls,
         return new, tuple(perfs)
 
     diag, source = m.component_system_all(mesh)
-    ell = m.ell_coeffs(mesh)
-    amul = _amul_fn(mesh, ell, diag)
+    amul = _amul_fn(mesh, m, diag)
     name = controls.solver
     if name in ("PCG", "ICCG"):
-        x, perf = _pcg(mesh, amul, ell, diag, source, psi.data, controls,
-                       m=m)
+        x, perf = _pcg(mesh, amul, m, diag, source, psi.data, controls)
     elif name in ("PBiCGStab", "PBiCG", "BICCG"):
-        x, perf = _pbicgstab(mesh, amul, ell, diag, source, psi.data,
-                             controls, m=m)
+        x, perf = _pbicgstab(mesh, amul, m, diag, source, psi.data,
+                             controls)
     elif name == "smoothSolver":
-        x, perf = _smooth_solver(mesh, amul, ell, diag, source, psi.data,
+        x, perf = _smooth_solver(mesh, amul, m, diag, source, psi.data,
                                  controls)
     elif name == "diagonal":
         from .preconditioners import _safe_recip

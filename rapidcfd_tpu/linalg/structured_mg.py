@@ -37,8 +37,11 @@ _SINFO_CACHE: dict = {}
 
 def structured_info(mesh):
     """(nz, ny, nx) of the natural-ordering structured grid, or None.
-    Derived from the DIA offset census: 2D grids have offsets {±1, ±nx},
+    Prefers the build-time detection (mesh.structured); falls back to
+    the DIA offset census: 2D grids have offsets {±1, ±nx},
     3D {±1, ±nx, ±nx*ny} (x fastest, natural ordering)."""
+    if getattr(mesh, "structured", None) is not None:
+        return mesh.structured.shape
     key = id(mesh.cell_nbr)
     hit = _SINFO_CACHE.get(key)
     if hit is not None and hit[0] is mesh.cell_nbr:
@@ -284,12 +287,21 @@ def make_structured_vcycle(mesh, m, amul_fine, diag, controls,
     n_post = getattr(controls, "n_post_sweeps", 2)
     n_finest = getattr(controls, "n_finest_sweeps", 2)
 
-    ell = m.ell_coeffs(mesh)
     nz, ny, nx = shape
     rank = diag.ndim - 1  # trailing comp axes (column-batched system)
 
     d0 = diag.reshape((nz, ny, nx) + diag.shape[1:])
-    lv0 = GridLevel(shape, d0, _planes_from_ell(mesh, ell, shape))
+    if getattr(mesh, "structured", None) is not None:
+        # gather-free plane construction from the axis-blocked faces
+        from ..mesh import structured as st
+        planes0 = {d: c.reshape(shape) for d, c in
+                   st.dia_planes(mesh.structured, m.lower, m.upper)}
+        for d in (1, nx, nx * ny):
+            planes0.setdefault(d, None)
+            planes0.setdefault(-d, None)
+    else:
+        planes0 = _planes_from_ell(mesh, m.ell_coeffs(mesh), shape)
+    lv0 = GridLevel(shape, d0, planes0)
     levels = [lv0]
     while int(np.prod(levels[-1].shape)) > n_coarsest:
         nzc, nyc, nxc = levels[-1].shape

@@ -82,6 +82,9 @@ class MeshArrays:
     n_internal: int = dataclasses.field(metadata=dict(static=True))
     K: int = dataclasses.field(metadata=dict(static=True))
     patches: tuple[Patch, ...] = dataclasses.field(metadata=dict(static=True))
+    # structured-box fast path metadata (mesh/structured.py), or None
+    structured: object = dataclasses.field(
+        default=None, metadata=dict(static=True))
 
     # -- helpers -----------------------------------------------------------
     @property
@@ -90,6 +93,26 @@ class MeshArrays:
 
     def patch_face_cells(self, p: Patch) -> jax.Array:
         return self.owner[p.start:p.start + p.size]
+
+    def patch_cell_values(self, p: Patch, data: jax.Array) -> jax.Array:
+        """data at the patch's face cells — side-slab slices on
+        structured boxes, a take otherwise."""
+        if self.structured is not None:
+            from . import structured as st
+            segs = self.structured.patch_segments[self.patches.index(p)]
+            return st.patch_internal_values(self, self.structured, p,
+                                            segs, data)
+        return jnp.take(data, self.patch_face_cells(p), axis=0)
+
+    def add_at_patch_cells(self, p: Patch, data: jax.Array,
+                           vals: jax.Array) -> jax.Array:
+        """data[faceCells(p)] += vals — slab adds on structured boxes."""
+        if self.structured is not None:
+            from . import structured as st
+            segs = self.structured.patch_segments[self.patches.index(p)]
+            return st.add_at_patch_cells(self, self.structured, p, segs,
+                                         data, vals)
+        return data.at[self.patch_face_cells(p)].add(vals)
 
     def patch_mag_sf(self, p: Patch) -> jax.Array:
         return self.mag_sf[p.start:p.start + p.size]
@@ -211,24 +234,20 @@ def build_mesh_arrays(mesh: PolyMesh, *, renumber: bool = True,
 
     cell_perm = np.arange(mesh.n_cells, dtype=np.int64)
     face_perm = np.arange(mesh.n_faces, dtype=np.int64)
-    if renumber and mesh.n_internal_faces > 0:
-        # structured meshes in natural ordering have a handful of
-        # distinct neighbour offsets, enabling the pure-shift DIA SpMV
-        # (linalg/banded.py) — strictly better than any bandwidth-
-        # reduced ordering on TPU. Keep natural ordering in that case.
-        # Opt-in (RCFD_NATURAL_ORDERING=1): structured meshes in natural
-        # ordering have a handful of distinct neighbour offsets, enabling
-        # the pure-shift DIA SpMV (linalg/banded.py) — ~3x faster solver
-        # iterations than any bandwidth-reduced ordering on TPU.
-        # Default stays RCM: sharp-interface (VOF) cases are sensitive
-        # to the ordering-dependent roundoff path and are validated
-        # under RCM.
-        import os
-        n_off = np.unique(
-            mesh.neighbour - mesh.owner[:mesh.n_internal_faces]).size
-        if 2 * n_off <= 10 \
-                and os.environ.get("RCFD_NATURAL_ORDERING"):
-            renumber = False
+    # Structured boxes in natural ordering take the gather-free fast
+    # path (mesh/structured.py): axis-blocked faces, DIA SpMV, slab
+    # boundary ops — strictly better on TPU than any bandwidth-reduced
+    # ordering, so RCM is skipped automatically when detected
+    # (opt-out: RCFD_FORCE_RCM=1).
+    from .structured import detect_structured, reorder_internal_faces
+    import os
+    sinfo = None
+    det = None
+    if partner is None and mesh.n_internal_faces > 0 \
+            and not os.environ.get("RCFD_FORCE_RCM"):
+        det = detect_structured(mesh)
+    if det is not None:
+        renumber = False
     if renumber and mesh.n_internal_faces > 0:
         cell_perm = cuthill_mckee(mesh)
         mesh, face_perm = renumber_mesh(mesh, cell_perm,
@@ -240,6 +259,10 @@ def build_mesh_arrays(mesh: PolyMesh, *, renumber: bool = True,
             a_cell = a_cell[face_perm]
             a_cell = np.where(a_cell >= 0, inv[np.maximum(a_cell, 0)], -1)
     face_perm = face_map0[face_perm]
+    if det is not None:
+        sinfo, face_order = det
+        mesh, idx = reorder_internal_faces(mesh, face_order)
+        face_perm = face_perm[idx]
 
     Cf, Sf = face_centres_and_areas(mesh)
     own_ctrs = None
@@ -306,6 +329,6 @@ def build_mesh_arrays(mesh: PolyMesh, *, renumber: bool = True,
         ell_coeff_idx=jnp.asarray(ell_idx, idt),
         internal_mask=jnp.asarray(internal_mask, dtype),
         n_cells=nc, n_faces=nf, n_internal=n_int, K=K,
-        patches=tuple(patches),
+        patches=tuple(patches), structured=sinfo,
     )
     return ma, mesh, MeshMaps(cell_perm, face_perm)

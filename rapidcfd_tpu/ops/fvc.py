@@ -54,7 +54,16 @@ def surface_sum_faces(mesh: MeshArrays, face_data: jnp.ndarray,
 
     The TPU equivalent of the reference's cell-gather functor
     (fvcSurfaceIntegrate.C:41-100): out[c] = sum_k sign[c,k]*x[face[c,k]].
-    """
+    Structured boxes use the gather-free padded-difference kernels
+    (mesh/structured.py)."""
+    s = mesh.structured
+    if s is not None:
+        from ..mesh import structured as st
+        out = st.surface_sum_internal(s, face_data[:mesh.n_internal],
+                                      signed)
+        out = st.add_boundary_to_grid(mesh, s, out,
+                                      face_data[mesh.n_internal:])
+        return out.reshape((mesh.n_cells,) + face_data.shape[1:])
     gathered = jnp.take(face_data, mesh.cell_faces, axis=0)
     w = mesh.cell_sign if signed else jnp.abs(mesh.cell_sign)
     return (gathered * _ext(w, gathered)).sum(axis=1)
@@ -74,11 +83,22 @@ def surface_sum(mesh: MeshArrays, ssf: SurfaceField) -> VolField:
                          ssf.dims, f"surfaceSum({ssf.name})")
 
 
+def boundary_owner_values(mesh: MeshArrays, data: jnp.ndarray
+                          ) -> jnp.ndarray:
+    """data at the owner cell of every boundary face (bstart order) —
+    slab slices on structured boxes, one take otherwise."""
+    s = mesh.structured
+    if s is not None:
+        from ..mesh import structured as st
+        return st.boundary_owner_values(mesh, s, data)
+    return jnp.take(data, mesh.owner[mesh.n_internal:], axis=0)
+
+
 def _extrapolated(mesh: MeshArrays, data, dims, name="") -> VolField:
     """Wrap cell data as a VolField with zero-order extrapolated boundary
     values and calculated BCs."""
     from ..fields.bcs import Calculated
-    bvalues = jnp.take(data, mesh.owner[mesh.n_internal:], axis=0)
+    bvalues = boundary_owner_values(mesh, data)
     bcs = tuple(Calculated(i) for i in range(len(mesh.patches)))
     return VolField(data, bvalues, bcs, dims, name,
                     tuple({} for _ in mesh.patches))
@@ -230,7 +250,7 @@ def _grad_correct_boundary(mesh: MeshArrays, g: VolField,
         if patch.is_empty or patch.size == 0:
             continue
         n = mesh.patch_normals(patch)                      # (np, 3)
-        gc = g.data[mesh.patch_face_cells(patch)]          # (np, 3[, r])
+        gc = mesh.patch_cell_values(patch, g.data)         # (np, 3[, r])
         sngrad = bc.snGrad(mesh, patch, vf, bd)            # (np[, r])
         if gc.ndim == 2:   # gradient of a scalar: (np, 3)
             corrected = gc - n * (n * gc).sum(-1, keepdims=True) \
@@ -244,15 +264,25 @@ def _grad_correct_boundary(mesh: MeshArrays, g: VolField,
     return g.replace(bvalues=bvalues)
 
 
+def face_own_nei(mesh: MeshArrays, data: jnp.ndarray):
+    """(owner, neighbour) cell values on internal faces — slices on
+    structured boxes, two takes otherwise. data must be halo-fresh."""
+    s = mesh.structured
+    if s is not None:
+        from ..mesh import structured as st
+        return st.own_nei(s, data)
+    own = jnp.take(data, mesh.owner[:mesh.n_internal], axis=0)
+    nei = jnp.take(data, mesh.neighbour, axis=0)
+    return own, nei
+
+
 def sn_grad(mesh: MeshArrays, vf: VolField) -> SurfaceField:
     """Surface-normal gradient (orthogonal; corrected scheme in snGradSchemes)."""
     from ..parallel.hooks import halo
-    own = mesh.owner[:mesh.n_internal]
-    data = halo(vf.data)
-    d_int = (jnp.take(data, mesh.neighbour, axis=0)
-             - jnp.take(data, own, axis=0))
+    own_v, nei_v = face_own_nei(mesh, halo(vf.data))
+    d_int = nei_v - own_v
     internal = d_int * _ext(mesh.delta_coeffs, d_int)
-    psi_c = jnp.take(vf.data, mesh.owner[mesh.n_internal:], axis=0)
+    psi_c = boundary_owner_values(mesh, vf.data)
     d_b = vf.bvalues - psi_c
     boundary = d_b * _ext(mesh.b_delta_coeffs, d_b)
     return SurfaceField(jnp.concatenate([internal, boundary], axis=0),

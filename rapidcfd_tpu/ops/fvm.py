@@ -33,7 +33,11 @@ def _pair_gather(mesh: MeshArrays, own_arr, nei_arr):
 
 def _neg_sum_diag(mesh: MeshArrays, lower, upper):
     """diag[own] -= lower[f]; diag[nei] -= upper[f] (lduMatrix::negSumDiag),
-    as a gather: owner slot of face f must read lower[f]."""
+    as a gather: owner slot of face f must read lower[f]. Structured
+    boxes use padded sums (mesh/structured.py)."""
+    if mesh.structured is not None:
+        from ..mesh import structured as st
+        return st.neg_sum_diag(mesh.structured, lower, upper)
     return -_pair_gather(mesh, lower, upper).sum(axis=1)
 
 

@@ -122,6 +122,27 @@ class FvMatrix:
             [self.upper, self.lower, jnp.zeros(1, self.upper.dtype)])
         return jnp.take(cat, mesh.ell_coeff_idx, axis=0)
 
+    def offdiag_mv(self, mesh: MeshArrays):
+        """x -> sum_k coeff[c,k] * x[nbr[c,k]], the off-diagonal product.
+        Structured boxes: DIA planes built by pads (zero gathers and zero
+        scatters even in setup); else banded/DIA from the ELL gather;
+        else the (nCells,K) gather itself."""
+        s = mesh.structured
+        if s is not None:
+            from ..mesh import structured as st
+            planes = st.dia_planes(s, self.lower, self.upper)
+            return st.offdiag_mv_from_planes(planes, mesh.n_cells)
+        from ..linalg.banded import make_offdiag_mv
+        ell = self.ell_coeffs(mesh)
+        mv = make_offdiag_mv(mesh, ell)
+        if mv is None:
+            # callers pass halo-fresh x (distributed shards land here)
+            def mv(x):
+                g = jnp.take(x, mesh.cell_nbr, axis=0)
+                c = ell[..., None] if x.ndim == 2 else ell
+                return (c * g).sum(1)
+        return mv
+
     def component_system_all(self, mesh: MeshArrays):
         """(diag (n,m), source (n,m)) for a column-batched vector solve
         (patch internal coeffs differ per component, e.g. symmetry)."""
@@ -133,9 +154,8 @@ class FvMatrix:
                              self.boundary_coeffs):
             if p.is_empty or p.size == 0:
                 continue
-            fc = mesh.patch_face_cells(p)
-            diag = diag.at[fc].add(ic)
-            src = src.at[fc].add(bc)
+            diag = mesh.add_at_patch_cells(p, diag, ic)
+            src = mesh.add_at_patch_cells(p, src, bc)
         return diag, src
 
     def component_system(self, mesh: MeshArrays, cmpt: int | None):
@@ -147,11 +167,10 @@ class FvMatrix:
                              self.boundary_coeffs):
             if p.is_empty or p.size == 0:
                 continue
-            fc = mesh.patch_face_cells(p)
             icc = ic if cmpt is None else ic[:, cmpt]
             bcc = bc if cmpt is None else bc[:, cmpt]
-            diag = diag.at[fc].add(icc)
-            src = src.at[fc].add(bcc)
+            diag = mesh.add_at_patch_cells(p, diag, icc)
+            src = mesh.add_at_patch_cells(p, src, bcc)
         return diag, src
 
     # -- queries -------------------------------------------------------------------
@@ -166,7 +185,7 @@ class FvMatrix:
             if p.is_empty or p.size == 0:
                 continue
             icc = ic.mean(axis=-1) if ic.ndim > 1 else ic
-            diag = diag.at[mesh.patch_face_cells(p)].add(icc)
+            diag = mesh.add_at_patch_cells(p, diag, icc)
         return _extrapolated(mesh, diag / mesh.V,
                              self.dims / (self.psi.dims * _VOL_DIMS),
                              f"A({self.psi.name})")
@@ -176,14 +195,12 @@ class FvMatrix:
         from .fvc import _extrapolated
         from ..parallel.hooks import halo
         psi = self.psi.data
-        coeffs = self.ell_coeffs(mesh)
-        nbr = jnp.take(halo(psi), mesh.cell_nbr, axis=0)
-        off = (_ext(coeffs, nbr) * nbr).sum(axis=1)
+        off = self.offdiag_mv(mesh)(halo(psi))
         h = self.source - off
         for p, bc in zip(mesh.patches, self.boundary_coeffs):
             if p.is_empty or p.size == 0:
                 continue
-            h = h.at[mesh.patch_face_cells(p)].add(bc)
+            h = mesh.add_at_patch_cells(p, h, bc)
         h = h / _ext(mesh.V, h)
         return _extrapolated(mesh, h, self.dims / _VOL_DIMS,
                              f"H({self.psi.name})")
@@ -196,9 +213,7 @@ class FvMatrix:
         from ..parallel.hooks import halo
         psi = self.psi.data
         diag, src = self.component_system(mesh, None)
-        coeffs = self.ell_coeffs(mesh)
-        nbr = jnp.take(halo(psi), mesh.cell_nbr, axis=0)
-        off = (coeffs * nbr).sum(axis=1)
+        off = self.offdiag_mv(mesh)(halo(psi))
         return (diag * psi + off - src) / self.V
 
     def flux(self, mesh: MeshArrays):
@@ -207,17 +222,16 @@ class FvMatrix:
         lower*psi_o; boundary F = ic*psi_c - bc. Scalar matrices only."""
         from ..fields.field import SurfaceField
         from ..parallel.hooks import halo
+        from .fvc import face_own_nei
         psi = self.psi.data
         if psi.ndim > 1:
             raise TypeError("flux() only valid for scalar matrices")
-        own = mesh.owner[:mesh.n_internal]
-        psih = halo(psi)
-        f_int = (self.upper * jnp.take(psih, mesh.neighbour, 0)
-                 - self.lower * jnp.take(psih, own, 0))
+        own_v, nei_v = face_own_nei(mesh, halo(psi))
+        f_int = self.upper * nei_v - self.lower * own_v
         parts = [f_int]
         for p, ic, bc in zip(mesh.patches, self.internal_coeffs,
                              self.boundary_coeffs):
-            psi_c = jnp.take(psi, mesh.patch_face_cells(p), axis=0)
+            psi_c = mesh.patch_cell_values(p, psi)
             parts.append(ic * psi_c - bc)
         return SurfaceField(jnp.concatenate(parts, axis=0), self.dims,
                             f"flux({self.psi.name})")
@@ -229,12 +243,18 @@ class FvMatrix:
         source with the current psi (reference: fvMatrix::relax)."""
         if alpha is None or alpha <= 0 or alpha >= 1.0 - 1e-12:
             return self
-        sum_off = jnp.abs(self.ell_coeffs(mesh)).sum(axis=1)
+        if mesh.structured is not None:
+            from ..mesh import structured as st
+            sum_off = -st.neg_sum_diag(mesh.structured,
+                                       jnp.abs(self.lower),
+                                       jnp.abs(self.upper))
+        else:
+            sum_off = jnp.abs(self.ell_coeffs(mesh)).sum(axis=1)
         for p, ic in zip(mesh.patches, self.internal_coeffs):
             if p.is_empty or p.size == 0:
                 continue
             icc = jnp.abs(ic).mean(axis=-1) if ic.ndim > 1 else jnp.abs(ic)
-            sum_off = sum_off.at[mesh.patch_face_cells(p)].add(icc)
+            sum_off = mesh.add_at_patch_cells(p, sum_off, icc)
         d0 = self.diag
         d = jnp.where(jnp.abs(d0) < sum_off, jnp.sign(d0) * sum_off, d0)
         d = d / alpha
@@ -249,15 +269,11 @@ class FvMatrix:
 
         fix_mask: (nCells,) 1.0 where fixed; values: (nCells,) target.
         """
-        own = mesh.owner[:mesh.n_internal]
-        nei = mesh.neighbour
-        fix_o = jnp.take(fix_mask, own)
-        fix_n = jnp.take(fix_mask, nei)
+        from .fvc import face_own_nei
+        from ..parallel.hooks import halo
+        fix_o, fix_n = face_own_nei(mesh, fix_mask)
         # column elimination into the source: src[c] -= sum_k coeff*val*fix
-        coeffs = self.ell_coeffs(mesh)
-        nbr_fix = jnp.take(fix_mask, mesh.cell_nbr)
-        nbr_val = jnp.take(values, mesh.cell_nbr)
-        col = (coeffs * nbr_fix * nbr_val).sum(axis=1)
+        col = self.offdiag_mv(mesh)(halo(fix_mask * values))
         src = self.source - _ext(col, self.source)
         # fixed rows: source = diag*value
         fm = _ext(fix_mask, src)

@@ -38,9 +38,8 @@ def interpolate_internal(mesh: MeshArrays, vf: VolField, scheme="linear",
         name, args = scheme, ()
     w = lookup("surfaceInterpolation", name)(mesh, vf, phi, *args)
     from ..parallel.hooks import halo
-    data = halo(vf.data)
-    own = jnp.take(data, mesh.owner[:mesh.n_internal], axis=0)
-    nei = jnp.take(data, mesh.neighbour, axis=0)
+    from .fvc import face_own_nei
+    own, nei = face_own_nei(mesh, halo(vf.data))
     if own.ndim > w.ndim:
         w = w.reshape(w.shape + (1,) * (own.ndim - w.ndim))
     return w * own + (1.0 - w) * nei
@@ -103,25 +102,20 @@ def _face_r(mesh: MeshArrays, vf: VolField, phi: SurfaceField) -> jnp.ndarray:
     """
     from . import fvc
     from ..parallel.hooks import halo
-    own = mesh.owner[:mesh.n_internal]
-    nei = mesh.neighbour
-    d = jnp.take(mesh.C, nei, axis=0) - jnp.take(mesh.C, own, axis=0)
+    C_o, C_n = fvc.face_own_nei(mesh, mesh.C)
+    d = C_n - C_o
     g = fvc.grad(mesh, vf)           # scalar->vector, vector->tensor
-    gdata = halo(g.data)
-    vdata = halo(vf.data)
+    g_o, g_n = fvc.face_own_nei(mesh, halo(g.data))
+    v_o, v_n = fvc.face_own_nei(mesh, halo(vf.data))
     upwind_is_owner = phi.data[:mesh.n_internal] >= 0.0
     if vf.data.ndim == 1:
-        gradc = jnp.where(upwind_is_owner[:, None],
-                          jnp.take(gdata, own, axis=0),
-                          jnp.take(gdata, nei, axis=0))
-        dpsi = jnp.take(vdata, nei, axis=0) - jnp.take(vdata, own, axis=0)
+        gradc = jnp.where(upwind_is_owner[:, None], g_o, g_n)
+        dpsi = v_n - v_o
         num = 2.0 * (d * gradc).sum(-1)
         den = dpsi
     else:
-        gradc = jnp.where(upwind_is_owner[:, None, None],
-                          jnp.take(gdata, own, axis=0),
-                          jnp.take(gdata, nei, axis=0))
-        dpsi = jnp.take(vdata, nei, axis=0) - jnp.take(vdata, own, axis=0)
+        gradc = jnp.where(upwind_is_owner[:, None, None], g_o, g_n)
+        dpsi = v_n - v_o
         # contract along components: r scalar per face (reference uses
         # gradcf && udGrad with the d x dpsi outer product)
         num = 2.0 * ((d[:, :, None] * gradc).sum(1) * dpsi).sum(-1)
@@ -202,26 +196,23 @@ def _face_quantities(mesh, vf, phi):
     treatment)."""
     from . import fvc
     from ..parallel.hooks import halo
-    own = mesh.owner[:mesh.n_internal]
-    nei = mesh.neighbour
-    d = jnp.take(mesh.C, nei, axis=0) - jnp.take(mesh.C, own, axis=0)
+    C_o, C_n = fvc.face_own_nei(mesh, mesh.C)
+    d = C_n - C_o
     g = fvc.grad(mesh, vf)
-    gdata = halo(g.data)
-    vdata = halo(vf.data)
+    g_o, g_n = fvc.face_own_nei(mesh, halo(g.data))
+    v_o, v_n = fvc.face_own_nei(mesh, halo(vf.data))
     up = phi.data[:mesh.n_internal] >= 0.0
     if vf.data.ndim == 1:
-        gP = (d * jnp.take(gdata, own, axis=0)).sum(-1)
-        gN = (d * jnp.take(gdata, nei, axis=0)).sum(-1)
-        gradf = jnp.take(vdata, nei, axis=0) \
-            - jnp.take(vdata, own, axis=0)
+        gP = (d * g_o).sum(-1)
+        gN = (d * g_n).sum(-1)
+        gradf = v_n - v_o
     else:
-        dpsi = jnp.take(vdata, nei, axis=0) \
-            - jnp.take(vdata, own, axis=0)
+        dpsi = v_n - v_o
         den = (dpsi * dpsi).sum(-1)
         tiny = jnp.asarray(1e-30, den.dtype)
         den = jnp.where(den < tiny, tiny, den)
-        gPv = (d[:, :, None] * jnp.take(gdata, own, axis=0)).sum(1)
-        gNv = (d[:, :, None] * jnp.take(gdata, nei, axis=0)).sum(1)
+        gPv = (d[:, :, None] * g_o).sum(1)
+        gNv = (d[:, :, None] * g_n).sum(1)
         gP = (gPv * dpsi).sum(-1) / jnp.sqrt(den)
         gN = (gNv * dpsi).sum(-1) / jnp.sqrt(den)
         gradf = jnp.sqrt(den) * jnp.sign((gPv * dpsi).sum(-1) + 1e-30)
@@ -331,11 +322,11 @@ def _harmonic(mesh, vf, phi):
     as owner weight w = b/(a+b) — exact for positive scalars (its use
     case: interface diffusivities)."""
     from ..parallel.hooks import halo
+    from .fvc import face_own_nei
     data = halo(vf.data)
     if data.ndim != 1:
         return mesh.weights  # vectors: fall back to linear
-    a = jnp.take(data, mesh.owner[:mesh.n_internal], axis=0)
-    b = jnp.take(data, mesh.neighbour, axis=0)
+    a, b = face_own_nei(mesh, data)
     s = a + b
     return jnp.where(jnp.abs(s) < 1e-30, 0.5, b / jnp.where(
         jnp.abs(s) < 1e-30, 1.0, s))
@@ -354,22 +345,22 @@ def _clipped_linear(mesh, vf, phi, ratio=0.5):
 def _local_max(mesh, vf, phi):
     """face = max(own, nei) (reference schemes/localMax; scalars)."""
     from ..parallel.hooks import halo
+    from .fvc import face_own_nei
     data = halo(vf.data)
     if data.ndim != 1:
         return mesh.weights
-    a = jnp.take(data, mesh.owner[:mesh.n_internal], axis=0)
-    b = jnp.take(data, mesh.neighbour, axis=0)
+    a, b = face_own_nei(mesh, data)
     return (a >= b).astype(mesh.weights.dtype)
 
 
 @register("surfaceInterpolation", "localMin")
 def _local_min(mesh, vf, phi):
     from ..parallel.hooks import halo
+    from .fvc import face_own_nei
     data = halo(vf.data)
     if data.ndim != 1:
         return mesh.weights
-    a = jnp.take(data, mesh.owner[:mesh.n_internal], axis=0)
-    b = jnp.take(data, mesh.neighbour, axis=0)
+    a, b = face_own_nei(mesh, data)
     return (a <= b).astype(mesh.weights.dtype)
 
 

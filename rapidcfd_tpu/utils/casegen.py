@@ -502,16 +502,19 @@ def cavity_case(case_dir: str, n: int = 20, d: float = 0.1,
                 delta_t: float = 0.005, write_interval: int = 20,
                 p_solver: str = "PCG",
                 u_solver: str = "smoothSolver",
-                p_precond: str = "DIC"):
-    """The icoFoam lid-driven cavity tutorial (BASELINE config 1)."""
-    mesh = box_mesh(n, n, 1, size=(d, d, 0.01), patch_spec={
+                p_precond: str = "DIC", nz: int = 1):
+    """The icoFoam lid-driven cavity tutorial (BASELINE config 1).
+    nz > 1 gives the 3D cavity (front/back become no-slip walls)."""
+    spec = {
         "ymax": ("movingWall", "wall"),
         "xmin": ("fixedWalls", "wall"),
         "xmax": ("fixedWalls", "wall"),
         "ymin": ("fixedWalls", "wall"),
-        "zmin": ("frontAndBack", "empty"),
-        "zmax": ("frontAndBack", "empty"),
-    })
+        "zmin": ("frontAndBack", "empty" if nz == 1 else "wall"),
+        "zmax": ("frontAndBack", "empty" if nz == 1 else "wall"),
+    }
+    mesh = box_mesh(n, n, nz, size=(d, d, 0.01 if nz == 1 else d),
+                    patch_spec=spec)
     write_polymesh(mesh, case_dir)
 
     _write(os.path.join(case_dir, "system", "controlDict"),
@@ -587,11 +590,16 @@ PISO
            foamfile_header("dictionary", "transportProperties", "constant"),
            f"\nnu              nu [ 0 2 -1 0 0 0 0 ] {nu};\n")
 
+    fb_p = ("        type            empty;\n" if nz == 1 else
+            "        type            zeroGradient;\n")
+    fb_u = ("        type            empty;\n" if nz == 1 else
+            "        type            fixedValue;\n"
+            "        value           uniform (0 0 0);\n")
     write_field(case_dir, "0", "p", "volScalarField", "[0 2 -2 0 0 0 0]",
                 "uniform 0", {
                     "movingWall": "        type            zeroGradient;\n",
                     "fixedWalls": "        type            zeroGradient;\n",
-                    "frontAndBack": "        type            empty;\n",
+                    "frontAndBack": fb_p,
                 })
     write_field(case_dir, "0", "U", "volVectorField", "[0 1 -1 0 0 0 0]",
                 "uniform (0 0 0)", {
@@ -601,7 +609,7 @@ PISO
                     "fixedWalls":
                         "        type            fixedValue;\n"
                         "        value           uniform (0 0 0);\n",
-                    "frontAndBack": "        type            empty;\n",
+                    "frontAndBack": fb_u,
                 })
     return mesh
 

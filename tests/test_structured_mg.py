@@ -150,8 +150,7 @@ def test_structured_pcg_fast_convergence(cavity64):
         m = m.replace(source=(b - b.mean()) * mesh.V)
         x, perf = S.solve_component(mesh, m, None, c)
         diag, src = m.component_system(mesh, None)
-        ell = m.ell_coeffs(mesh)
-        am = S._amul_fn(mesh, ell, diag)
+        am = S._amul_fn(mesh, m, diag)
         return x, perf, jnp.abs(src - am(x)).max()
 
     x, perf, rmax = f(b)
