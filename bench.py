@@ -23,7 +23,7 @@ import time
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=96,
+    ap.add_argument("--n", type=int, default=384,
                     help="cavity cells per side (n*n mesh, or n^3/4 3D)")
     ap.add_argument("--three-d", action="store_true",
                     help="3D cavity (n x n x n/4 cells)")
@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--p-precond", default="GAMG",
                     help="pressure preconditioner (GAMG = one V-cycle)")
     ap.add_argument("--u-solver", default="PBiCGStab")
+    ap.add_argument("--u-precond", default="DILU",
+                    help="momentum preconditioner (AINV alias; GAMG = "
+                         "one V-cycle, pays off on stiff/fine meshes)")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of one window")
     args = ap.parse_args()
@@ -59,7 +62,7 @@ def main():
     nz = max(args.n // 4, 1) if args.three_d else 1
     cavity_case(d, n=args.n, nz=nz, delta_t=dt, end_time=1e9,
                 p_solver=args.p_solver, u_solver=args.u_solver,
-                p_precond=args.p_precond)
+                p_precond=args.p_precond, u_precond=args.u_precond)
 
     case = Case(d)
     tp = case.transport_properties()

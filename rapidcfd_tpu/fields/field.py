@@ -123,6 +123,10 @@ class VolField:
     name: str = dataclasses.field(default="", metadata=dict(static=True))
     bcdata: tuple = ()         # per-patch pytrees of BC parameter arrays
     old: Optional["VolField"] = None
+    # CrankNicolson ddt state (reference: CrankNicolsonDdtScheme.H DDt0Field):
+    # (ddt0_data, ddt0_bvalues, steps_completed) advanced once per step by
+    # fvm.cn_advance; None for fields not integrated with CN
+    ddt0: Optional[tuple] = None
 
     # -- structure helpers ---------------------------------------------------
     def replace(self, **kw) -> "VolField":

@@ -260,13 +260,19 @@ def _pbicgstab(mesh, amul, m, diag, source, psi0, c: SolverControls):
     r0 = source - apsi
     rr0 = r0  # shadow residual
     res0 = gsum(jnp.abs(r0)) / nf
+    # same fp32 stagnation guard as _pcg: an absolute tolerance below
+    # the fp32 floor must not spin the loop to maxIter
+    stall = 25 if psi0.dtype == jnp.float32 else c.max_iter
 
     def cond(carry):
-        psi, r, p, v, rho_o, alpha_o, omega_o, it, res = carry
-        return (~_converged(res, res0, c, it)) & (it < c.max_iter)
+        (psi, r, p, v, rho_o, alpha_o, omega_o, it, res,
+         best, since_best) = carry
+        return (~_converged(res, res0, c, it)) & (it < c.max_iter) \
+            & (since_best < stall)
 
     def body(carry):
-        psi, r, p, v, rho_o, alpha_o, omega_o, it, res = carry
+        (psi, r, p, v, rho_o, alpha_o, omega_o, it, res,
+         best, since_best) = carry
         rho = gsum(rr0 * r)
         beta = (rho / jnp.where(rho_o == 0.0, _SMALL, rho_o)) \
             * (alpha_o / jnp.where(omega_o == 0.0, _SMALL, omega_o))
@@ -283,11 +289,16 @@ def _pbicgstab(mesh, amul, m, diag, source, psi0, c: SolverControls):
         psi = psi + alpha * ph + omega * sh
         r = s - omega * t
         res = gsum(jnp.abs(r)) / nf
-        return psi, r, p, v, rho, alpha, omega, it + 1, res
+        improved = jnp.any(res < 0.999 * best)
+        best = jnp.minimum(best, res)
+        since_best = jnp.where(improved, 0, since_best + 1)
+        return (psi, r, p, v, rho, alpha, omega, it + 1, res,
+                best, since_best)
 
     init = (psi0, r0, jnp.zeros_like(psi0), jnp.zeros_like(psi0),
             jnp.ones_like(res0), jnp.ones_like(res0),
-            jnp.ones_like(res0), jnp.asarray(0, jnp.int32), res0)
+            jnp.ones_like(res0), jnp.asarray(0, jnp.int32), res0,
+            res0, jnp.asarray(0, jnp.int32))
     out = lax.while_loop(cond, body, init)
     psi, r, it, res = out[0], out[1], out[7], out[8]
     return psi, (res0, res, it)

@@ -45,17 +45,91 @@ def _neg_sum_diag(mesh: MeshArrays, lower, upper):
 # time derivatives
 # ---------------------------------------------------------------------------
 
+def cn_advance(mesh: MeshArrays, vf: VolField, dt, dt0=None,
+               oc_coeff: float = 1.0, coeff=None) -> VolField:
+    """Advance the CrankNicolson ddt0 state ONCE per timestep (call right
+    after store_old; reference: CrankNicolsonDdtScheme evaluate(ddt0) at
+    CrankNicolsonDdtScheme.C:417 — ddt0 = rDtCoef0*(psi0 - psi00) -
+    ocCoeff*ddt0_prev, with the startup Euler blending via coef0).
+
+    dt0 is the previous step size (defaults to dt). With coeff (rho),
+    the state tracks d(rho*psi)/dt (reference :507)."""
+    import jax.numpy as jnp_
+    if vf.old is None:
+        return vf          # nothing to advance before the first step
+    if dt0 is None:
+        dt0 = dt
+    gamma = float(oc_coeff)
+    if vf.ddt0 is None:
+        z = jnp_.zeros_like(vf.data)
+        zb = jnp_.zeros_like(vf.bvalues)
+        steps = jnp_.asarray(0, jnp_.int32)
+        prev_d, prev_b = z, zb
+    else:
+        prev_d, prev_b, steps = vf.ddt0
+    if vf.old.old is None:
+        # still inside the first step: keep zeros, count the step
+        return vf.replace(ddt0=(prev_d, prev_b, steps + 1))
+    coef0 = jnp_.where(steps > 1, 1.0 + gamma, 1.0)
+    if coeff is None:
+        d_old = vf.old.data - vf.old.old.data
+        b_old = vf.old.bvalues - vf.old.old.bvalues
+    else:
+        d_old = coeff.old.data * vf.old.data \
+            - coeff.old.old.data * vf.old.old.data
+        b_old = coeff.old.bvalues * vf.old.bvalues \
+            - coeff.old.old.bvalues * vf.old.old.bvalues
+    rdt0 = coef0 / dt0
+    new_d = rdt0 * d_old - gamma * prev_d
+    new_b = rdt0 * b_old - gamma * prev_b
+    return vf.replace(ddt0=(new_d, new_b, steps + 1))
+
+
 def ddt(mesh: MeshArrays, vf: VolField, dt, scheme: str = "Euler",
         coeff=None) -> FvMatrix:
     """fvm::ddt / fvm::ddt(rho, psi) (reference: finiteVolume/ddtSchemes
     EulerDdtScheme::fvmDdt forms). dt is a runtime scalar (trace-safe:
     changing dt does not recompile). coeff is an optional density-like
     VolField (must carry its own old level)."""
+    oc = 1.0
+    if isinstance(scheme, tuple) and scheme and scheme[0] in (
+            "CrankNicolson", "CrankNicholson"):
+        oc = float(scheme[1]) if len(scheme) > 1 else 1.0
+        scheme = "CrankNicolson"
     c_dims = coeff.dims if coeff is not None else DimensionSet()
     m = FvMatrix.zeros(mesh, vf, c_dims * vf.dims * _VOL / _TIME,
                        symmetric=True)
     if scheme == "steadyState":
         return m
+    if scheme in ("CrankNicolson", "CrankNicholson"):
+        # true CN (reference: CrankNicolsonDdtScheme.C:713-795 fvmDdt):
+        # diag = coef/dt * V (coef = 1+ocCoeff after startup), source =
+        # (coef/dt * psi0 [rho0] + ocCoeff*ddt0) * V; ddt0 advanced by
+        # cn_advance. Falls back to Euler while no state is attached.
+        import jax.numpy as jnp_
+        if vf.old is None:
+            raise ValueError(f"ddt({vf.name}): no old-time field stored")
+        if vf.ddt0 is None:
+            return ddt(mesh, vf, dt, "Euler", coeff)
+        # steps counts completed cn_advance calls (== current step
+        # number); the first step is pure Euler (reference coef_ guard)
+        ddt0_d, _, steps = vf.ddt0
+        coef = jnp_.where(steps > 1, 1.0 + oc, 1.0)
+        rdt = coef / dt
+        if coeff is None:
+            diag = mesh.V * rdt
+            src = _ext(mesh.V, vf.old.data) * (
+                rdt * vf.old.data + oc * ddt0_d)
+        else:
+            if coeff.old is None:
+                raise ValueError(
+                    f"ddt({coeff.name},{vf.name}): coefficient has no "
+                    f"old-time level")
+            diag = mesh.V * rdt * coeff.data
+            src = _ext(mesh.V, vf.old.data) * (
+                _ext(rdt * coeff.old.data, vf.old.data)
+                * vf.old.data + oc * ddt0_d)
+        return m.replace(diag=diag, source=src)
     if scheme in ("Euler", "localEuler", "CoEuler", "SLTS"):
         # localEuler/CoEuler/SLTS (reference: localEulerDdtScheme.C,
         # CoEulerDdtScheme, SLTSDdtScheme) share the Euler stencil with a
@@ -76,23 +150,29 @@ def ddt(mesh: MeshArrays, vf: VolField, dt, scheme: str = "Euler",
             src = _ext(mesh.V * rdt * coeff.old.data, vf.old.data) \
                 * vf.old.data
         return m.replace(diag=diag, source=src)
-    if coeff is not None:
-        raise NotImplementedError(
-            f"ddt(coeff, psi) only supports Euler/steadyState, got "
-            f"'{scheme}'")
-    if scheme in ("backward", "CrankNicolson", "CrankNicholson"):
-        # 2nd order: (3/2 psi - 2 psi0 + 1/2 psi00)/dt (equal-step form).
-        # CrankNicolson maps here: the reference's CN carries a stored
-        # ddt0 state (CrankNicolsonDdtScheme.C) which the stateless
-        # field pytree does not; backward is the same formal order with
-        # stronger damping (the reference's ocCoeff<1 blends the same
-        # direction)
+    if scheme == "backward":
+        # 2nd order: (3/2 psi - 2 psi0 + 1/2 psi00)/dt (equal-step form;
+        # reference backwardDdtScheme.C — the deltaT/deltaT0 general
+        # coefficients reduce to 3/2, 2, 1/2 at constant dt, which is
+        # how every transient solver here advances)
         if vf.old is None or vf.old.old is None:
-            return ddt(mesh, vf, dt, "Euler")
+            return ddt(mesh, vf, dt, "Euler", coeff)
         rdt = 1.0 / dt
-        diag = 1.5 * mesh.V * rdt
-        vrdt = _ext(mesh.V * rdt, vf.old.data)
-        src = 2.0 * vrdt * vf.old.data - 0.5 * vrdt * vf.old.old.data
+        if coeff is None:
+            diag = 1.5 * mesh.V * rdt
+            vrdt = _ext(mesh.V * rdt, vf.old.data)
+            src = 2.0 * vrdt * vf.old.data - 0.5 * vrdt * vf.old.old.data
+            return m.replace(diag=diag, source=src)
+        # coefficient form (reference backwardDdtScheme::fvmDdt(rho,vf)):
+        # diag = 3/2 rho V/dt, source = (2 rho0 psi0 - 1/2 rho00 psi00)V/dt
+        if coeff.old is None or coeff.old.old is None:
+            return ddt(mesh, vf, dt, "Euler", coeff)
+        diag = 1.5 * mesh.V * rdt * coeff.data
+        vrdt = mesh.V * rdt
+        src = _ext(2.0 * vrdt * coeff.old.data, vf.old.data) \
+            * vf.old.data \
+            - _ext(0.5 * vrdt * coeff.old.old.data, vf.old.old.data) \
+            * vf.old.old.data
         return m.replace(diag=diag, source=src)
     raise ValueError(f"unknown ddtScheme '{scheme}'")
 

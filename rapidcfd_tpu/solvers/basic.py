@@ -29,9 +29,14 @@ def run_laplacian_foam(case_dir: str, write: bool = True,
     ddt_scheme = case.ddt_scheme()
     simple = SimpleControl(case)
 
+    cn = isinstance(ddt_scheme, tuple) \
+        and ddt_scheme[0] == "CrankNicolson"
+
     @jax.jit
     def step(T, dt):
-        T = T.store_old()
+        T = T.store_old(levels=2 if cn else 1)
+        if cn:
+            T = fvm.cn_advance(mesh, T, dt, dt, ddt_scheme[1])
         eqn = fvm.ddt(mesh, T, dt, ddt_scheme) \
             - fvm.laplacian(mesh, DT, T, lap_corr)
         for _ in range(simple.n_non_orth + 1):
@@ -71,9 +76,14 @@ def run_scalar_transport_foam(case_dir: str, write: bool = True,
     ddt_scheme = case.ddt_scheme()
     simple = SimpleControl(case)
 
+    cn = isinstance(ddt_scheme, tuple) \
+        and ddt_scheme[0] == "CrankNicolson"
+
     @jax.jit
     def step(T, phi, dt):
-        T = T.store_old()
+        T = T.store_old(levels=2 if cn else 1)
+        if cn:
+            T = fvm.cn_advance(mesh, T, dt, dt, ddt_scheme[1])
         for _ in range(simple.n_non_orth + 1):
             eqn = (fvm.ddt(mesh, T, dt, ddt_scheme)
                    + fvm.div(mesh, phi, T, div_scheme)

@@ -80,10 +80,18 @@ class Case:
                                        name))
 
     # -- fvSchemes resolution ------------------------------------------------------
-    def ddt_scheme(self) -> str:
+    def ddt_scheme(self):
+        """ddtSchemes.default — a word, or ('CrankNicolson', ocCoeff)
+        for the off-centred CN spec (reference:
+        CrankNicolsonDdtScheme.H ocCoeff_ ctor)."""
         d = self.fv_schemes.subdict("ddtSchemes")
         s = d.lookup("default", "Euler")
-        return s if isinstance(s, str) else s[0]
+        if isinstance(s, str):
+            return s
+        if s and s[0] in ("CrankNicolson", "CrankNicholson"):
+            return ("CrankNicolson",
+                    float(s[1]) if len(s) > 1 else 1.0)
+        return s[0]
 
     def div_scheme(self, key: str):
         """Resolve e.g. div(phi,U) -> interpolation scheme spec."""

@@ -49,9 +49,14 @@ def make_step(case: Case, transport, turb, ctrl, piso_mode: bool,
     p_ref_cell, p_ref_value = ctrl.p_ref_cell, ctrl.p_ref_value
     momentum_predictor = ctrl.momentum_predictor
 
+    cn = isinstance(ddt_scheme, tuple) \
+        and ddt_scheme[0] == "CrankNicolson"
+
     @jax.jit
     def step(U: VolField, p: VolField, phi: SurfaceField, turb_state, dt):
-        U = U.store_old()
+        U = U.store_old(levels=2 if cn else 1)
+        if cn:
+            U = fvm.cn_advance(mesh, U, dt, dt, ddt_scheme[1])
         nu = transport.nu(mesh, U)
 
         u_perf = None

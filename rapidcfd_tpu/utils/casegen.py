@@ -502,7 +502,8 @@ def cavity_case(case_dir: str, n: int = 20, d: float = 0.1,
                 delta_t: float = 0.005, write_interval: int = 20,
                 p_solver: str = "PCG",
                 u_solver: str = "smoothSolver",
-                p_precond: str = "DIC", nz: int = 1):
+                p_precond: str = "DIC", nz: int = 1,
+                u_precond: str = "DILU"):
     """The icoFoam lid-driven cavity tutorial (BASELINE config 1).
     nz > 1 gives the 3D cavity (front/back become no-slip walls)."""
     spec = {
@@ -573,7 +574,8 @@ solvers
     {{
         solver          {u_solver};
         smoother        symGaussSeidel;
-        preconditioner  DILU;
+        preconditioner  {u_precond};
+        vCycleScale     1.0;
         tolerance       1e-05;
         relTol          0;
     }}
