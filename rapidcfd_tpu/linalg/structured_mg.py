@@ -48,7 +48,8 @@ def structured_info(mesh):
         return hit[1]
     info = band_info(mesh)
     res = None
-    if info is not None and info["mode"] == "dia":
+    if (info is not None and info["mode"] == "dia"
+            and not len(info.get("ovf_rows", ()))):
         n = info["n"]
         offs = sorted(o for o in info["offsets"] if o > 0)
         neg = sorted(-o for o in info["offsets"] if o < 0)

@@ -21,19 +21,22 @@ from ..utils.timecontrol import Time
 
 class Case:
     def __init__(self, case_dir: str, renumber: bool = True, dtype=None,
-                 region: str = "", time: "Time | None" = None):
+                 region: str = "", time: "Time | None" = None,
+                 pmesh=None):
         """region selects a multi-region sub-case (reference:
         chtMultiRegionFoam per-region meshes at constant/<region>/
         polyMesh, fields at <time>/<region>/, dictionaries at
         system/<region>/); a shared Time may be injected so all
-        regions advance together."""
+        regions advance together. pmesh injects an in-memory PolyMesh
+        (million-cell benches skip the ascii mesh round-trip)."""
         self.dir = case_dir
         self.region = region
         self.time = time if time is not None else Time(case_dir)
         info(f"Create time\n\nCreate mesh"
              f"{f' for region {region}' if region else ''} "
              f"for time = {self.time.name}\n")
-        pmesh = read_polymesh(case_dir, region)
+        if pmesh is None:
+            pmesh = read_polymesh(case_dir, region)
         self.mesh, self.pmesh, self.maps = build_mesh_arrays(
             pmesh, renumber=renumber, dtype=dtype)
         self.fv_schemes = parse_file(
