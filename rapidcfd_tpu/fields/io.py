@@ -20,10 +20,41 @@ from ..utils.dimensions import DimensionSet
 from .bcs import Calculated, make_bc
 from .field import VolField
 
+#: per-face keys broadcast to patch size (legacy explicit list; all other
+#: numeric entries are captured generically as scalars/vectors/tables)
 _BC_DATA_KEYS = ("value", "gradient", "refValue", "refGradient",
                  "valueFraction", "inletValue", "outletValue", "p0",
                  "volumetricFlowRate", "uniformValue", "freestreamValue",
                  "emissivity")
+
+#: word entries stored as 0/1 switches so they stay jit-safe pytree leaves
+_BC_SWITCH_KEYS = ("relative",)
+
+#: entries that are configuration words consumed by from_dict, not data
+_BC_WORD_KEYS = ("type", "mode", "patchType", "neighbourPatch")
+
+
+def _capture_bc_entry(entry, dtype):
+    """Convert a numeric dictionary entry to an array: scalars -> 0-d,
+    `(x y z)` -> (3,), `table ((t v)...)` -> (times, values) pair.
+    Returns None for word/unparseable entries (skipped)."""
+    npdt = np.dtype(str(np.dtype(dtype)))
+    if isinstance(entry, (int, float)):
+        return np.asarray(float(entry), npdt)
+    if isinstance(entry, list):
+        try:
+            return np.asarray(entry, npdt)
+        except (TypeError, ValueError):
+            return None
+    if isinstance(entry, tuple) and entry and entry[0] == "table":
+        rows = entry[1]
+        try:
+            times = np.asarray([r[0] for r in rows], npdt)
+            vals = np.asarray([r[1] for r in rows], npdt)
+        except (TypeError, ValueError, IndexError):
+            return None
+        return ("table", times, vals)
+    return None
 
 
 def _parse_value(entry, n: int, dtype):
@@ -83,30 +114,110 @@ def read_vol_field(case_dir: str, time: str, name: str, mesh: MeshArrays,
             raise KeyError(f"field {name}: no boundaryField entry for "
                            f"patch '{patch.name}'")
         bc_type = pd.word("type")
-        bc = make_bc(bc_type, i)
+        if bc_type == "uniformFixedValue" and isinstance(
+                pd.lookup("uniformValue"), tuple) and \
+                pd.lookup("uniformValue")[0] == "table":
+            bc_type = "timeVaryingUniformFixedValue"
+        bc = make_bc(bc_type, i, pd)
         bd = {}
         for key in _BC_DATA_KEYS:
             if pd.lookup(key) is not None:
-                v = _parse_value(pd.lookup(key), patch.size, dtype)
+                try:
+                    v = _parse_value(pd.lookup(key), patch.size, dtype)
+                except ValueError:
+                    continue  # e.g. `uniformValue table (...)`: generic
                 bd[key] = jnp.asarray(v)
         # Switch-valued entries (yes/no words) stored as 0/1 scalars so
         # they stay jit-safe pytree leaves
-        for key in ("relative",):
+        for key in _BC_SWITCH_KEYS:
             if pd.lookup(key) is not None:
                 w = pd.word(key)
                 bd[key] = jnp.asarray(
                     1.0 if w in ("yes", "true", "on", "1") else 0.0,
                     dtype)
+        # generic numeric capture: scalar/vector/table parameters
+        # (origin, axis, omega, intensity, lInf, ...) without a fixed
+        # key list
+        for key in pd:
+            if key in bd or key in _BC_WORD_KEYS or key in _BC_SWITCH_KEYS:
+                continue
+            cap = _capture_bc_entry(pd.lookup(key), dtype)
+            if cap is None:
+                continue
+            if isinstance(cap, tuple) and cap[0] == "table":
+                bd["table_times"] = jnp.asarray(cap[1])
+                bd["table_values"] = jnp.asarray(cap[2])
+            else:
+                bd[key] = jnp.asarray(cap)
+        if bc_type == "timeVaryingMappedFixedValue":
+            _load_boundary_data(case_dir, name, patch, mesh, bd, dtype)
         bcs.append(bc)
         bcdata.append(bd)
         if "value" in bd:
-            bvalues[patch.bstart:patch.bstart + patch.size] =                 np.asarray(bd["value"])
+            bvalues[patch.bstart:patch.bstart + patch.size] = \
+                np.broadcast_to(np.asarray(bd["value"]),
+                                bvalues[patch.bstart:patch.bstart
+                                        + patch.size].shape)
 
     f = VolField(jnp.asarray(data), jnp.asarray(bvalues), tuple(bcs),
                  dims, name, tuple(bcdata))
     # one jitted program instead of ~3 eager ops per patch
     import jax as _jax
     return _jax.jit(lambda ff: ff.correct_boundary_conditions(mesh))(f)
+
+
+def _read_raw_numbers(path: str) -> np.ndarray:
+    """Parse a boundaryData-style raw file: comments stripped, all
+    numbers extracted in order (reference: timeVaryingMappedFixedValue
+    reads constant/boundaryData/<patch>/{points,<time>/<field>})."""
+    import re
+    with open(path) as f:
+        text = f.read()
+    text = re.sub(r"/\*.*?\*/", " ", text, flags=re.S)
+    text = re.sub(r"//[^\n]*", " ", text)
+    # drop a FoamFile header dict if present
+    text = re.sub(r"FoamFile\s*\{[^}]*\}", " ", text, flags=re.S)
+    nums = re.findall(r"[-+]?\d+\.?\d*(?:[eE][-+]?\d+)?", text)
+    return np.asarray([float(v) for v in nums])
+
+
+def _load_boundary_data(case_dir, field_name, patch, mesh, bd, dtype):
+    """Fill bd['tvm_times'/'tvm_values'] for timeVaryingMappedFixedValue
+    from constant/boundaryData/<patch>/; nearest-point mapping from the
+    sample points to the patch face centres."""
+    root = os.path.join(case_dir, "constant", "boundaryData", patch.name)
+    if not os.path.isdir(root):
+        return
+    pts = _read_raw_numbers(os.path.join(root, "points"))
+    n_pts = pts.size // 3
+    pts = pts[:n_pts * 3].reshape(n_pts, 3)
+    # leading count token (if the file had `N ( ... )`) makes size 3n+1
+    if pts.shape[0] * 3 != _read_raw_numbers(
+            os.path.join(root, "points")).size:
+        raw = _read_raw_numbers(os.path.join(root, "points"))
+        pts = raw[1:1 + (raw.size - 1) // 3 * 3].reshape(-1, 3)
+    times = sorted(
+        (float(d), d) for d in os.listdir(root)
+        if os.path.isdir(os.path.join(root, d))
+        and os.path.isfile(os.path.join(root, d, field_name)))
+    if not times:
+        return
+    cf = np.asarray(mesh.patch_cf(patch))
+    from scipy.spatial import cKDTree
+    _, nearest = cKDTree(pts).query(cf)
+    stacked = []
+    for _, dname in times:
+        raw = _read_raw_numbers(os.path.join(root, dname, field_name))
+        if raw.size >= pts.shape[0] * 3:  # vector samples
+            vals = raw[-pts.shape[0] * 3:].reshape(-1, 3)
+        else:
+            vals = raw[-pts.shape[0]:]
+        stacked.append(vals[nearest])
+    bd["tvm_times"] = jnp.asarray(
+        np.asarray([t for t, _ in times], dtype=np.dtype(str(np.dtype(
+            dtype)))))
+    bd["tvm_values"] = jnp.asarray(np.stack(stacked).astype(
+        np.dtype(str(np.dtype(dtype)))))
 
 
 def _fmt_scalar(v: float, prec: int = 8) -> str:
@@ -148,18 +259,28 @@ def write_vol_field(field: VolField, case_dir: str, time: str,
         word_of.setdefault(c, w)
     bvals = np.asarray(field.bvalues)
     for bc, bd in zip(field.bcs, field.bcdata):
+        if not isinstance(bd, dict):  # fields built with () placeholders
+            bd = {}
         patch = mesh.patches[bc.patch]
-        w = word_of.get(type(bc), "calculated")
+        w = getattr(bc, "word", None) or word_of.get(type(bc), "calculated")
         lines.append(f"    {patch.name}\n    {{\n"
                      f"        type            {w};\n")
         pb = bvals[patch.bstart:patch.bstart + patch.size]
         if isinstance(bc, Calculated) or "value" in bd:
             lines.append(f"        value           {_body_value(pb, prec)};\n")
-        for key in _BC_DATA_KEYS:
-            if key == "value" or key not in bd:
+        for key, v in bd.items():
+            if key == "value" or key.startswith(("tvm_", "table_")):
                 continue
-            lines.append(f"        {key}          "
-                         f" {_body_value(np.asarray(bd[key]), prec)};\n")
+            arr = np.asarray(v)
+            if arr.ndim == 0:
+                body = _fmt_scalar(float(arr), prec)
+            elif arr.ndim == 1 and arr.shape[0] == 3 \
+                    and patch.size != 3:
+                body = "(" + " ".join(
+                    _fmt_scalar(float(x), prec) for x in arr) + ")"
+            else:
+                body = _body_value(arr, prec)
+            lines.append(f"        {key}           {body};\n")
         lines.append("    }\n")
     lines.append("}\n")
     path = os.path.join(case_dir, time, field.name)

@@ -1353,3 +1353,30 @@ mixture
                     "[0 1 -1 0 0 0 0]", "uniform (0 0 0)",
                     {"walls": noslip, "frontAndBack": emp})
     return mesh
+
+
+def wedge_mesh(nx: int = 10, nr: int = 12, r0: float = 0.5,
+               r1: float = 1.5, length: float = 1.0,
+               angle_deg: float = 5.0) -> PolyMesh:
+    """Axisymmetric wedge mesh about the x-axis: one cell thick in the
+    circumferential direction with `wedge` front/back patches (reference
+    mesh form consumed by wedgePolyPatch, SURVEY §2.3; the annulus
+    [r0, r1] avoids collapsed axis faces). Patches: inner (r=r0),
+    outer (r=r1), left (x=0), right (x=length), front/back (wedge)."""
+    m = box_mesh(nx, nr, 1, size=(length, r1 - r0, 1.0),
+                 origin=(0.0, r0, 0.0),
+                 patch_spec={
+                     "xmin": ("left", "patch"),
+                     "xmax": ("right", "patch"),
+                     "ymin": ("inner", "patch"),
+                     "ymax": ("outer", "patch"),
+                     "zmin": ("front", "wedge"),
+                     "zmax": ("back", "wedge")})
+    pts = m.points.copy()
+    theta = np.deg2rad(angle_deg)
+    r = pts[:, 1].copy()
+    phi = (pts[:, 2] - 0.5) * theta
+    pts[:, 1] = r * np.cos(phi)
+    pts[:, 2] = r * np.sin(phi)
+    return PolyMesh(pts, m.face_points, m.face_offsets, m.owner,
+                    m.neighbour, m.patches)
