@@ -33,11 +33,19 @@ from ..mesh.mesharrays import MeshArrays, build_ell
 _HIERARCHY_CACHE: dict = {}
 
 
+import dataclasses as _dc
+
+
+@jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class Level:
-    """Static maps from a fine level to its coarse level."""
-    n_coarse: int
-    n_coarse_faces: int
+    """Static maps from a fine level to its coarse level.
+
+    Registered as a pytree (arrays = data, sizes = static metadata) so
+    stacked per-shard hierarchies pass through shard_map for the
+    distributed block-GAMG preconditioner (the TPU re-founding of the
+    reference's processorGAMGInterface per-level halo machinery:
+    src/OpenFOAM/matrices/lduMatrix/solvers/GAMG/interfaces/)."""
     restrict_addr: jnp.ndarray    # (nc_fine,) coarse cell of fine cell
     face_coarse: jnp.ndarray      # (nif,) coarse face id (nfc if internal)
     face_flip: jnp.ndarray        # (nif,) 1.0 if fine owner/nei swapped
@@ -54,8 +62,10 @@ class Level:
     face_children: jnp.ndarray    # (nfc, Kfc) fine faces, pad=nif
     face_child_flip: jnp.ndarray  # (nfc, Kfc) 1.0 where owner/nei swap
     int_faces: jnp.ndarray        # (ncc, Kif) collapsed faces, pad=nif
-    n_fine: int
-    n_fine_faces: int
+    n_coarse: int = _dc.field(metadata=dict(static=True), default=0)
+    n_coarse_faces: int = _dc.field(metadata=dict(static=True), default=0)
+    n_fine: int = _dc.field(metadata=dict(static=True), default=0)
+    n_fine_faces: int = _dc.field(metadata=dict(static=True), default=0)
 
 
 def _pair_agglomerate(own: np.ndarray, nei: np.ndarray,
@@ -140,7 +150,22 @@ def build_hierarchy(mesh: MeshArrays, n_coarsest: int = 32,
     own = np.asarray(mesh.owner)[:mesh.n_internal].astype(np.int64)
     nei = np.asarray(mesh.neighbour).astype(np.int64)
     weights = np.asarray(mesh.mag_sf)[:mesh.n_internal].astype(float)
-    nc = mesh.n_cells
+    levels, _ = _graph_hierarchy(own, nei, weights, mesh.n_cells,
+                                 n_coarsest, max_levels, merge_levels)
+    _HIERARCHY_CACHE[key] = (mesh.ell_coeff_idx, levels)
+    return levels
+
+
+def _graph_hierarchy(own, nei, weights, nc, n_coarsest=32, max_levels=20,
+                     merge_levels=1, fine_cells=None, fine_faces=None,
+                     face_ids=None):
+    """Agglomeration hierarchy over an arbitrary (own, nei, weights)
+    graph. For subgraphs (distributed owned blocks), fine_cells /
+    fine_faces give the FULL fine-level array sizes (pad targets) and
+    face_ids maps subgraph face index -> full face index; level-0
+    gather addressing is remapped so the V-cycle runs directly on the
+    full-size fine arrays. Returns (levels, (own, nei, weights, nc)) —
+    the final coarse graph, for identity-level padding."""
     levels: list[Level] = []
 
     while nc > n_coarsest and len(levels) < max_levels:
@@ -223,11 +248,26 @@ def build_hierarchy(mesh: MeshArrays, n_coarsest: int = 32,
         else:
             ifc = np.full((ncc, 1), own.size, dtype=np.int64)
 
+        n_fine_c, n_fine_f = int(nc), int(own.size)
+        rest = coarse
+        if not levels and fine_cells is not None:
+            # level 0 of a subgraph: remap gather addressing onto the
+            # FULL fine arrays (cells 0..nc are the owned block prefix;
+            # faces via face_ids), pads -> full sizes
+            n_fine_c, n_fine_f = int(fine_cells), int(fine_faces)
+            children = np.where(children == nc, n_fine_c, children)
+            fids = np.concatenate(
+                [face_ids.astype(np.int64), [n_fine_f]])
+            fch = fids[np.minimum(fch, own.size)]
+            ifc = fids[np.minimum(ifc, own.size)]
+            rest = np.full(fine_cells, ncc, dtype=np.int64)
+            rest[:nc] = coarse
+
         # NOTE: stored as numpy so the cached hierarchy is trace-free
         # (jnp constants created inside a jit trace must not be cached)
         levels.append(Level(
             n_coarse=ncc, n_coarse_faces=nfc,
-            restrict_addr=coarse.astype(np.int32),
+            restrict_addr=rest.astype(np.int32),
             face_coarse=face_coarse.astype(np.int32),
             face_flip=flip.astype(np.float32),
             face_cell=np.where(internal, co, 0).astype(np.int32),
@@ -239,13 +279,12 @@ def build_hierarchy(mesh: MeshArrays, n_coarsest: int = 32,
             face_children=fch.astype(np.int32),
             face_child_flip=ffl.astype(np.float32),
             int_faces=ifc.astype(np.int32),
-            n_fine=int(nc),
-            n_fine_faces=int(own.size),
+            n_fine=n_fine_c,
+            n_fine_faces=n_fine_f,
         ))
         own, nei, weights, nc = c_own, c_nei, c_w, ncc
 
-    _HIERARCHY_CACHE[key] = (mesh.ell_coeff_idx, levels)
-    return levels
+    return levels, (own, nei, weights, int(nc))
 
 
 def _seg_sum(x, ids, n):
@@ -349,7 +388,23 @@ def make_vcycle(mesh: MeshArrays, m, amul_fine, diag, controls,
     agglomeration hierarchy. scale_correction=False yields a LINEAR
     operator usable as a Krylov preconditioner (the <c,r>/<c,Ac>
     line-search scaling is nonlinear)."""
-    from .solvers import gsum
+    # distributed: a pre-built per-shard block hierarchy installed by
+    # the parallel layer (hooks) — local V-cycles on the masked owned
+    # block, i.e. a block-Jacobi/Schwarz preconditioner whose outer
+    # Krylov stays global through the halo/psum hooks (the TPU answer
+    # to the reference's processorGAMGInterface per-level comms)
+    from ..parallel import hooks as _ph
+    blk = _ph.gamg_block()
+    if blk is not None:
+        # level 0 keeps the GLOBAL fine operator (halo-refreshed gathers,
+        # so smoothing and residuals see cut-face coupling and the cycle
+        # converges to the global solution); only the coarse correction
+        # is block-local. Restriction gathers owned rows only, and
+        # corr_mask pins ghost rows of the prolonged correction to zero.
+        levels_loc, own_mask = blk
+        return _vcycle_from_levels(
+            levels_loc, diag, m.lower, m.upper, amul_fine, controls,
+            scale_correction, fixed_scale, corr_mask=own_mask)
 
     # structured natural-ordering grids take the gather-free geometric
     # path (reshape restrict/prolong + DIA level Amuls) — ~30x cheaper
@@ -370,7 +425,19 @@ def make_vcycle(mesh: MeshArrays, m, amul_fine, diag, controls,
     except jax.errors.TracerArrayConversionError as e:
         raise NotImplementedError(
             "GAMG requires the mesh as a trace-time constant (single-chip "
-            "path); use PCG/PBiCGStab in distributed runs for now") from e
+            "path); install a block hierarchy (parallel.dist_gamg) for "
+            "distributed runs") from e
+    return _vcycle_from_levels(levels, diag, m.lower, m.upper, amul_fine,
+                               controls, scale_correction, fixed_scale)
+
+
+def _vcycle_from_levels(levels, diag, lower, upper, amul_fine, controls,
+                        scale_correction, fixed_scale, corr_mask=None):
+    """The V-cycle closure over an explicit hierarchy. corr_mask (set on
+    the distributed block path) restricts the cycle to the owned block:
+    the rhs and every prolonged correction are masked so ghost rows stay
+    exactly zero."""
+    from .solvers import gsum
     n_pre = getattr(controls, "n_pre_sweeps", 0)
     n_post = getattr(controls, "n_post_sweeps", 2)
     n_finest = getattr(controls, "n_finest_sweeps", 2)
@@ -380,7 +447,7 @@ def make_vcycle(mesh: MeshArrays, m, amul_fine, diag, controls,
     source = jnp.ones(diag.shape[0], diag.dtype)   # lambda-est probe
 
     # device-side coarse matrices (assembled once per solve)
-    mats = [(diag, m.lower, m.upper)]
+    mats = [(diag, lower, upper)]
     for lv in levels:
         d, lo, up = mats[-1]
         mats.append(_coarsen_matrix(lv, d, lo, up, None))
@@ -417,6 +484,10 @@ def make_vcycle(mesh: MeshArrays, m, amul_fine, diag, controls,
         lvl = levels[-1]
 
         def dense_of(dcol):
+            # padded coarse rows (cross-shard stacking) carry a zero
+            # diagonal; identity rows keep the inverse nonsingular
+            # (their rhs is always zero)
+            dcol = jnp.where(dcol == 0.0, jnp.ones_like(dcol), dcol)
             return (jnp.zeros((ncc, ncc), dC.dtype)
                     .at[jnp.arange(ncc), jnp.arange(ncc)].set(dcol)
                     .at[lvl.coarse_owner, lvl.coarse_neighbour].add(upC)
@@ -439,6 +510,11 @@ def make_vcycle(mesh: MeshArrays, m, amul_fine, diag, controls,
                               for k in range(dC.shape[1])])
 
     def vcycle(x, b):
+        if corr_mask is not None:
+            # block mode: the cycle sees only the owned block; ghost and
+            # padding rows of the rhs/iterate are pinned to zero
+            x = _ext(corr_mask, x) * x
+            b = _ext(corr_mask, b) * b
         # down-leg: smooth, residual, restrict
         xs, bs = [x], [b]
         for i, lv in enumerate(levels):
@@ -467,11 +543,19 @@ def make_vcycle(mesh: MeshArrays, m, amul_fine, diag, controls,
         for i in range(len(levels) - 1, -1, -1):
             lv = levels[i]
             corr = jnp.take(xs[i + 1], lv.restrict_addr, axis=0)
+            if i == 0 and corr_mask is not None:
+                # ghost fine rows prolong from the out-of-range pad slot
+                # (clamped gather) — mask them off the owned block
+                corr = _ext(corr_mask, corr) * corr
             if scale_correction:
                 r_cur = bs[i] - amuls[i](xs[i])
                 a_corr = amuls[i](corr)
-                num = gsum(corr * r_cur)
-                den = gsum(corr * a_corr)
+                # block mode: the whole cycle is shard-local (masked rhs,
+                # padded rows zero), so the <c,r>/<c,Ac> line search is a
+                # plain local sum — each block scales its own correction
+                ssum = jnp.sum if corr_mask is not None else gsum
+                num = ssum(corr * r_cur)
+                den = ssum(corr * a_corr)
                 alpha = num / jnp.where(jnp.abs(den) < 1e-30, 1e-30, den)
                 corr = alpha * corr
             elif fixed_scale != 1.0:
@@ -491,6 +575,25 @@ def gamg_solve(mesh: MeshArrays, m, amul_fine, diag, source,
                psi0, controls):
     """V-cycle iteration until convergence (fvSolution 'solver GAMG')."""
     from .solvers import _converged, _norm_factor, gsum
+
+    from ..parallel import hooks as _ph
+    if _ph.gamg_block() is not None:
+        # distributed: the block V-cycle alone has no cut-face coupling
+        # on its coarse levels (parallel/dist_gamg.py), so plain cycling
+        # stalls once interface error dominates. Krylov-wrap it instead:
+        # PCG/PBiCGStab with the block V-cycle as preconditioner — the
+        # outer Krylov carries the global coupling (psum/halo), matching
+        # the reference's converged result, if not its exact iteration
+        # path (processorGAMGInterface per-level comms,
+        # src/OpenFOAM/matrices/lduMatrix/solvers/GAMG/interfaces/).
+        import dataclasses
+
+        from .solvers import _pbicgstab, _pcg
+        c2 = dataclasses.replace(controls, preconditioner="GAMG")
+        if m.symmetric:
+            return _pcg(mesh, amul_fine, m, diag, source, psi0, c2)
+        return _pbicgstab(mesh, amul_fine, m, diag, source, psi0, c2)
+
     vcycle = make_vcycle(mesh, m, amul_fine, diag, controls, m.symmetric)
 
     v_ones = jnp.ones_like(psi0)

@@ -117,6 +117,13 @@ class MeshArrays:
     def patch_mag_sf(self, p: Patch) -> jax.Array:
         return self.mag_sf[p.start:p.start + p.size]
 
+    def patch_active(self, p: Patch) -> jax.Array:
+        """1.0 for real patch faces, 0.0 for decomposition padding (padded
+        faces have zero area and owner = a live cell — any scatter over
+        patch_face_cells must be masked by this or it corrupts that
+        cell)."""
+        return (self.patch_mag_sf(p) > 0).astype(self.mag_sf.dtype)
+
     def patch_sf(self, p: Patch) -> jax.Array:
         return self.Sf[p.start:p.start + p.size]
 

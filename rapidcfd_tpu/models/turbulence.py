@@ -228,9 +228,14 @@ class KEpsilon:
             g_w = (nut_w + nu_w) * mag_grad_uw * _CMU25 * jnp.sqrt(k_c) \
                 / (_KAPPA * y)
             eps_w = _CMU75 * k_c ** 1.5 / (_KAPPA * y)
-            G = G.at[cells].set(g_w)
-            fix = fix.at[cells].set(1.0)
-            eps_vals = eps_vals.at[cells].set(eps_w)
+            # decomposition-padded faces share a live owner cell; route
+            # their writes out of bounds (dropped) so only real faces
+            # scatter
+            idx = jnp.where(mesh.patch_active(patch) > 0, cells,
+                            mesh.n_cells)
+            G = G.at[idx].set(g_w, mode="drop")
+            fix = fix.at[idx].set(1.0, mode="drop")
+            eps_vals = eps_vals.at[idx].set(eps_w, mode="drop")
         return G, fix, eps_vals
 
     def correct(self, mesh, state, U, phi, nu, dt=None):
@@ -572,9 +577,11 @@ class KOmegaSST:
             om_w = jnp.sqrt(om_vis ** 2 + om_log ** 2)
             g_w = (nut_w + nu_w) * mag_grad_uw * _CMU25 * jnp.sqrt(k_c) \
                 / (_KAPPA * y)
-            G = G.at[cells].set(g_w)
-            fix = fix.at[cells].set(1.0)
-            om_vals = om_vals.at[cells].set(om_w)
+            idx = jnp.where(mesh.patch_active(patch) > 0, cells,
+                            mesh.n_cells)
+            G = G.at[idx].set(g_w, mode="drop")
+            fix = fix.at[idx].set(1.0, mode="drop")
+            om_vals = om_vals.at[idx].set(om_w, mode="drop")
         return G, fix, om_vals
 
     def correct(self, mesh, state, U, phi, nu, dt=None):

@@ -271,7 +271,10 @@ class FvMatrix:
         """
         from .fvc import face_own_nei
         from ..parallel.hooks import halo
-        fix_o, fix_n = face_own_nei(mesh, fix_mask)
+        # halo: a cut face whose (ghost) neighbour is fixed on its owner
+        # shard must drop its coefficient too, to match the eliminated
+        # column contribution below
+        fix_o, fix_n = face_own_nei(mesh, halo(fix_mask))
         # column elimination into the source: src[c] -= sum_k coeff*val*fix
         col = self.offdiag_mv(mesh)(halo(fix_mask * values))
         src = self.source - _ext(col, self.source)

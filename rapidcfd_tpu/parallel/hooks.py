@@ -20,6 +20,23 @@ from __future__ import annotations
 from contextlib import contextmanager
 
 _HALO = None
+_GAMG_BLOCK = None
+
+
+def gamg_block():
+    """Per-shard block-GAMG hierarchy installed by the parallel layer
+    (``parallel.dist_gamg``), or None on the single-chip path. When set,
+    ``linalg.gamg.make_vcycle`` runs local V-cycles on the owned block —
+    a block-Jacobi/Schwarz preconditioner whose outer Krylov stays
+    global through the halo/psum hooks (the TPU re-founding of the
+    reference's processorGAMGInterface per-level comms,
+    src/OpenFOAM/matrices/lduMatrix/solvers/GAMG/interfaces/)."""
+    return _GAMG_BLOCK
+
+
+def set_gamg_block(blk):
+    global _GAMG_BLOCK
+    _GAMG_BLOCK = blk
 
 
 def halo(x):
@@ -36,21 +53,25 @@ def set_halo(fn):
 
 
 def clear_hooks():
-    global _HALO
+    global _HALO, _GAMG_BLOCK
     _HALO = None
+    _GAMG_BLOCK = None
     from ..linalg import solvers
     solvers.set_gsum(solvers._gsum_default)
     solvers.set_gmax(solvers._gmax_default)
 
 
 @contextmanager
-def distributed(halo_fn, gsum_fn, gmax_fn=None):
-    """Install halo/gsum/gmax hooks for the duration of a trace."""
+def distributed(halo_fn, gsum_fn, gmax_fn=None, gamg_block=None):
+    """Install halo/gsum/gmax (+ optional block-GAMG) hooks for the
+    duration of a trace."""
     from ..linalg import solvers
     set_halo(halo_fn)
     solvers.set_gsum(gsum_fn)
     if gmax_fn is not None:
         solvers.set_gmax(gmax_fn)
+    if gamg_block is not None:
+        set_gamg_block(gamg_block)
     try:
         yield
     finally:

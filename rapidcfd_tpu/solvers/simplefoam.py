@@ -43,70 +43,89 @@ def div_dev_reff(mesh, nu_eff, U: VolField, lap_corr: str):
     return m.equals(expl)
 
 
+def simple_step(mesh, U: VolField, p: VolField, phi: SurfaceField,
+                turb_state, *, transport, turb, fv_options, div_u,
+                lap_corr, u_controls, p_controls, u_relax, p_relax,
+                n_non_orth, p_ref_cell, p_ref_value, p_ref_weight=1.0,
+                u_source=None):
+    """One SIMPLE iteration (pure; works single-chip or inside shard_map
+    — in the latter case p_ref_cell/p_ref_weight are per-shard values)."""
+    nu = transport.nu(mesh, U)
+    nu_eff = turb.nu_eff(mesh, turb_state, nu)
+
+    # momentum predictor (UEqn.H)
+    UEqn = fvm.div(mesh, phi, U, div_u) \
+        + div_dev_reff(mesh, nu_eff, U, lap_corr)
+    if u_source is not None:
+        UEqn = UEqn.replace(
+            source=UEqn.source - mesh.V[:, None] * u_source(mesh, U))
+    UEqn = fv_options(mesh, "U", UEqn, {"nu": nu})
+    UEqn = UEqn.relax(mesh, u_relax)
+    UEqn = fv_options.constrain(mesh, "U", UEqn)
+    U, u_perf = solve(mesh, UEqn == (-fvc.grad(mesh, p)),
+                      u_controls, env={"phi": phi})
+
+    # pressure equation (pEqn.H)
+    UEqn_c = UEqn.replace(psi=U)
+    rAU = 1.0 / UEqn_c.A(mesh)
+    HbyA = fvc.constrain_hbya(mesh, rAU * UEqn_c.H(mesh), U)
+    phi_hbya = fvc.flux(mesh, HbyA)
+    phi_hbya = fvc.adjust_phi(mesh, phi_hbya, U)
+
+    p_prev = p
+    p_perf_all = []
+    for north in range(n_non_orth + 1):
+        pEqn = fvm.laplacian(mesh, rAU, p, lap_corr) \
+            == fvc.div(mesh, phi_hbya)
+        pEqn = pEqn.set_reference(p_ref_cell, p_ref_value, p_ref_weight)
+        p, p_perf = solve(mesh, pEqn, p_controls)
+        p_perf_all.append(p_perf[0])
+    phi = phi_hbya - pEqn.replace(psi=p).flux(mesh)
+
+    local_err, glob_err = continuity_errors(mesh, phi)
+
+    # explicit relaxation of p, then momentum correction
+    p = relax_field(p, p_prev, p_relax)
+    U_star = HbyA - rAU * fvc.grad(mesh, p)
+    U = U.replace(data=U_star.data).correct_boundary_conditions(
+        mesh, env={"phi": phi})
+
+    turb_state, turb_perf = turb.correct(mesh, turb_state, U, phi, nu)
+
+    stats = dict(u_perf=u_perf, p_perf=tuple(p_perf_all),
+                 turb=turb_perf, cont=(local_err, glob_err))
+    return U, p, phi, turb_state, stats
+
+
+def step_kwargs_from_case(case: Case, simple: SimpleControl,
+                          transport, turb, u_source=None, u_name="U"):
+    """The static solver configuration consumed by simple_step."""
+    from ..models.fvoptions import FvOptions
+    return dict(
+        transport=transport, turb=turb, fv_options=FvOptions(case),
+        div_u=case.div_scheme(f"div(phi,{u_name})"),
+        lap_corr=case.laplacian_scheme(),
+        u_controls=case.solver_controls(u_name),
+        p_controls=case.solver_controls("p"),
+        u_relax=case.relaxation_factor(u_name, "equations", 0.0),
+        p_relax=case.relaxation_factor("p", "fields", 0.0),
+        n_non_orth=simple.n_non_orth,
+        p_ref_cell=simple.p_ref_cell, p_ref_value=simple.p_ref_value,
+        u_source=u_source)
+
+
 def make_step(case: Case, transport, turb, simple: SimpleControl,
               u_source=None, u_name="U"):
     """u_source: optional (mesh, U) -> (n,3) acceleration added to the
     momentum LHS (SRFSimpleFoam's `+ SRF->Su()`); u_name: fvSolution/
     fvSchemes key for the velocity (SRF solvers use 'Urel')."""
     mesh = case.mesh
-    from ..models.fvoptions import FvOptions
-    fv_options = FvOptions(case)
-    div_u = case.div_scheme(f"div(phi,{u_name})")
-    lap_corr = case.laplacian_scheme()
-    u_controls = case.solver_controls(u_name)
-    p_controls = case.solver_controls("p")
-    u_relax = case.relaxation_factor(u_name, "equations", 0.0)
-    p_relax = case.relaxation_factor("p", "fields", 0.0)
-    n_non_orth = simple.n_non_orth
-    p_ref_cell, p_ref_value = simple.p_ref_cell, simple.p_ref_value
+    kw = step_kwargs_from_case(case, simple, transport, turb,
+                               u_source, u_name)
 
     @jax.jit
     def step(U: VolField, p: VolField, phi: SurfaceField, turb_state):
-        nu = transport.nu(mesh, U)
-        nu_eff = turb.nu_eff(mesh, turb_state, nu)
-
-        # momentum predictor (UEqn.H)
-        UEqn = fvm.div(mesh, phi, U, div_u) \
-            + div_dev_reff(mesh, nu_eff, U, lap_corr)
-        if u_source is not None:
-            UEqn = UEqn.replace(
-                source=UEqn.source - mesh.V[:, None] * u_source(mesh, U))
-        UEqn = fv_options(mesh, "U", UEqn, {"nu": nu})
-        UEqn = UEqn.relax(mesh, u_relax)
-        UEqn = fv_options.constrain(mesh, "U", UEqn)
-        U, u_perf = solve(mesh, UEqn == (-fvc.grad(mesh, p)),
-                          u_controls, env={"phi": phi})
-
-        # pressure equation (pEqn.H)
-        UEqn_c = UEqn.replace(psi=U)
-        rAU = 1.0 / UEqn_c.A(mesh)
-        HbyA = fvc.constrain_hbya(mesh, rAU * UEqn_c.H(mesh), U)
-        phi_hbya = fvc.flux(mesh, HbyA)
-        phi_hbya = fvc.adjust_phi(mesh, phi_hbya, U)
-
-        p_prev = p
-        p_perf_all = []
-        for north in range(n_non_orth + 1):
-            pEqn = fvm.laplacian(mesh, rAU, p, lap_corr) \
-                == fvc.div(mesh, phi_hbya)
-            pEqn = pEqn.set_reference(p_ref_cell, p_ref_value)
-            p, p_perf = solve(mesh, pEqn, p_controls)
-            p_perf_all.append(p_perf[0])
-        phi = phi_hbya - pEqn.replace(psi=p).flux(mesh)
-
-        local_err, glob_err = continuity_errors(mesh, phi)
-
-        # explicit relaxation of p, then momentum correction
-        p = relax_field(p, p_prev, p_relax)
-        U_star = HbyA - rAU * fvc.grad(mesh, p)
-        U = U.replace(data=U_star.data).correct_boundary_conditions(
-            mesh, env={"phi": phi})
-
-        turb_state, turb_perf = turb.correct(mesh, turb_state, U, phi, nu)
-
-        stats = dict(u_perf=u_perf, p_perf=tuple(p_perf_all),
-                     turb=turb_perf, cont=(local_err, glob_err))
-        return U, p, phi, turb_state, stats
+        return simple_step(mesh, U, p, phi, turb_state, **kw)
 
     return step
 

@@ -269,7 +269,8 @@ def masked_grid_mesh(xs, ys, zs, mask, patch_rule) -> PolyMesh:
 
 def pitz_daily_case(case_dir: str, scale: int = 1,
                     u_in: float = 10.0, nu: float = 1e-05,
-                    end_time: int = 500, model: str = "kEpsilon"):
+                    end_time: int = 500, model: str = "kEpsilon",
+                    tight_tol: bool = False):
     # NOTE: the violent impulsive start of this case tolerates the
     # boundedConvectionScheme correction with kEpsilon but not with
     # kOmegaSST (near-wall omega stiffness); SST uses plain upwind.
@@ -342,43 +343,45 @@ laplacianSchemes {{ default Gauss linear orthogonal; }}
 interpolationSchemes {{ default linear; }}
 snGradSchemes   {{ default orthogonal; }}
 """)
+    p_tol, p_rel, u_tol, u_rel = ("1e-12", "0", "1e-12", "0") \
+        if tight_tol else ("1e-06", "0.1", "1e-05", "0.1")
     _write(os.path.join(case_dir, "system", "fvSolution"),
-           foamfile_header("dictionary", "fvSolution", "system"), """
+           foamfile_header("dictionary", "fvSolution", "system"), f"""
 solvers
-{
+{{
     p
-    {
+    {{
         solver          GAMG;
-        tolerance       1e-06;
-        relTol          0.1;
+        tolerance       {p_tol};
+        relTol          {p_rel};
         smoother        GaussSeidel;
         nCellsInCoarsestLevel 32;
-    }
+    }}
     "(U|k|epsilon|omega|nuTilda)"
-    {
+    {{
         solver          smoothSolver;
         smoother        symGaussSeidel;
-        tolerance       1e-05;
-        relTol          0.1;
-    }
-}
+        tolerance       {u_tol};
+        relTol          {u_rel};
+    }}
+}}
 SIMPLE
-{
+{{
     nNonOrthogonalCorrectors 0;
     pRefCell        0;
     pRefValue       0;
     residualControl
-    {
+    {{
         p               1e-3;
         U               1e-4;
         "(k|epsilon)"   1e-4;
-    }
-}
+    }}
+}}
 relaxationFactors
-{
-    fields    { p 0.3; }
-    equations { U 0.7; k 0.7; epsilon 0.7; omega 0.7; nuTilda 0.7; }
-}
+{{
+    fields    {{ p 0.3; }}
+    equations {{ U 0.7; k 0.7; epsilon 0.7; omega 0.7; nuTilda 0.7; }}
+}}
 """)
     _write(os.path.join(case_dir, "constant", "transportProperties"),
            foamfile_header("dictionary", "transportProperties", "constant"),
@@ -503,7 +506,7 @@ def cavity_case(case_dir: str, n: int = 20, d: float = 0.1,
                 p_solver: str = "PCG",
                 u_solver: str = "smoothSolver",
                 p_precond: str = "DIC", nz: int = 1,
-                u_precond: str = "DILU"):
+                u_precond: str = "DILU", tight_tol: bool = False):
     """The icoFoam lid-driven cavity tutorial (BASELINE config 1).
     nz > 1 gives the 3D cavity (front/back become no-slip walls)."""
     spec = {
@@ -546,6 +549,11 @@ interpolationSchemes { default linear; }
 snGradSchemes   { default orthogonal; }
 fluxRequired    { default no; p; }
 """)
+    # tight_tol: drive every linear solve to fp64 round-off so the
+    # timestep result is solver-algorithm independent (the fp64 8-dev ==
+    # 1-chip dryrun check compares against this unique solution)
+    p_tol, p_rel, u_tol = ("1e-12", "0", "1e-12") if tight_tol \
+        else ("1e-06", "0.05", "1e-05")
     _write(os.path.join(case_dir, "system", "fvSolution"),
            foamfile_header("dictionary", "fvSolution", "system"), f"""
 solvers
@@ -557,8 +565,8 @@ solvers
         smoother        Chebyshev;
         mergeLevels     4;
         nCellsInCoarsestLevel 512;
-        tolerance       1e-06;
-        relTol          0.05;
+        tolerance       {p_tol};
+        relTol          {p_rel};
     }}
     pFinal
     {{
@@ -567,7 +575,7 @@ solvers
         smoother        Chebyshev;
         mergeLevels     4;
         nCellsInCoarsestLevel 512;
-        tolerance       1e-06;
+        tolerance       {p_tol};
         relTol          0;
     }}
     U
@@ -576,7 +584,7 @@ solvers
         smoother        symGaussSeidel;
         preconditioner  {u_precond};
         vCycleScale     1.0;
-        tolerance       1e-05;
+        tolerance       {u_tol};
         relTol          0;
     }}
 }}
