@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--u-precond", default="DILU",
                     help="momentum preconditioner (AINV alias; GAMG = "
                          "one V-cycle, pays off on stiff/fine meshes)")
+    ap.add_argument("--chain", type=int, default=1,
+                    help="timesteps fused per dispatch (lax.scan); "
+                         "amortizes launch overhead 1/chain")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of one window")
     args = ap.parse_args()
@@ -57,8 +60,11 @@ def main():
     from rapidcfd_tpu.ops import fvc
 
     d = tempfile.mkdtemp(prefix="bench_cavity_")
-    # scale dt so the Courant number stays comparable to the 20x20 case
-    dt = 0.005 * 20 / args.n
+    # scale dt to CFL~0.5: 2-corrector PISO + central convection on the
+    # impulsively-started fine-mesh cavity grows slowly at CFL=1 (fp64
+    # identically to fp32 — an algorithmic margin, not precision), and a
+    # benchmark must time a converging run
+    dt = 0.005 * 20 / args.n * 0.5
     nz = max(args.n // 4, 1) if args.three_d else 1
     cavity_case(d, n=args.n, nz=nz, delta_t=dt, end_time=1e9,
                 p_solver=args.p_solver, u_solver=args.u_solver,
@@ -68,10 +74,14 @@ def main():
     tp = case.transport_properties()
     nu = Dimensioned.from_entry(tp.lookup("nu", required=True), "nu")
     piso = case.algo_dict("PISO")
-    step = icofoam.make_step(
+    mk = (icofoam.make_step if args.chain <= 1 else
+          lambda *a: icofoam.make_chained_step(*a, chain=args.chain))
+    step = mk(
         case, nu, int(piso.scalar("nCorrectors", 2)),
         int(piso.scalar("nNonOrthogonalCorrectors", 0)),
         int(piso.scalar("pRefCell", 0)), float(piso.scalar("pRefValue", 0)))
+    if args.chain > 1 and args.steps % args.chain:
+        ap.error("--steps must be a multiple of --chain")
 
     U = case.read_field("U")
     p = case.read_field("p")
@@ -81,6 +91,7 @@ def main():
     U1, p1, phi1, _ = step(U, p, phi, dt)
     jax.block_until_ready(U1.data)
     compile_s = time.perf_counter() - t0
+    n_calls = args.steps // max(args.chain, 1)
     for _ in range(args.warmup):
         U, p, phi, stats = step(U, p, phi, dt)
     jax.block_until_ready(U.data)
@@ -88,7 +99,7 @@ def main():
     walls = []
     for _ in range(args.windows):
         t0 = time.perf_counter()
-        for _ in range(args.steps):
+        for _ in range(n_calls):
             U, p, phi, stats = step(U, p, phi, dt)
         jax.block_until_ready(U.data)
         walls.append(time.perf_counter() - t0)
@@ -96,7 +107,7 @@ def main():
 
     if args.profile:
         with jax.profiler.trace(args.profile):
-            for _ in range(min(args.steps, 20)):
+            for _ in range(min(n_calls, 20)):
                 U, p, phi, stats = step(U, p, phi, dt)
             jax.block_until_ready(U.data)
         print(f"profile trace written to {args.profile}", file=sys.stderr)

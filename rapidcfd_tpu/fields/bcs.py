@@ -159,13 +159,19 @@ class ZeroGradient(BC):
 @register("fvPatchField", "empty")
 @dataclass(frozen=True)
 class Empty(BC):
-    """2D constraint patch: contributes nothing to assembly."""
+    """2D constraint patch: contributes nothing to assembly.
+
+    Evaluates to the patch-internal value (NOT zeros): empty faces are
+    excluded from every face-sum ELL, so their bvalues are never
+    consumed by an integral — but they DO flow through pointwise field
+    arithmetic (1/A, rAU*H, ...), where a literal 0 manufactures
+    inf/NaN (0*inf) that then leaks into phi at empty faces."""
     preserves_type = True
     value_free = True
     assembles = False
 
     def evaluate(self, mesh, patch, field, bd, env=None):
-        return _zeros_like_patch(field, mesh, patch)
+        return field.patch_internal(mesh, patch)
 
     def value_internal_coeff(self, mesh, patch, field, bd, env=None):
         return jnp.zeros(patch.size)

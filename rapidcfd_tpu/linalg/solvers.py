@@ -29,6 +29,14 @@ from . import preconditioners  # noqa: F401  (populate registry)
 
 _SMALL = 1e-20
 
+# Krylov true-residual replacement period: every _RESTART iterations the
+# recursive residual is replaced by the explicitly recomputed
+# b - A*psi. In fp32 the recurrence drifts (roundoff accumulates over
+# alpha/beta updates) and reports convergence the solution doesn't
+# have — on large meshes the resulting pressure error destabilizes the
+# whole run. Cost: one extra SpMV amortized 1/_RESTART.
+_RESTART = 32
+
 
 # global-sum hook: the parallel layer rebinds this inside shard_map.
 # Semantics: reduce over the CELL axis (axis 0) only, so column-batched
@@ -210,7 +218,7 @@ def _pcg(mesh, amul, m, diag, source, psi0, c: SolverControls):
     # the stagnation guard exists ONLY for fp32 floors sitting above the
     # requested tolerance; fp64 converges past any practical tolerance,
     # and long (legitimate) CG plateaus must not be cut short there
-    stall = 25 if psi0.dtype == jnp.float32 else c.max_iter
+    stall = 100 if psi0.dtype == jnp.float32 else c.max_iter
 
     def cond(carry):
         psi, r, p, wr_old, it, res, best, since_best = carry
@@ -228,7 +236,16 @@ def _pcg(mesh, amul, m, diag, source, psi0, c: SolverControls):
         wapa = gsum(wa * p)
         alpha = wr / jnp.where(wapa == 0.0, _SMALL, wapa)
         psi = psi + alpha * p
-        r = r - alpha * wa
+        # fp32: the recursive residual drifts from the true residual
+        # (classic CG roundoff) — the loop then reports convergence the
+        # solution doesn't have, and on large meshes the pressure error
+        # feeds back until the run explodes. Replace the recurrence with
+        # an explicitly recomputed residual every _RESTART iterations
+        # (one extra SpMV amortized 1/_RESTART).
+        r = lax.cond((it + 1) % _RESTART == 0,
+                     lambda psi, r, wa: source - amul(psi),
+                     lambda psi, r, wa: r - alpha * wa,
+                     psi, r, wa)
         res = gsum(jnp.abs(r)) / nf
         improved = jnp.any(res < 0.999 * best)
         best = jnp.minimum(best, res)
@@ -262,7 +279,7 @@ def _pbicgstab(mesh, amul, m, diag, source, psi0, c: SolverControls):
     res0 = gsum(jnp.abs(r0)) / nf
     # same fp32 stagnation guard as _pcg: an absolute tolerance below
     # the fp32 floor must not spin the loop to maxIter
-    stall = 25 if psi0.dtype == jnp.float32 else c.max_iter
+    stall = 100 if psi0.dtype == jnp.float32 else c.max_iter
 
     def cond(carry):
         (psi, r, p, v, rho_o, alpha_o, omega_o, it, res,
@@ -287,7 +304,11 @@ def _pbicgstab(mesh, amul, m, diag, source, psi0, c: SolverControls):
         tt = gsum(t * t)
         omega = gsum(t * s) / jnp.where(tt == 0.0, _SMALL, tt)
         psi = psi + alpha * ph + omega * sh
-        r = s - omega * t
+        # periodic true-residual replacement (see _RESTART)
+        r = lax.cond((it + 1) % _RESTART == 0,
+                     lambda psi, s, t: source - amul(psi),
+                     lambda psi, s, t: s - omega * t,
+                     psi, s, t)
         res = gsum(jnp.abs(r)) / nf
         improved = jnp.any(res < 0.999 * best)
         best = jnp.minimum(best, res)
@@ -350,6 +371,24 @@ def _smooth_solver(mesh, amul, m, diag, source, psi0, c: SolverControls):
     return psi, (res0, res, it)
 
 
+def _repin_reference(m: FvMatrix, x):
+    """Re-pin the solution level after solving a setReference'd system.
+
+    The pin's residual signature is one cell out of N — far below any
+    practical tolerance on a large mesh — so the constant near-null mode
+    drifts freely during the solve. In fp64 the drift is noise; in fp32
+    it compounds (normFactor grows with |psi|, loosening the absolute
+    tolerance) until grad(p) precision collapses. Subtracting the
+    level error at the reference cell pins it exactly at zero extra
+    cost. Under shard_map, ref_weight is 1 on the owning shard and 0
+    elsewhere, so the gsum broadcasts the owner's correction."""
+    if m.ref_cell is None:
+        return x
+    delta = gsum(jnp.atleast_1d(
+        m.ref_weight * (m.ref_value - x[m.ref_cell])))
+    return x + delta
+
+
 def solve(mesh: MeshArrays, m: FvMatrix, controls: SolverControls,
           env=None):
     """fvMatrix::solve equivalent: segregated solve + boundary update
@@ -363,6 +402,7 @@ def solve(mesh: MeshArrays, m: FvMatrix, controls: SolverControls,
     psi = m.psi
     if psi.data.ndim == 1:
         x, perf = solve_component(mesh, m, None, controls)
+        x = _repin_reference(m, x)
         new = psi.replace(data=x).correct_boundary_conditions(mesh, env)
         return new, (perf,)
     n_comp = psi.data.shape[1]

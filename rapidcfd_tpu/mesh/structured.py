@@ -300,10 +300,19 @@ def add_at_patch_cells(mesh, s: StructuredInfo, patch, segs, cell_data,
 
 def boundary_owner_values(mesh, s: StructuredInfo, cell_data):
     """cell_data at owner cells of ALL boundary faces, bstart-ordered
-    (replaces take(cell_data, owner[n_internal:]))."""
+    (replaces take(cell_data, owner[n_internal:])). Empty-patch values
+    are never consumed (their faces are inactive everywhere) but on a 2D
+    box they are 2*nCells wide — constant-fill instead of gathering (the
+    gather was ~45% of the whole icoFoam step at 384^2). The fill is 1.0,
+    NOT 0.0: these values flow through pointwise field arithmetic
+    (1/A, rAU*H), where a 0 manufactures inf then 0*inf=NaN."""
     parts = []
     for p, segs in zip(mesh.patches, s.patch_segments):
         if p.size == 0:
+            continue
+        if p.is_empty:
+            parts.append(jnp.ones((p.size,) + cell_data.shape[1:],
+                                  cell_data.dtype))
             continue
         parts.append(patch_internal_values(mesh, s, p, segs, cell_data))
     if not parts:

@@ -86,11 +86,30 @@ def surface_sum(mesh: MeshArrays, ssf: SurfaceField) -> VolField:
 def boundary_owner_values(mesh: MeshArrays, data: jnp.ndarray
                           ) -> jnp.ndarray:
     """data at the owner cell of every boundary face (bstart order) —
-    slab slices on structured boxes, one take otherwise."""
+    slab slices on structured boxes, one take otherwise. Empty-patch
+    faces (2*nCells of them on a 2D mesh) are never consumed by any
+    face sum (they are excluded from the ELL), so skip their gather and
+    fill 1.0 — NOT 0.0, which would manufacture inf/NaN downstream in
+    pointwise arithmetic (1/A, rAU*H)."""
     s = mesh.structured
     if s is not None:
         from ..mesh import structured as st
         return st.boundary_owner_values(mesh, s, data)
+    if any(p.is_empty and p.size for p in mesh.patches):
+        parts = []
+        for p in mesh.patches:
+            if p.size == 0:
+                continue
+            if p.is_empty:
+                parts.append(jnp.ones((p.size,) + data.shape[1:],
+                                      data.dtype))
+            else:
+                parts.append(jnp.take(
+                    data, mesh.owner[p.start:p.start + p.size], axis=0))
+        if not parts:
+            return data[:0]
+        return parts[0] if len(parts) == 1 else \
+            jnp.concatenate(parts, axis=0)
     return jnp.take(data, mesh.owner[mesh.n_internal:], axis=0)
 
 

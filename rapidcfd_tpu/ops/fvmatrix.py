@@ -49,6 +49,16 @@ class FvMatrix:
     dims: DimensionSet = dataclasses.field(metadata=dict(static=True))
     symmetric: bool = dataclasses.field(default=False,
                                         metadata=dict(static=True))
+    # setReference pin (cell, value, weight) — recorded so the solver can
+    # re-pin the level AFTER solving. fp32 NEEDS this: one pinned cell out
+    # of N controls the constant null mode ever more weakly as N grows
+    # (its residual is diag[ref]/normFactor), so the level random-walks,
+    # normFactor then grows with |psi| loosening the tolerance further,
+    # and the run explodes (seen at 48^2 cavity). weight is 1.0 only on
+    # the shard owning the reference cell in distributed runs.
+    ref_cell: jax.Array | None = None    # data leaf: traced per-shard
+    ref_value: jax.Array | None = None
+    ref_weight: jax.Array | None = None
 
     # -- construction --------------------------------------------------------
     @staticmethod
@@ -231,6 +241,11 @@ class FvMatrix:
         parts = [f_int]
         for p, ic, bc in zip(mesh.patches, self.internal_coeffs,
                              self.boundary_coeffs):
+            if p.is_empty:
+                # empty faces carry no flux; the gather would be
+                # 2*nCells wide on a 2D mesh
+                parts.append(jnp.zeros((p.size,), psi.dtype))
+                continue
             psi_c = mesh.patch_cell_values(p, psi)
             parts.append(ic * psi_c - bc)
         return SurfaceField(jnp.concatenate(parts, axis=0), self.dims,
@@ -296,6 +311,22 @@ class FvMatrix:
         if not force and any(getattr(bc, "fixes_level", False)
                              for bc in self.psi.bcs):
             return self
+        # fp32 compatibility projection: a pure-Neumann system is only
+        # solvable when gsum(source) == 0. Roundoff in the assembled
+        # source (e.g. div(phiHbyA) built from O(1) flux differences)
+        # leaves an O(eps*N) imbalance that the single pinned cell must
+        # absorb — its response grows with N and destabilized the 48^2+
+        # cavity in fp32. Subtract the volume-distributed imbalance (a
+        # uniform shift of source/V — the smoothest compatible
+        # perturbation) before pinning. In fp64 this is a no-op at
+        # machine precision.
+        from ..linalg.solvers import gsum
+        imb = gsum(self.source) / gsum(self.V)
+        src = self.source - self.V * imb
         dc = self.diag[cell] * weight
-        src = self.source.at[cell].add(dc * value)
-        return self.replace(diag=self.diag.at[cell].add(dc), source=src)
+        src = src.at[cell].add(dc * value)
+        return self.replace(diag=self.diag.at[cell].add(dc), source=src,
+                            ref_cell=jnp.asarray(cell, jnp.int32),
+                            ref_value=jnp.asarray(value, self.diag.dtype),
+                            ref_weight=jnp.asarray(weight,
+                                                   self.diag.dtype))

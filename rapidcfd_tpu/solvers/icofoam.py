@@ -114,6 +114,46 @@ def make_step(case: Case, nu, n_correctors: int,
     return step
 
 
+def make_chained_step(case: Case, nu, n_correctors: int,
+                      n_non_orth: int, p_ref_cell: int,
+                      p_ref_value: float, chain: int):
+    """Like make_step, but advances `chain` timesteps inside ONE jitted
+    program (lax.scan over the PISO step). One device dispatch per
+    window instead of per step — the remote-dispatch/launch overhead
+    that dominates small-mesh wall time amortizes 1/chain. Returns
+    (U, p, phi, stats) with stats stacked along a leading (chain,)
+    axis (residual history of the whole window)."""
+    mesh = case.mesh
+    kw = dict(
+        div_scheme=case.div_scheme("div(phi,U)"),
+        lap_corr=case.laplacian_scheme(),
+        u_controls=case.solver_controls("U"),
+        p_controls=case.solver_controls("p"),
+        p_final_controls=case.solver_controls("p", final=True),
+        n_correctors=n_correctors, n_non_orth=n_non_orth,
+        p_ref_cell=p_ref_cell, p_ref_value=p_ref_value)
+    nu_fn = nu if callable(nu) else (lambda U: nu)
+
+    @jax.jit
+    def steps(U: VolField, p: VolField, phi: SurfaceField, dt):
+        # prime the old-time slot so the scan carry is structurally
+        # stable (piso_step's store_old then refreshes it every step)
+        if U.old is None:
+            U = U.store_old()
+
+        def body(carry, _):
+            U, p, phi = carry
+            U, p, phi, stats = piso_step(mesh, U, p, phi, dt, nu_fn(U),
+                                         **kw)
+            return (U, p, phi), stats
+
+        (U, p, phi), stats = jax.lax.scan(body, (U, p, phi), None,
+                                          length=chain)
+        return U, p, phi, stats
+
+    return steps
+
+
 def run(case_dir: str, write: bool = True, max_steps: int | None = None,
         non_newtonian: bool = False):
     case = Case(case_dir)
