@@ -19,7 +19,7 @@ from ..fields.field import Dimensioned, SurfaceField, VolField
 from ..linalg import solve
 from ..linalg.solvers import gsum
 from ..ops import fvc, fvm
-from ..ops.mules import explicit_solve
+from ..ops.mules import explicit_solve, implicit_solve
 from ..utils.dictionary import parse_file
 from ..utils.dimensions import DimensionSet, dim_density
 from ..utils.logging import (ExecutionTimer, info, log_continuity,
@@ -41,6 +41,18 @@ def make_step(case: Case, consts, ctrl: PimpleControl,
     solvers_d = case.fv_solution.subdict("solvers")
     alpha_d = solvers_d.lookup("alpha.water") or solvers_d.lookup("alpha1")
     c_alpha = float(alpha_d.scalar("cAlpha", 1.0)) if alpha_d else 1.0
+    # MULESCorr: semi-implicit MULES (implicit upwind transport +
+    # limited explicit correction) — bounded at any Courant number
+    # (reference: interFoam/alphaEqn.H MULESCorr branch)
+    mules_corr = bool(alpha_d and alpha_d.word("MULESCorr", "no") in
+                      ("yes", "true", "on", "1"))
+    n_limiter_iter = (int(alpha_d.scalar("nLimiterIter", 3))
+                      if alpha_d else 3)
+    n_alpha_corr = (int(alpha_d.scalar("nAlphaCorr", 2))
+                    if alpha_d else 2)
+    mules_controls = case.solver_controls(
+        "alpha.water" if (solvers_d.lookup("alpha.water") is not None)
+        else "alpha1") if mules_corr else None
     if mixing:
         c_alpha = 0.0
         sigma = 0.0
@@ -100,7 +112,9 @@ def make_step(case: Case, consts, ctrl: PimpleControl,
 
         # ---- alphaEqn.H: MULES with interface compression
         phi_dims = phi.dims
-        for _ in range(n_alpha_sub):
+        alpha0_old = alpha.old       # timestep-start level (for rho ddt)
+        phi_alpha_sum = jnp.zeros_like(phi.data)
+        for isub in range(n_alpha_sub):
             a_f = fvc.face_values(mesh, alpha, "vanLeer", phi)
             # compression flux phir = cAlpha*|phi|/|Sf| * nHatf
             g_a = fvc.grad(mesh, alpha)
@@ -115,10 +129,29 @@ def make_step(case: Case, consts, ctrl: PimpleControl,
             phi_alpha = SurfaceField(
                 phi.data * a_f + phir * a_b_f * (1.0 - a_b_f),
                 phi_dims, "phiAlpha")
-            alpha, phi_alpha_lim = explicit_solve(
-                mesh, alpha, phi, phi_alpha, dt / n_alpha_sub)
+            if mules_corr:
+                if isub > 0:
+                    alpha = alpha.store_old()
+                alpha, phi_alpha_lim = implicit_solve(
+                    mesh, alpha, phi, phi_alpha, dt / n_alpha_sub,
+                    mules_controls, n_limiter_iter=n_limiter_iter,
+                    n_corr_iter=n_alpha_corr)
+            else:
+                # sp = div(phi) compensates the fp32 continuity error of
+                # the flux (a uniform field then stays exactly uniform;
+                # without it the low-order update overshoots by
+                # ~psi*div(phi)*dt ~ 1e-4)
+                div_phi = fvc.surface_sum_faces(mesh, phi.data) / mesh.V
+                alpha, phi_alpha_lim = explicit_solve(
+                    mesh, alpha, phi, phi_alpha, dt / n_alpha_sub,
+                    n_limiter_iter=n_limiter_iter, div_phi_comp=div_phi)
+            phi_alpha_sum = phi_alpha_sum + phi_alpha_lim.data
+        alpha = alpha.replace(old=alpha0_old)
+        # sub-cycle AVERAGE flux drives rhoPhi (reference: subCycle
+        # accumulates (deltaT/totalDeltaT)*rhoPhi each sub-step)
         rho_phi = SurfaceField(
-            phi_alpha_lim.data * (rho1 - rho2) + phi.data * rho2,
+            phi_alpha_sum / n_alpha_sub * (rho1 - rho2)
+            + phi.data * rho2,
             phi.dims * dim_density, "rhoPhi")
 
         a_perf = None

@@ -897,7 +897,8 @@ mixture
 
 
 def dam_break_case(case_dir: str, n: int = 23, end_time: float = 0.1,
-                   delta_t: float = 0.001):
+                   delta_t: float = 0.001, mules_corr: bool = False,
+                   n_alpha_sub: int = 1):
     """Closed-box dam break for interFoam (water column collapse; closed
     lid keeps total water volume exactly conserved — a strong MULES
     check)."""
@@ -945,11 +946,23 @@ laplacianSchemes { default Gauss linear orthogonal; }
 interpolationSchemes { default linear; }
 snGradSchemes   { default orthogonal; }
 """)
+    alpha_block = f"""
+    alpha1
+    {{
+        nAlphaSubCycles {n_alpha_sub};
+        cAlpha          1;
+        MULESCorr       {"yes" if mules_corr else "no"};
+        nAlphaCorr      2;
+        nLimiterIter    3;
+        solver          smoothSolver;
+        smoother        symGaussSeidel;
+        tolerance       1e-8;
+        relTol          0;
+    }}"""
     _write(os.path.join(case_dir, "system", "fvSolution"),
            foamfile_header("dictionary", "fvSolution", "system"), """
 solvers
-{
-    alpha1 { nAlphaSubCycles 1; cAlpha 1; }
+{""" + alpha_block + """
     p_rgh
     {
         solver          PCG;
