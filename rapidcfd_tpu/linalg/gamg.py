@@ -409,8 +409,8 @@ def make_vcycle(mesh: MeshArrays, m, amul_fine, diag, controls,
     # structured natural-ordering grids take the gather-free geometric
     # path (reshape restrict/prolong + DIA level Amuls) — ~30x cheaper
     # per V-cycle on TPU than the aggregation path's jnp.take gathers
-    import os
-    if os.environ.get("RCFD_STRUCTURED_MG", "1") != "0":
+    from ..utils import switches
+    if switches.enabled("STRUCTURED_MG"):
         from .structured_mg import make_structured_vcycle
         vc = make_structured_vcycle(mesh, m, amul_fine, diag, controls,
                                     scale_correction, fixed_scale)

@@ -247,11 +247,11 @@ def build_mesh_arrays(mesh: PolyMesh, *, renumber: bool = True,
     # ordering, so RCM is skipped automatically when detected
     # (opt-out: RCFD_FORCE_RCM=1).
     from .structured import detect_structured, reorder_internal_faces
-    import os
+    from ..utils import switches
     sinfo = None
     det = None
     if partner is None and mesh.n_internal_faces > 0 \
-            and not os.environ.get("RCFD_FORCE_RCM"):
+            and not switches.enabled("FORCE_RCM"):
         det = detect_structured(mesh)
     if det is not None:
         renumber = False

@@ -23,6 +23,46 @@ def _time_dirs(case_dir: str) -> list[float]:
     return sorted(out)
 
 
+import weakref
+
+_SIGNAL_CLOCKS: list = []      # weakrefs to live Time objects
+_SIGNALS_INSTALLED = False
+
+
+def _install_signal_handlers(clock: "Time"):
+    """sigWriteNow/sigStopAtWriteNow (reference:
+    src/OSspecific/POSIX/signals/sigWriteNow.C): SIGUSR1 checkpoints at
+    the end of the current step and continues; SIGUSR2 checkpoints and
+    stops cleanly. Handlers only set flags — the time loop does the IO —
+    so they are async-signal-safe. Installed once per process, on the
+    main thread only; every live Time instance responds."""
+    global _SIGNALS_INSTALLED
+    _SIGNAL_CLOCKS.append(weakref.ref(clock))
+    if _SIGNALS_INSTALLED:
+        return
+    import signal
+    import threading
+    if threading.current_thread() is not threading.main_thread():
+        return
+
+    def _fan_out(stop: bool):
+        for ref in list(_SIGNAL_CLOCKS):
+            t = ref()
+            if t is None:
+                _SIGNAL_CLOCKS.remove(ref)
+                continue
+            t._write_now = True
+            if stop:
+                t._stop_requested = True
+
+    try:
+        signal.signal(signal.SIGUSR1, lambda s, f: _fan_out(False))
+        signal.signal(signal.SIGUSR2, lambda s, f: _fan_out(True))
+        _SIGNALS_INSTALLED = True
+    except (ValueError, OSError):      # non-main thread / exotic host
+        pass
+
+
 def time_name(t: float) -> str:
     """Format a time value the way OpenFOAM names time directories."""
     if t == int(t) and abs(t) < 1e15:
@@ -75,8 +115,18 @@ class Time:
 
         self.value = self.start_time
         self._stop_requested = False
+        self._write_now = False
         self._written_times: list[str] = []
         self._steps_since_write = 0
+        self.run_time_modifiable = c.boolean("runTimeModifiable", False)
+        self._control_path = os.path.join(case_dir, "system",
+                                          "controlDict")
+        self._control_mtime = (os.path.getmtime(self._control_path)
+                               if os.path.isfile(self._control_path)
+                               else None)
+        from .switches import load_case_switches
+        load_case_switches(c)
+        _install_signal_handlers(self)
 
     # -- loop protocol ------------------------------------------------------
     def run(self) -> bool:
@@ -85,10 +135,60 @@ class Time:
         return self.value < self.end_time - 0.5 * self.delta_t
 
     def loop(self) -> bool:
+        if self.run_time_modifiable:
+            self.re_read_if_modified()
         if not self.run():
             return False
         self.increment()
         return True
+
+    # -- external control ---------------------------------------------------
+    def write_now(self):
+        """Force a checkpoint at the end of the current step (the
+        reference's sigWriteNow / writeControl writeNow semantics)."""
+        self._write_now = True
+
+    def re_read_if_modified(self):
+        """runTimeModifiable: re-read system/controlDict when its mtime
+        changes and apply endTime / stopAt / writeInterval /
+        writeControl / deltaT on the fly (reference:
+        Time::readModifiedObjects, regIOobject re-read)."""
+        try:
+            mtime = os.path.getmtime(self._control_path)
+        except OSError:
+            return
+        if self._control_mtime is not None and mtime == self._control_mtime:
+            return
+        self._control_mtime = mtime
+        try:
+            c = parse_file(self._control_path)
+        except Exception as e:      # mid-edit torn file: keep old dict
+            from .logging import info
+            info(f"--> controlDict re-read failed, keeping previous "
+                 f"({e})")
+            return
+        self.control = c
+        self.end_time = c.scalar("endTime", self.end_time)
+        self.write_control = c.word("writeControl", self.write_control)
+        self.write_interval = c.scalar("writeInterval",
+                                       self.write_interval)
+        self.purge_write = int(c.scalar("purgeWrite", self.purge_write))
+        self.adjust_time_step = c.boolean("adjustTimeStep",
+                                          self.adjust_time_step)
+        if c.lookup("maxCo") is not None:
+            self.max_co = c.scalar("maxCo", self.max_co)
+        if c.lookup("maxDeltaT") is not None:
+            self.max_delta_t = c.scalar("maxDeltaT", self.max_delta_t)
+        if not self.adjust_time_step:
+            self.delta_t = c.scalar("deltaT", self.delta_t)
+        stop_at = c.word("stopAt", "endTime")
+        if stop_at == "writeNow":
+            self._write_now = True
+            self._stop_requested = True
+        elif stop_at == "noWriteNow":
+            self._stop_requested = True
+        elif stop_at == "nextWrite":
+            self._stop_at_next_write = True
 
     def increment(self):
         self.delta_t0 = self.delta_t
@@ -108,6 +208,8 @@ class Time:
 
     # -- write control ------------------------------------------------------
     def write_time(self) -> bool:
+        if self._write_now:
+            return True
         wc = self.write_control
         if wc == "timeStep":
             return self._steps_since_write >= int(self.write_interval)
@@ -121,6 +223,9 @@ class Time:
         return False
 
     def mark_written(self):
+        self._write_now = False
+        if getattr(self, "_stop_at_next_write", False):
+            self._stop_requested = True
         self._steps_since_write = 0
         self._written_times.append(self.name)
         if self.purge_write > 0 and len(self._written_times) > self.purge_write:
