@@ -174,6 +174,189 @@ class P1Radiation:
         return -self.gamma * sng.data
 
 
+class FvDOMRadiation:
+    """radiationModel fvDOM — finite-volume discrete ordinates
+    (reference: radiationModel/fvDOM/fvDOM.C:230-350 +
+    radiativeIntensityRay.C:160-210): the grey RTE
+        div(I_i d_i) + a I_i = a sigma T^4 / pi
+    is solved per ordinate direction with upwind transport and
+    grey-diffusive walls  Iw = e sigma Tw^4/pi + (1-e) qin/pi,
+    then G = sum_i omega_i I_i.
+
+    TPU re-founding: the reference loops rays, solving one small sparse
+    system each (radiativeIntensityRay::correct). Here ALL rays live on
+    a leading (nRay,) axis of one array — the upwind face selection,
+    the ELL cell-gather and the Jacobi relaxation are written batched,
+    so one lax.while_loop advances every ray at once and the compile
+    cost is ray-count independent. Ray transport is solved from a
+    G-consistent initial state each correct() (functional: no hidden
+    per-ray state threads through the solver step)."""
+
+    def __init__(self, case, props: Dictionary):
+        import numpy as np
+        self.case = case
+        co = props.subdict("fvDOMCoeffs", required=False) or Dictionary()
+        self.n_phi = int(co.scalar("nPhi", 2))       # per octant
+        self.n_theta = int(co.scalar("nTheta", 2))
+        self.tolerance = co.scalar("tolerance", 1e-4)
+        self.max_iter = int(co.scalar("maxIter", 4))
+        ae = props.subdict("constantAbsorptionEmissionCoeffs",
+                           required=False) or Dictionary()
+
+        def dimmed(key, default=0.0):
+            v = ae.lookup(key)
+            if v is None:
+                return default
+            return Dimensioned.from_entry(v, key).value \
+                if isinstance(v, tuple) else float(v)
+
+        self.a = dimmed("absorptivity", 0.5)
+        self.e = dimmed("emissivity", 0.5)
+        self.E = dimmed("E", 0.0)
+
+        # angular discretization: 4*nPhi azimuthal x 2*nTheta polar
+        # bands (the reference's nPhi/nTheta are per octant)
+        n_phi, n_theta = 4 * self.n_phi, 2 * self.n_theta
+        d_phi = 2.0 * np.pi / n_phi
+        d_theta = np.pi / n_theta
+        d_ave, omega = [], []
+        for i in range(n_theta):
+            t1, t2 = i * d_theta, (i + 1) * d_theta
+            for j in range(n_phi):
+                p1, p2 = j * d_phi, (j + 1) * d_phi
+                # dAve = Int s dOmega over the control angle
+                sin2 = 0.5 * (t2 - t1) \
+                    - 0.25 * (np.sin(2 * t2) - np.sin(2 * t1))
+                d_ave.append([
+                    (np.sin(p2) - np.sin(p1)) * sin2,
+                    -(np.cos(p2) - np.cos(p1)) * sin2,
+                    0.5 * d_phi * (np.sin(t2) ** 2 - np.sin(t1) ** 2),
+                ])
+                omega.append(d_phi * (np.cos(t1) - np.cos(t2)))
+        self.d_ave = np.asarray(d_ave)           # (nRay, 3)
+        self.omega = np.asarray(omega)           # (nRay,)
+        self.n_ray = len(omega)
+        self.lap_corr = case.laplacian_scheme()
+        try:
+            self.i_controls = case.solver_controls("Ii")
+        except Exception:
+            from ..linalg.solvers import SolverControls
+            self.i_controls = SolverControls()
+        self.sweeps = int(self.i_controls.max_iter) or 300
+        info(f"Selecting radiationModel fvDOM ({self.n_ray} rays, "
+             f"a={self.a} e={self.e})")
+
+    def read_g(self):
+        return self.case.read_field("G")
+
+    def correct(self, mesh, G: VolField, T: VolField):
+        """Solve all rays (batched), rebuild G (reference fvDOM::calc)."""
+        dtype = G.data.dtype
+        d_ave = jnp.asarray(self.d_ave, dtype)       # (nR, 3)
+        omega = jnp.asarray(self.omega, dtype)       # (nR,)
+        n_int = mesh.n_internal
+
+        j_f = d_ave @ mesh.Sf.T                      # (nR, nFaces)
+        j_int = j_f[:, :n_int]
+        own = mesh.owner[:n_int]
+        nei = mesh.neighbour
+
+        emis = self.a * SIGMA_SB * T.data ** 4 / jnp.pi + self.E / jnp.pi
+        kV = self.a * mesh.V                          # attenuation * V
+        # diag: attenuation + sum of outgoing face fluxes (per ray)
+        out_own = jnp.maximum(j_int, 0.0)             # owner -> nei
+        out_nei = jnp.maximum(-j_int, 0.0)            # nei -> owner
+        diag = jnp.zeros((self.n_ray, mesh.n_cells), dtype) + kV
+        diag = diag.at[:, own].add(out_own)
+        diag = diag.at[:, nei].add(out_nei)
+        # boundary faces: outgoing flux adds to the owner diag
+        bflux = []
+        bowners = []
+        for p in mesh.patches:
+            if p.is_empty or p.size == 0:
+                continue
+            sl = slice(p.start, p.start + p.size)
+            bflux.append(j_f[:, sl])
+            bowners.append(mesh.owner[sl])
+        jb = jnp.concatenate(bflux, axis=1) if bflux else j_f[:, :0]
+        bown = jnp.concatenate(bowners) if bowners else own[:0]
+        diag = diag.at[:, bown].add(jnp.maximum(jb, 0.0))
+        # wall emission (independent of I): used for incoming faces
+        tw = jnp.concatenate([
+            T.bvalues[p.bstart:p.bstart + p.size]
+            for p in mesh.patches if not p.is_empty and p.size]) \
+            if bflux else T.data[:0]
+        q_emit = self.e * SIGMA_SB * tw ** 4 / jnp.pi
+
+        b0 = emis * mesh.V                            # (nCells,)
+
+        def sweep(I, i_wall):
+            """One Jacobi pass for all rays at once.
+            I: (nR, nCells); i_wall: (nR, nBnd) incoming intensities."""
+            num = jnp.zeros_like(I) + b0
+            # upwind flux leaves the upwind cell, enters the downwind
+            num = num.at[:, nei].add(out_own * I[:, own])
+            num = num.at[:, own].add(out_nei * I[:, nei])
+            # boundary: incoming faces feed the owner with i_wall
+            num = num.at[:, bown].add(jnp.maximum(-jb, 0.0) * i_wall)
+            return num / diag
+
+        def wall_incident(I):
+            """qin per boundary face: sum of outgoing ray radiosity
+            hitting the wall; then grey-diffusive Iw for incoming."""
+            qin = (jnp.maximum(jb, 0.0) * I[:, bown]).sum(0)
+            mag = jnp.concatenate([
+                mesh.mag_sf[p.start:p.start + p.size]
+                for p in mesh.patches if not p.is_empty and p.size]) \
+                if bflux else mesh.mag_sf[:0]
+            qin = qin / jnp.maximum(mag, 1e-30)
+            return q_emit + (1.0 - self.e) * qin / jnp.pi
+
+        # G-consistent isotropic start
+        I0 = jnp.broadcast_to(G.data / (4.0 * jnp.pi),
+                              (self.n_ray, mesh.n_cells)).astype(dtype)
+        from jax import lax
+
+        def body(carry):
+            I, it, res = carry
+            i_wall = wall_incident(I)
+            I_new = sweep(I, i_wall)
+            res = jnp.max(jnp.abs(I_new - I)) \
+                / (jnp.max(jnp.abs(I_new)) + 1e-30)
+            return I_new, it + 1, res
+
+        def cond(carry):
+            I, it, res = carry
+            return (res > self.tolerance) & (it < self.sweeps)
+
+        I, iters, res = lax.while_loop(
+            cond, body, (I0, jnp.asarray(0, jnp.int32),
+                         jnp.asarray(jnp.inf, dtype)))
+
+        g_new = (omega[:, None] * I).sum(0)
+        G_new = fvc._extrapolated(mesh, g_new, G.dims, "G") \
+            .replace(bcs=G.bcs, bcdata=G.bcdata)
+        perf = ((jnp.asarray(1.0, dtype), res, iters),)
+        return G_new, perf
+
+    def sh(self, mesh, G: VolField, T: VolField, cpv, he_cur):
+        """Energy coupling (reference fvDOM: Rp = 4 a sigma, Ru = a G)."""
+        t3 = T.data ** 3
+        rp = 4.0 * self.a * SIGMA_SB
+        ru = self.a * G.data
+        sp = rp * t3 / jnp.maximum(cpv, 1e-10)
+        expl = ru - rp * t3 * T.data + sp * he_cur
+        return sp, expl
+
+    def qr(self, mesh, G: VolField):
+        """Boundary radiative heat flux. The ray-resolved wall flux is
+        internal to correct(); for postprocessing, the P1-form estimate
+        -snGrad(G)/(3a) is returned (exact in the optically-thick limit
+        the DOM and P1 share)."""
+        sng = fvc.sn_grad(mesh, G)
+        return -sng.data / (3.0 * self.a + 1e-30)
+
+
 def make_radiation_model(case):
     """radiation::radiationModel::New — returns None when radiation is
     off/absent (reference: radiationModel 'none')."""
@@ -188,5 +371,7 @@ def make_radiation_model(case):
         return None
     if name == "P1":
         return P1Radiation(case, props)
+    if name == "fvDOM":
+        return FvDOMRadiation(case, props)
     raise KeyError(f"radiationProperties: unsupported radiationModel "
-                   f"'{name}' (none|P1; fvDOM/viewFactor deferred)")
+                   f"'{name}' (none|P1|fvDOM; viewFactor deferred)")
