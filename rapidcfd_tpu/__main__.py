@@ -47,6 +47,7 @@ SOLVERS = {
     "sonicLiquidFoam": ("rapidcfd_tpu.solvers.sonicliquidfoam", {}),
     "rhoSimpleFoam": ("rapidcfd_tpu.solvers.rhosimplefoam", {}),
     "rhoPimpleFoam": ("rapidcfd_tpu.solvers.rhopimplefoam", {}),
+    "reactingFoam": ("rapidcfd_tpu.solvers.reactingfoam", {}),
     "rhoLTSPimpleFoam": ("rapidcfd_tpu.solvers.rhopimplefoam",
                          {"lts": True}),
     "rhoCentralFoam": ("rapidcfd_tpu.solvers.rhocentralfoam", {}),

@@ -1,0 +1,283 @@
+"""reactionThermo + chemistryModel — multi-species reacting mixtures.
+
+Capability surface (reference:
+src/thermophysicalModels/reactionThermo/mixtures/multiComponentMixture/,
+src/thermophysicalModels/chemistryModel/chemistryModel/chemistryModel.C
+:291-404 omega/tc, chemistrySolver/EulerImplicit/EulerImplicit.C):
+
+- `MultiComponentThermo`: species list + per-specie layered thermo
+  (models/thermo.py SpecieThermo), mass-fraction-weighted mixture
+  properties, mixture T(he) Newton inversion.
+- `Reaction` / `ChemistryModel`: Arrhenius kinetics
+  (irreversibleArrheniusReaction, reversibleArrheniusReaction with
+  janaf-Gibbs equilibrium), foam-format `reactions { ... }` dicts.
+- `EulerImplicit`: the reference solves a per-cell (nSpecie x nSpecie)
+  linear system each chemical step. TPU re-founding: the Jacobian
+  d(omega)/dc comes from jax.jacfwd of the pure rate function and the
+  (nCells, ns, ns) systems are ONE batched dense solve on the MXU —
+  no hand-coded per-reaction linearization, no per-cell loop.
+
+Rates use kmol/m^3 concentrations and SI Arrhenius (k = A T^beta
+exp(-Ta/T)) exactly as the reference's foam chemistry reader.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.dictionary import Dictionary, parse_file
+from ..utils.logging import info
+from .thermo import R_UNIVERSAL, SpecieThermo, specie_from_mixture_dict
+
+P_STD = 101325.0
+
+
+# ---------------------------------------------------------------------------
+# reactions
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Reaction:
+    """One Arrhenius reaction: lhs/rhs as (specie index, stoich coeff,
+    rate exponent) triples (reference: Reaction.H specieCoeffs)."""
+    lhs: tuple                 # ((idx, nu, exp), ...)
+    rhs: tuple
+    A: float
+    beta: float
+    Ta: float
+    reversible: bool = False
+
+
+def _parse_reaction_side(text: str, index: dict) -> tuple:
+    out = []
+    for term in text.split("+"):
+        term = term.strip()
+        if not term:
+            continue
+        # leading stoichiometric coefficient: "2O2", "1.5H2O", "O2^2"
+        i = 0
+        while i < len(term) and (term[i].isdigit() or term[i] == "."):
+            i += 1
+        nu = float(term[:i]) if i else 1.0
+        rest = term[i:].strip()
+        exp = nu
+        if "^" in rest:                      # explicit rate exponent
+            rest, e = rest.split("^", 1)
+            exp = float(e)
+        if rest not in index:
+            raise KeyError(f"reaction references unknown specie "
+                           f"'{rest}'")
+        out.append((index[rest], nu, exp))
+    return tuple(out)
+
+
+def parse_reactions(d: Dictionary, species: list[str]) -> list[Reaction]:
+    """foam-format `reactions { name { type ...; reaction "..."; A ..;
+    beta ..; Ta ..; } }` (reference: foamChemistryReader)."""
+    index = {s: i for i, s in enumerate(species)}
+    out = []
+    sub = d.subdict("reactions", required=False) or d
+    for name, r in sub.items():
+        if not isinstance(r, Dictionary) or r.lookup("reaction") is None:
+            continue
+        typ = r.word("type", "irreversibleArrheniusReaction")
+        eqn = str(r.lookup("reaction")).strip().strip('"')
+        lhs_text, rhs_text = eqn.split("=")
+        out.append(Reaction(
+            lhs=_parse_reaction_side(lhs_text, index),
+            rhs=_parse_reaction_side(rhs_text, index),
+            A=r.scalar("A"), beta=r.scalar("beta", 0.0),
+            Ta=r.scalar("Ta", 0.0),
+            reversible=typ.startswith("reversible")))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# multi-component mixture thermo
+# ---------------------------------------------------------------------------
+
+class MultiComponentThermo:
+    """reactionThermo: hePsiThermo<multiComponentMixture<...>>.
+
+    Mixture properties are mass-fraction weighted over the per-specie
+    pure-function stacks; Y enters every call explicitly (functional —
+    no mutable cellMixture state like the reference)."""
+
+    def __init__(self, species: list[str],
+                 specs: list[SpecieThermo], inert: str | None = None):
+        self.species = species
+        self.specs = specs
+        self.inert = inert
+        self.inert_idx = species.index(inert) if inert else None
+        self.n = len(species)
+        self.W = np.array([s.mol_weight for s in specs])
+
+    # Y: (ns, nCells) stacked mass fractions
+    def r_mix(self, Y):
+        return sum(Y[i] * (R_UNIVERSAL / self.W[i])
+                   for i in range(self.n))
+
+    def cp_mix(self, Y, T):
+        return sum(Y[i] * self.specs[i].cp_t(T) for i in range(self.n))
+
+    def he_from_t(self, Y, T):
+        return sum(Y[i] * self.specs[i].he_from_t(T)
+                   for i in range(self.n))
+
+    def t_from_he(self, Y, he, T0=None):
+        """Mixture Newton inversion (reference: multiComponentMixture
+        cellMixture + thermo::THE)."""
+        T = jnp.full_like(he, 1000.0) if T0 is None else T0
+        with_e = self.specs[0].energy in ("sensibleInternalEnergy",
+                                          "absoluteInternalEnergy")
+        for _ in range(8):
+            f = self.he_from_t(Y, T) - he
+            fp = self.cp_mix(Y, T) - (self.r_mix(Y) if with_e else 0.0)
+            T = jnp.clip(T - f / jnp.maximum(fp, 1e-3), 100.0, 5000.0)
+        return T
+
+    def psi(self, Y, T):
+        return 1.0 / (self.r_mix(Y) * jnp.maximum(T, 1e-10))
+
+    def rho(self, Y, p, T):
+        return p * self.psi(Y, T)
+
+    def mu(self, Y, T):
+        return sum(Y[i] * self.specs[i].mu(T) for i in range(self.n))
+
+    def alpha_h(self, Y, T):
+        return sum(Y[i] * self.specs[i].alpha_h(T)
+                   for i in range(self.n))
+
+
+# ---------------------------------------------------------------------------
+# chemistry model + EulerImplicit
+# ---------------------------------------------------------------------------
+
+class ChemistryModel:
+    def __init__(self, thermo: MultiComponentThermo,
+                 reactions: list[Reaction]):
+        self.thermo = thermo
+        self.reactions = reactions
+        self.W = jnp.asarray(thermo.W)
+
+    def _rates_c(self, c, T):
+        """dc/dt (kmol/m^3/s) for concentration vector c (ns,) at one
+        cell; pure — jacfwd'able (reference: chemistryModel::omega)."""
+        dcdt = jnp.zeros_like(c)
+        cc = jnp.maximum(c, 0.0)
+        for r in self.reactions:
+            kf = r.A * T ** r.beta * jnp.exp(-r.Ta / jnp.maximum(T, 1.0))
+            w = kf
+            for idx, nu, exp in r.lhs:
+                w = w * cc[idx] ** exp
+            if r.reversible:
+                # Kc from standard-state Gibbs (janaf)
+                dn = sum(nu for _, nu, _ in r.rhs) \
+                    - sum(nu for _, nu, _ in r.lhs)
+                g = 0.0
+                for idx, nu, _ in r.rhs:
+                    g = g + nu * self.thermo.specs[idx].nasa_g_rt(T)
+                for idx, nu, _ in r.lhs:
+                    g = g - nu * self.thermo.specs[idx].nasa_g_rt(T)
+                kc = jnp.exp(-g) * (P_STD / (R_UNIVERSAL * T)) ** dn
+                wr = kf / jnp.maximum(kc, 1e-30)
+                for idx, nu, exp in r.rhs:
+                    wr = wr * cc[idx] ** exp
+                w = w - wr
+            for idx, nu, _ in r.lhs:
+                dcdt = dcdt.at[idx].add(-nu * w)
+            for idx, nu, _ in r.rhs:
+                dcdt = dcdt.at[idx].add(nu * w)
+        return dcdt
+
+    def euler_implicit(self, rho, Y, T, dt, n_sub: int = 1):
+        """EulerImplicit chemical integration, batched over cells.
+
+        One sub-step solves (I/dt - J) dc = omega(c) per cell with J =
+        jacfwd(omega) — the reference's per-cell simplified-Jacobian
+        LU (EulerImplicit.C:90-150) becomes one MXU-batched dense
+        solve. Returns RR: (ns, nCells) net production [kg/m^3/s]."""
+        W = self.W
+        c0 = (rho * Y / W[:, None]).T            # (nCells, ns)
+        Tc = T
+
+        def substep(_, c):
+            def f(ci, Ti):
+                return self._rates_c(ci, Ti)
+            omega = jax.vmap(f)(c, Tc)                     # (nC, ns)
+            J = jax.vmap(jax.jacfwd(f))(c, Tc)             # (nC, ns, ns)
+            h = dt / n_sub
+            A = jnp.eye(c.shape[1])[None] / h - J
+            dc = jnp.linalg.solve(A, omega[..., None])[..., 0]
+            return jnp.maximum(c + dc, 0.0)
+
+        c_new = jax.lax.fori_loop(0, n_sub, substep, c0)
+        rr = (c_new - c0).T * W[:, None] / dt              # kg/m3/s
+        return rr
+
+    def qdot(self, rr, T):
+        """Heat release rate [W/m^3]: -sum hc_i RR_i (reference:
+        chemistryModel::Qdot, hc = enthalpy of formation)."""
+        q = jnp.zeros_like(T)
+        for i, sp in enumerate(self.thermo.specs):
+            if sp.cp_mode == "janaf":
+                hf = sp._ha(jnp.full_like(T, 298.15))
+            else:
+                hf = sp.hf
+            q = q - hf * rr[i]
+        return q
+
+
+def read_reacting_thermo(case_dir: str):
+    """Build (MultiComponentThermo, ChemistryModel) from
+    constant/thermophysicalProperties (+ foamChemistryFile or inline
+    reactions/species) — reference: psiReactionThermo::New +
+    foamChemistryReader."""
+    props = parse_file(os.path.join(case_dir, "constant",
+                                    "thermophysicalProperties"))
+    tt = props.lookup("thermoType", required=True)
+    energy = "sensibleEnthalpy"
+    transport, thermo_name, eos = "const", "hConst", "perfectGas"
+    if isinstance(tt, Dictionary):
+        energy = tt.word("energy", energy)
+        transport = tt.word("transport", transport)
+        thermo_name = tt.word("thermo", thermo_name)
+        eos = tt.word("equationOfState", eos)
+
+    # species + reactions either inline or in foamChemistryFile
+    chem = props
+    f = props.lookup("foamChemistryFile")
+    if f is not None:
+        path = str(f).strip('"').replace("$FOAM_CASE", case_dir)
+        chem = parse_file(path)
+    species = [str(s) for s in (chem.lookup("species") or ())]
+    if not species:
+        raise KeyError("reacting thermo: no species list")
+    thermo_src = props
+    ft = props.lookup("foamChemistryThermoFile")
+    if ft is not None:
+        path = str(ft).strip('"').replace("$FOAM_CASE", case_dir)
+        thermo_src = parse_file(path)
+
+    specs = []
+    for name in species:
+        sub = thermo_src.subdict(name, required=False) \
+            or chem.subdict(name, required=False)
+        if sub is None:
+            raise KeyError(f"no thermo data for specie '{name}'")
+        specs.append(specie_from_mixture_dict(
+            sub, energy=energy, transport=transport,
+            thermo_name=thermo_name, eos=eos))
+    inert = props.lookup("inertSpecie")
+    inert = str(inert) if inert is not None else None
+    thermo = MultiComponentThermo(species, specs, inert)
+    reactions = parse_reactions(chem, species)
+    info(f"Selecting reacting mixture: {len(species)} species, "
+         f"{len(reactions)} reactions, inert={inert}")
+    return thermo, ChemistryModel(thermo, reactions)

@@ -434,6 +434,23 @@ class SpecieThermo:
             T = jnp.clip(T - f / jnp.maximum(fp, 1e-3), 10.0, 2e4)
         return T
 
+    def nasa_g_rt(self, T):
+        """Standard-state Gibbs energy g0/(Ru*T) from the NASA-7
+        coefficients (reference: janafThermo s()/ha(); used for the
+        equilibrium constants of reversible reactions). janaf only."""
+        if self.cp_mode != "janaf":
+            raise ValueError(
+                "reversible-reaction equilibrium needs janaf thermo")
+
+        def g_of(a):
+            h_rt = _polyval([a[0], a[1] / 2, a[2] / 3, a[3] / 4,
+                             a[4] / 5], T) + a[5] / T
+            s_r = a[0] * jnp.log(T) + _polyval(
+                [0.0, a[1], a[2] / 2, a[3] / 3, a[4] / 4], T) + a[6]
+            return h_rt - s_r
+        return jnp.where(T < self.t_common, g_of(self.janaf_low),
+                         g_of(self.janaf_high))
+
     # -- equation of state --------------------------------------------------
     def psi(self, T):
         if self.eos == "perfectGas":
@@ -523,6 +540,16 @@ def read_specie_thermo(props: Dictionary) -> SpecieThermo:
                 break
     if not mix:
         raise KeyError("thermophysicalProperties: no mixture dictionary")
+    return specie_from_mixture_dict(mix, energy=energy,
+                                    transport=transport,
+                                    thermo_name=thermo_name, eos=eos)
+
+
+def specie_from_mixture_dict(mix: Dictionary, *, energy, transport,
+                             thermo_name, eos) -> SpecieThermo:
+    """Build one SpecieThermo from a specie/thermodynamics/transport
+    subdict bundle (one entry of a multiComponentMixture, or the single
+    pureMixture dict)."""
     specie = mix.subdict("specie")
     th = mix.subdict("thermodynamics")
     tr = mix.subdict("transport")

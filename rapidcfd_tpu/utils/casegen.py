@@ -1401,3 +1401,157 @@ def wedge_mesh(nx: int = 10, nr: int = 12, r0: float = 0.5,
     pts[:, 2] = r * np.sin(phi)
     return PolyMesh(pts, m.face_points, m.face_offsets, m.owner,
                     m.neighbour, m.patches)
+
+
+def reacting_box_case(case_dir: str, n: int = 16, end_time: float = 2e-3,
+                      delta_t: float = 1e-4):
+    """reactingFoam ignition box: a closed 2D box of premixed fuel F +
+    inert N2 with a hot kernel in the middle; one irreversible
+    Arrhenius reaction F = P releases heat (reference tutorial family:
+    combustion/reactingFoam)."""
+    from ..mesh.geometry import cell_centres_and_vols, face_centres_and_areas
+    from ..fields.io import _body_value
+
+    L = 0.1
+    mesh = box_mesh(n, n, 1, size=(L, L, L / n), patch_spec={
+        "xmin": ("walls", "wall"), "xmax": ("walls", "wall"),
+        "ymin": ("walls", "wall"), "ymax": ("walls", "wall"),
+        "zmin": ("frontAndBack", "empty"),
+        "zmax": ("frontAndBack", "empty"),
+    })
+    write_polymesh(mesh, case_dir)
+    Cf, Sf = face_centres_and_areas(mesh)
+    C, V = cell_centres_and_vols(mesh, Cf, Sf)
+    r = np.sqrt((C[:, 0] - 0.5 * L) ** 2 + (C[:, 1] - 0.5 * L) ** 2)
+    T0 = np.where(r < 0.2 * L, 1500.0, 600.0)
+
+    _write(os.path.join(case_dir, "system", "controlDict"),
+           foamfile_header("dictionary", "controlDict", "system"), f"""
+application     reactingFoam;
+startFrom       startTime;
+startTime       0;
+stopAt          endTime;
+endTime         {end_time};
+deltaT          {delta_t};
+writeControl    runTime;
+writeInterval   {end_time};
+writeFormat     ascii;
+""")
+    _write(os.path.join(case_dir, "system", "fvSchemes"),
+           foamfile_header("dictionary", "fvSchemes", "system"), """
+ddtSchemes      { default Euler; }
+gradSchemes     { default Gauss linear; }
+divSchemes
+{
+    default         none;
+    div(phi,U)      Gauss upwind;
+    div(phi,Yi_h)   Gauss upwind;
+    div(phi,K)      Gauss upwind;
+}
+laplacianSchemes { default Gauss linear orthogonal; }
+interpolationSchemes { default linear; }
+snGradSchemes   { default orthogonal; }
+""")
+    _write(os.path.join(case_dir, "system", "fvSolution"),
+           foamfile_header("dictionary", "fvSolution", "system"), """
+solvers
+{
+    p
+    {
+        solver          PCG;
+        preconditioner  DIC;
+        tolerance       1e-07;
+        relTol          0.01;
+    }
+    pFinal
+    {
+        solver          PCG;
+        preconditioner  DIC;
+        tolerance       1e-07;
+        relTol          0;
+    }
+    "(U|h|Yi)"
+    {
+        solver          PBiCGStab;
+        preconditioner  DILU;
+        tolerance       1e-07;
+        relTol          0;
+    }
+}
+PIMPLE
+{
+    nOuterCorrectors 1;
+    nCorrectors     2;
+    nNonOrthogonalCorrectors 0;
+    nChemistrySubSteps 2;
+}
+""")
+    _write(os.path.join(case_dir, "constant", "thermophysicalProperties"),
+           foamfile_header("dictionary", "thermophysicalProperties",
+                           "constant"), """
+thermoType
+{
+    type            hePsiThermo;
+    mixture         multiComponentMixture;
+    transport       const;
+    thermo          hConst;
+    energy          sensibleEnthalpy;
+    equationOfState perfectGas;
+    specie          specie;
+}
+
+inertSpecie     N2;
+
+species         ( F P N2 );
+
+F
+{
+    specie          { molWeight 16; }
+    thermodynamics  { Cp 2200; Hf 5e7; }
+    transport       { mu 1.8e-05; Pr 0.7; }
+}
+P
+{
+    specie          { molWeight 16; }
+    thermodynamics  { Cp 2200; Hf 0; }
+    transport       { mu 1.8e-05; Pr 0.7; }
+}
+N2
+{
+    specie          { molWeight 28; }
+    thermodynamics  { Cp 1040; Hf 0; }
+    transport       { mu 1.8e-05; Pr 0.7; }
+}
+
+reactions
+{
+    fuelReaction
+    {
+        type            irreversibleArrheniusReaction;
+        reaction        "F = P";
+        A               5e6;
+        beta            0;
+        Ta              10000;
+    }
+}
+""")
+    wall_zg = "        type            zeroGradient;\n"
+    wall_empty = "        type            empty;\n"
+    write_field(case_dir, "0", "p", "volScalarField", "[1 -1 -2 0 0 0 0]",
+                "uniform 1e5",
+                {"walls": wall_zg, "frontAndBack": wall_empty})
+    write_field(case_dir, "0", "T", "volScalarField", "[0 0 0 1 0 0 0]",
+                _body_value(T0),
+                {"walls": wall_zg, "frontAndBack": wall_empty})
+    write_field(case_dir, "0", "U", "volVectorField", "[0 1 -1 0 0 0 0]",
+                "uniform (0 0 0)",
+                {"walls": "        type            fixedValue;\n"
+                          "        value           uniform (0 0 0);\n",
+                 "frontAndBack": wall_empty})
+    for name, val in (("F", 0.1), ("P", 0.0), ("N2", 0.9)):
+        write_field(case_dir, "0", name, "volScalarField",
+                    "[0 0 0 0 0 0 0]", f"uniform {val}",
+                    {"walls": wall_zg, "frontAndBack": wall_empty})
+    _write(os.path.join(case_dir, "constant", "transportProperties"),
+           foamfile_header("dictionary", "transportProperties",
+                           "constant"), "\n")
