@@ -53,6 +53,11 @@ class BC:
     # (cfdTools/general/findRefCell). Distinct from fixes_value, which
     # also covers constraint patches (symmetry) for constrainHbyA.
     fixes_level = False
+    # True for implicitly-coupled interfaces (cyclicAMI): assembly puts
+    # the ghost-coupling coefficient in boundary_coeffs and the SpMV
+    # applies it against partner-side values every iteration (the
+    # reference's initMatrixInterfaces/updateMatrixInterfaces path)
+    coupled = False
 
     # -- default hook implementations ---------------------------------------
     def evaluate(self, mesh, patch, field, bd, env=None):
@@ -178,6 +183,52 @@ class Empty(BC):
 
     def gradient_internal_coeff(self, mesh, patch, field, bd, env=None):
         return jnp.zeros(patch.size)
+
+
+@register("fvPatchField", "cyclicAMI")
+@dataclass(frozen=True)
+class CyclicAMI(BC):
+    """Arbitrary-mesh-interface coupling (reference:
+    cyclicAMIFvPatchField.H:54): ghost values are the overlap-weighted
+    sum of partner-patch face-cell values (mesh/ami.py tables), with
+    the coupled transform applied to vectors. Face values interpolate
+    owner/ghost with distance weights; matrix coupling is IMPLICIT via
+    the coupled-patch SpMV hook."""
+    preserves_type = True
+    value_free = True
+    coupled = True
+
+    def _t(self, mesh, patch):
+        t = mesh.ami_table(patch)
+        if t is None:
+            raise ValueError(
+                f"cyclicAMI patch '{patch.name}' has no AMI table — "
+                "is the partner patch missing?")
+        return t
+
+    def evaluate(self, mesh, patch, field, bd, env=None):
+        t = self._t(mesh, patch)
+        psi_c = field.patch_internal(mesh, patch)
+        ghost = mesh.ami_ghost(patch, field.data)
+        w = _bcast(t.w_face, psi_c)
+        return w * psi_c + (1.0 - w) * ghost
+
+    def value_internal_coeff(self, mesh, patch, field, bd, env=None):
+        t = self._t(mesh, patch)
+        w = t.w_face
+        return w[:, None] * jnp.ones(field.data.shape[1:]) \
+            if field.data.ndim > 1 else w
+
+    def gradient_internal_coeff(self, mesh, patch, field, bd, env=None):
+        t = self._t(mesh, patch)
+        gic = -t.dc
+        return gic[:, None] if field.data.ndim > 1 else gic
+
+    def snGrad(self, mesh, patch, field, bd, env=None):
+        t = self._t(mesh, patch)
+        psi_c = field.patch_internal(mesh, patch)
+        ghost = mesh.ami_ghost(patch, field.data)
+        return _bcast(t.dc, psi_c) * (ghost - psi_c)
 
 
 @register("fvPatchField", "fixedGradient")

@@ -131,9 +131,13 @@ def _amul_fn(mesh: MeshArrays, m: FvMatrix, diag):
     planes / banded MXU / ELL gather fallback)."""
     from ..parallel.hooks import halo
     off_mv = m.offdiag_mv(mesh)
+    cmv = m.coupled_mv(mesh)
 
     def amul(x):
-        return diag * x + off_mv(halo(x))
+        out = diag * x + off_mv(halo(x))
+        if cmv is not None:
+            out = cmv(x, out)
+        return out
     return amul
 
 

@@ -49,6 +49,23 @@ class Patch:
     def is_coupled(self) -> bool:
         return self.type in ("processor", "cyclic", "processorCyclic")
 
+    @property
+    def is_ami(self) -> bool:
+        return self.type == "cyclicAMI"
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class AmiDevTable:
+    """Device-side cyclicAMI coupling table for ONE patch: ghost values
+    at its faces are w-weighted sums of partner-side face-cell values
+    (mesh/ami.py computes the overlap weights host-side)."""
+    nbr_cells: jax.Array      # (size, K) i32 partner face-cells (global)
+    w: jax.Array              # (size, K) overlap weights (rows sum 1)
+    dc: jax.Array             # (size,) owner<->ghost delta coefficient
+    w_face: jax.Array         # (size,) owner weight for face interp
+    rot: jax.Array | None = None   # (3,3) vector transform or None
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
@@ -85,6 +102,9 @@ class MeshArrays:
     # structured-box fast path metadata (mesh/structured.py), or None
     structured: object = dataclasses.field(
         default=None, metadata=dict(static=True))
+    # cyclicAMI coupling tables, one entry per patch (None if not AMI);
+    # () when the mesh has no AMI interfaces (mesh/ami.py)
+    ami: tuple = ()
 
     # -- helpers -----------------------------------------------------------
     @property
@@ -103,6 +123,23 @@ class MeshArrays:
             return st.patch_internal_values(self, self.structured, p,
                                             segs, data)
         return jnp.take(data, self.patch_face_cells(p), axis=0)
+
+    def ami_table(self, p: Patch) -> "AmiDevTable | None":
+        if not self.ami:
+            return None
+        return self.ami[self.patches.index(p)]
+
+    def ami_ghost(self, p: Patch, x: jax.Array) -> jax.Array:
+        """Partner-side ghost values at an AMI patch's faces: the
+        w-weighted sum of partner face-cell values of x ((nCells,) or
+        (nCells, m)); vectors are rotated by the coupled transform."""
+        t = self.ami_table(p)
+        g = jnp.take(x, t.nbr_cells, axis=0)        # (S, K) + rank
+        w = t.w[..., None] if x.ndim == 2 else t.w
+        g = (w * g).sum(axis=1)
+        if t.rot is not None and x.ndim == 2 and x.shape[1] == 3:
+            g = g @ t.rot.T
+        return g
 
     def add_at_patch_cells(self, p: Patch, data: jax.Array,
                            vals: jax.Array) -> jax.Array:
@@ -337,5 +374,43 @@ def build_mesh_arrays(mesh: PolyMesh, *, renumber: bool = True,
         internal_mask=jnp.asarray(internal_mask, dtype),
         n_cells=nc, n_faces=nf, n_internal=n_int, K=K,
         patches=tuple(patches), structured=sinfo,
+        ami=_build_ami(mesh, patches, Cf,
+                       coeffs["b_delta_coeffs"], n_int, dtype),
     )
     return ma, mesh, MeshMaps(cell_perm, face_perm)
+
+
+def _build_ami(mesh: PolyMesh, patches, Cf, b_dc, n_int, dtype):
+    """Device AMI tables for every cyclicAMI patch (mesh/ami.py overlap
+    weights + effective across-interface delta coefficients), or ()."""
+    if not any(p.is_ami for p in patches):
+        return ()
+    from .ami import build_ami_tables
+    raw = build_ami_tables(mesh, Cf, None)
+    out = []
+    for i, p in enumerate(patches):
+        if i not in raw:
+            out.append(None)
+            continue
+        t = raw[i]
+        tgt = patches[t.tgt]
+        # partner face-cells (global cell ids) behind each target face
+        tgt_cells = np.asarray(mesh.owner[tgt.start:tgt.start + tgt.size])
+        nbr_cells = tgt_cells[t.nbr_idx]
+        # effective delta coefficient: own distance + w-avg ghost
+        # distance on the partner side (reference:
+        # cyclicAMIFvPatch::deltaCoeffs via AMI-interpolated deltas)
+        d_own = 1.0 / np.maximum(
+            b_dc[p.start - n_int:p.start - n_int + p.size], 1e-30)
+        d_tgt = 1.0 / np.maximum(
+            b_dc[tgt.start - n_int:tgt.start - n_int + tgt.size], 1e-30)
+        d_ghost = (t.weights * d_tgt[t.nbr_idx]).sum(1)
+        dc = 1.0 / np.maximum(d_own + d_ghost, 1e-30)
+        w_face = d_ghost / np.maximum(d_own + d_ghost, 1e-30)
+        out.append(AmiDevTable(
+            nbr_cells=jnp.asarray(nbr_cells, jnp.int32),
+            w=jnp.asarray(t.weights, dtype),
+            dc=jnp.asarray(dc, dtype),
+            w_face=jnp.asarray(w_face, dtype),
+            rot=(None if t.rot is None else jnp.asarray(t.rot, dtype))))
+    return tuple(out)

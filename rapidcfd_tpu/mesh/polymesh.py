@@ -230,12 +230,16 @@ def write_polymesh(mesh: PolyMesh, case_dir: str, region: str = ""):
 
     pb = [f"\n{len(mesh.patches)}\n("]
     for p in mesh.patches:
-        nbr = ""
-        if p.extra and p.extra.lookup("neighbourPatch") is not None:
-            nbr = (f"        neighbourPatch  "
-                   f"{p.extra.word('neighbourPatch')};\n")
+        extra = ""
+        if p.extra:
+            for k, v in p.extra.items():
+                if isinstance(v, tuple):
+                    vs = "(" + " ".join(f"{float(x):g}" for x in v) + ")"
+                else:
+                    vs = str(v)
+                extra += f"        {k}  {vs};\n"
         pb.append(f"    {p.name}\n    {{\n        type            {p.type};\n"
-                  f"{nbr}"
+                  f"{extra}"
                   f"        nFaces          {p.n_faces};\n"
                   f"        startFace       {p.start_face};\n    }}")
     pb.append(")\n")

@@ -227,6 +227,22 @@ def div(mesh: MeshArrays, phi: SurfaceField, vf: VolField,
             bcs_.append(m.boundary_coeffs[i])
             continue
         phi_b = phi.data[patch.start:patch.start + patch.size]
+        if getattr(bc, "coupled", False):
+            # implicit interface, UPWINDED: the interior runs the
+            # requested (possibly limited) scheme, but a centrally
+            # interpolated interface face destabilizes limited
+            # transport, so the coupled face takes the upwind value
+            # (owner for outflow, ghost for inflow). boundary_coeffs
+            # stores the ghost coefficient in the explicit-sign
+            # convention; the SpMV applies it against partner values.
+            up = (phi_b >= 0.0).astype(phi_b.dtype)
+            shape = (patch.size,) + vf.data.shape[1:]
+            if vf.data.ndim > 1:
+                up = up[:, None]
+                phi_b = phi_b[:, None]
+            ics.append(jnp.broadcast_to(phi_b * up, shape))
+            bcs_.append(jnp.broadcast_to(-phi_b * (1.0 - up), shape))
+            continue
         vic, vbc = bc.value_coeffs(mesh, patch, vf, bd, env={'phi': phi})
         phi_b = _ext(phi_b, vbc)
         ics.append(phi_b * vic * jnp.ones_like(vbc))
@@ -276,6 +292,15 @@ def laplacian(mesh: MeshArrays, gamma, vf: VolField,
             continue
         gb = g_f[patch.start:patch.start + patch.size] \
             * mesh.patch_mag_sf(patch)
+        if getattr(bc, "coupled", False):
+            # implicit interface: snGrad = dc*(ghost - psi_c); the
+            # ghost part's coefficient (per unit ghost, explicit-sign
+            # convention) goes to boundary_coeffs for the SpMV hook
+            gic = bc.gradient_internal_coeff(mesh, patch, vf, bd)
+            gbx = _ext(gb, gic)
+            ics.append(gbx * gic)
+            bcs_.append(gbx * gic)      # = -gb*dc
+            continue
         gic, gbc = bc.gradient_coeffs(mesh, patch, vf, bd)
         gb = _ext(gb, gbc)
         ics.append(gb * gic * jnp.ones_like(gbc))

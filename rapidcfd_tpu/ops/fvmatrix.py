@@ -153,6 +153,13 @@ class FvMatrix:
                 return (c * g).sum(1)
         return mv
 
+    def _coupled_flags(self):
+        """Per-patch: True when the patch couples implicitly (cyclicAMI)
+        — its boundary_coeffs multiply partner GHOST values inside the
+        SpMV instead of folding into the source."""
+        return tuple(getattr(bc, "coupled", False)
+                     for bc in self.psi.bcs)
+
     def component_system_all(self, mesh: MeshArrays):
         """(diag (n,m), source (n,m)) for a column-batched vector solve
         (patch internal coeffs differ per component, e.g. symmetry)."""
@@ -160,12 +167,14 @@ class FvMatrix:
         diag = jnp.broadcast_to(self.diag[:, None],
                                 (self.diag.shape[0], m_comp))
         src = self.source
-        for p, ic, bc in zip(mesh.patches, self.internal_coeffs,
-                             self.boundary_coeffs):
+        for p, ic, bc, cpl in zip(mesh.patches, self.internal_coeffs,
+                                  self.boundary_coeffs,
+                                  self._coupled_flags()):
             if p.is_empty or p.size == 0:
                 continue
             diag = mesh.add_at_patch_cells(p, diag, ic)
-            src = mesh.add_at_patch_cells(p, src, bc)
+            if not cpl:
+                src = mesh.add_at_patch_cells(p, src, bc)
         return diag, src
 
     def component_system(self, mesh: MeshArrays, cmpt: int | None):
@@ -173,15 +182,38 @@ class FvMatrix:
         in (reference: addBoundaryDiag/addBoundarySource before solve)."""
         diag = self.diag
         src = self.source if cmpt is None else self.source[:, cmpt]
-        for p, ic, bc in zip(mesh.patches, self.internal_coeffs,
-                             self.boundary_coeffs):
+        for p, ic, bc, cpl in zip(mesh.patches, self.internal_coeffs,
+                                  self.boundary_coeffs,
+                                  self._coupled_flags()):
             if p.is_empty or p.size == 0:
                 continue
             icc = ic if cmpt is None else ic[:, cmpt]
             bcc = bc if cmpt is None else bc[:, cmpt]
             diag = mesh.add_at_patch_cells(p, diag, icc)
-            src = mesh.add_at_patch_cells(p, src, bcc)
+            if not cpl:
+                src = mesh.add_at_patch_cells(p, src, bcc)
         return diag, src
+
+    def coupled_mv(self, mesh: MeshArrays):
+        """The implicit-interface part of M*x: for every coupled patch,
+        -boundary_coeffs * ghost(x) added at the patch face-cells (the
+        reference's updateMatrixInterfaces). Returns None when the
+        matrix has no coupled patches."""
+        items = [(p, i) for i, (p, cpl) in enumerate(
+            zip(mesh.patches, self._coupled_flags()))
+            if cpl and p.size]
+        if not items:
+            return None
+
+        def mv(x, out):
+            for p, i in items:
+                cc = self.boundary_coeffs[i]
+                if x.ndim == 1 and cc.ndim > 1:
+                    cc = cc[:, 0]
+                ghost = mesh.ami_ghost(p, x)
+                out = mesh.add_at_patch_cells(p, out, -cc * ghost)
+            return out
+        return mv
 
     # -- queries -------------------------------------------------------------------
     def A(self, mesh: MeshArrays) -> VolField:
@@ -207,9 +239,12 @@ class FvMatrix:
         psi = self.psi.data
         off = self.offdiag_mv(mesh)(halo(psi))
         h = self.source - off
-        for p, bc in zip(mesh.patches, self.boundary_coeffs):
+        for p, bc, cpl in zip(mesh.patches, self.boundary_coeffs,
+                              self._coupled_flags()):
             if p.is_empty or p.size == 0:
                 continue
+            if cpl:
+                bc = bc * mesh.ami_ghost(p, psi)
             h = mesh.add_at_patch_cells(p, h, bc)
         h = h / _ext(mesh.V, h)
         return _extrapolated(mesh, h, self.dims / _VOL_DIMS,
@@ -224,7 +259,11 @@ class FvMatrix:
         psi = self.psi.data
         diag, src = self.component_system(mesh, None)
         off = self.offdiag_mv(mesh)(halo(psi))
-        return (diag * psi + off - src) / self.V
+        val = diag * psi + off
+        cmv = self.coupled_mv(mesh)
+        if cmv is not None:
+            val = cmv(psi, val)
+        return (val - src) / self.V
 
     def flux(self, mesh: MeshArrays):
         """Face flux consistent with the assembled operator (reference:
@@ -239,14 +278,17 @@ class FvMatrix:
         own_v, nei_v = face_own_nei(mesh, halo(psi))
         f_int = self.upper * nei_v - self.lower * own_v
         parts = [f_int]
-        for p, ic, bc in zip(mesh.patches, self.internal_coeffs,
-                             self.boundary_coeffs):
+        for p, ic, bc, cpl in zip(mesh.patches, self.internal_coeffs,
+                                  self.boundary_coeffs,
+                                  self._coupled_flags()):
             if p.is_empty:
                 # empty faces carry no flux; the gather would be
                 # 2*nCells wide on a 2D mesh
                 parts.append(jnp.zeros((p.size,), psi.dtype))
                 continue
             psi_c = mesh.patch_cell_values(p, psi)
+            if cpl:
+                bc = bc * mesh.ami_ghost(p, psi)
             parts.append(ic * psi_c - bc)
         return SurfaceField(jnp.concatenate(parts, axis=0), self.dims,
                             f"flux({self.psi.name})")

@@ -1555,3 +1555,129 @@ reactions
     _write(os.path.join(case_dir, "constant", "transportProperties"),
            foamfile_header("dictionary", "transportProperties",
                            "constant"), "\n")
+
+
+def merge_disjoint_meshes(m1: PolyMesh, m2: PolyMesh) -> PolyMesh:
+    """Concatenate two meshes into one (no topological connection —
+    interfaces between them are coupled via cyclicAMI patch pairs).
+    Same-named patches merge; patch metadata comes from whichever mesh
+    defines the name first."""
+    np1, nc1 = len(m1.points), m1.n_cells
+    pts = np.concatenate([m1.points, m2.points])
+
+    def faces_of(m):
+        return [m.face_points[m.face_offsets[i]:m.face_offsets[i + 1]]
+                for i in range(m.n_faces)]
+    f1, f2 = faces_of(m1), faces_of(m2)
+    int_faces = f1[:m1.n_internal_faces] \
+        + [f + np1 for f in f2[:m2.n_internal_faces]]
+    owners = list(m1.owner[:m1.n_internal_faces]) \
+        + list(m2.owner[:m2.n_internal_faces] + nc1)
+    neighbours = list(m1.neighbour) + list(m2.neighbour + nc1)
+
+    groups: dict[str, tuple[str, object, list]] = {}
+    for m, poff, coff in ((m1, 0, 0), (m2, np1, nc1)):
+        fs = faces_of(m)
+        for p in m.patches:
+            g = groups.setdefault(p.name, (p.type, p.extra, []))
+            for k in range(p.n_faces):
+                f = p.start_face + k
+                g[2].append((fs[f] + poff, int(m.owner[f]) + coff))
+
+    all_faces = list(int_faces)
+    patches = []
+    for name, (typ, extra, lst) in groups.items():
+        start = len(all_faces)
+        for fpts, own in lst:
+            all_faces.append(fpts)
+            owners.append(own)
+        patches.append(BoundaryPatch(name, typ, start, len(lst), extra))
+
+    flat = np.concatenate(all_faces)
+    offsets = np.zeros(len(all_faces) + 1, dtype=np.int64)
+    np.cumsum([len(f) for f in all_faces], out=offsets[1:])
+    return PolyMesh(pts, flat, offsets, np.asarray(owners, np.int64),
+                    np.asarray(neighbours, np.int64), patches)
+
+
+def ami_channel_case(case_dir: str, ny1: int = 8, ny2: int = 12,
+                     nx: int = 6, end_time: float = 0.5,
+                     delta_t: float = 0.01, t_left: float = 400.0,
+                     t_right: float = 300.0):
+    """laplacianFoam conduction across a NON-CONFORMING cyclicAMI
+    interface: two blocks of different y-resolution joined at x=0.5.
+    The steady solution is linear in x, so any interface error shows
+    directly (reference test analog: AMI tutorials)."""
+    from ..utils.dictionary import Dictionary as _D
+    L, H = 1.0, 0.2
+    mk = lambda name: _D()
+    e1 = _D()
+    e1["neighbourPatch"] = "ami2"
+    e2 = _D()
+    e2["neighbourPatch"] = "ami1"
+    m1 = box_mesh(nx, ny1, 1, size=(L / 2, H, 0.05), patch_spec={
+        "xmin": ("left", "patch"), "xmax": ("ami1", "cyclicAMI"),
+        "ymin": ("walls", "wall"), "ymax": ("walls", "wall"),
+        "zmin": ("fb", "empty"), "zmax": ("fb", "empty")})
+    m2 = box_mesh(nx, ny2, 1, size=(L / 2, H, 0.05),
+                  origin=(L / 2, 0, 0), patch_spec={
+        "xmin": ("ami2", "cyclicAMI"), "xmax": ("right", "patch"),
+        "ymin": ("walls", "wall"), "ymax": ("walls", "wall"),
+        "zmin": ("fb", "empty"), "zmax": ("fb", "empty")})
+    for m, nbr in ((m1, "ami2"), (m2, "ami1")):
+        for p in m.patches:
+            if p.type == "cyclicAMI":
+                p.extra["neighbourPatch"] = nbr
+                p.extra["transform"] = "none"
+    mesh = merge_disjoint_meshes(m1, m2)
+    write_polymesh(mesh, case_dir)
+
+    _write(os.path.join(case_dir, "system", "controlDict"),
+           foamfile_header("dictionary", "controlDict", "system"), f"""
+application     laplacianFoam;
+startFrom       startTime;
+startTime       0;
+stopAt          endTime;
+endTime         {end_time};
+deltaT          {delta_t};
+writeControl    runTime;
+writeInterval   {end_time};
+writeFormat     ascii;
+""")
+    _write(os.path.join(case_dir, "system", "fvSchemes"),
+           foamfile_header("dictionary", "fvSchemes", "system"), """
+ddtSchemes      { default Euler; }
+gradSchemes     { default Gauss linear; }
+divSchemes      { default none; }
+laplacianSchemes { default Gauss linear orthogonal; }
+interpolationSchemes { default linear; }
+snGradSchemes   { default orthogonal; }
+""")
+    _write(os.path.join(case_dir, "system", "fvSolution"),
+           foamfile_header("dictionary", "fvSolution", "system"), """
+solvers
+{
+    T
+    {
+        solver          PCG;
+        preconditioner  DIC;
+        tolerance       1e-09;
+        relTol          0;
+    }
+}
+SIMPLE { nNonOrthogonalCorrectors 0; }
+""")
+    _write(os.path.join(case_dir, "constant", "transportProperties"),
+           foamfile_header("dictionary", "transportProperties",
+                           "constant"), """
+DT              DT [0 2 -1 0 0 0 0] 0.05;
+""")
+    write_field(case_dir, "0", "T", "volScalarField", "[0 0 0 1 0 0 0]",
+                f"uniform {t_right}",
+                {"left": "        type            fixedValue;\n"
+                         f"        value           uniform {t_left};\n",
+                 "right": "        type            fixedValue;\n"
+                          f"        value           uniform {t_right};\n",
+                 "walls": "        type            zeroGradient;\n",
+                 "fb": "        type            empty;\n",
+                 '"(ami1|ami2)"': "        type            cyclicAMI;\n"})
