@@ -7,8 +7,10 @@ a static cell-selection mask. Implemented sources: MRF (Coriolis),
 explicitPorositySource (Darcy-Forchheimer), semiImplicitSource,
 fixedTemperatureConstraint.
 
-Cell selection: selectionMode all | box (axis-aligned box replaces the
-reference's cellZone lookup until zone IO lands).
+Cell selection: selectionMode all | box | cellSet | cellZone (reference:
+fvOption.H cellSetOption); sets/zones are read from
+constant/polyMesh/{sets,cellZones} (FILE numbering, built by
+mesh/toposet.py) and translated to the device ordering via MeshMaps.
 """
 
 from __future__ import annotations
@@ -25,7 +27,7 @@ from ..utils.logging import info
 from ..utils.registry import lookup, register
 
 
-def _selection_mask(mesh, d: Dictionary):
+def _selection_mask(mesh, d: Dictionary, case=None):
     mode = d.word("selectionMode", "all")
     C = np.asarray(mesh.C)
     if mode == "all":
@@ -35,16 +37,35 @@ def _selection_mask(mesh, d: Dictionary):
         m = np.all((C >= np.asarray(lo, float))
                    & (C <= np.asarray(hi, float)), axis=1)
         return jnp.asarray(m.astype(float), mesh.V.dtype)
+    if mode in ("cellSet", "cellZone"):
+        if case is None:
+            raise KeyError(f"fvOptions: selectionMode {mode} needs a "
+                           f"case directory (no case bound)")
+        from ..mesh.toposet import read_cell_zones, read_set
+        if mode == "cellSet":
+            labels = read_set(case.dir,
+                              d.word("cellSet", "") or d.word("set"))
+        else:
+            name = d.word("cellZone", "") or d.word("zone")
+            zones = read_cell_zones(case.dir, case.region)
+            if name not in zones:
+                raise KeyError(f"fvOptions: cellZone '{name}' not found "
+                               f"(have {sorted(zones)})")
+            labels = zones[name]
+        m_file = np.zeros(mesh.n_cells, bool)
+        m_file[np.asarray(labels, np.int64)] = True
+        m = case.maps.cells_to_device(m_file)
+        return jnp.asarray(m.astype(float), mesh.V.dtype)
     raise KeyError(f"fvOptions: unsupported selectionMode '{mode}' "
-                   f"(all|box)")
+                   f"(all|box|cellSet|cellZone)")
 
 
 class Option:
-    def __init__(self, name, d: Dictionary, mesh):
+    def __init__(self, name, d: Dictionary, mesh, case=None):
         self.name = name
         self.dict = d.subdict(d.word("type") + "Coeffs", required=False) \
             or d
-        self.mask = _selection_mask(mesh, self.dict)
+        self.mask = _selection_mask(mesh, self.dict, case)
         flds = self.dict.lookup("fields")
         self.field_names = [str(f) for f in flds] if flds else None
 
@@ -63,8 +84,8 @@ class MRFSource(Option):
     """Rotating-frame Coriolis source (reference: cfdTools/general/MRF/
     MRFZone.H:66 addCoriolis): Usource -= V*(Omega ^ U)."""
 
-    def __init__(self, name, d, mesh):
-        super().__init__(name, d, mesh)
+    def __init__(self, name, d, mesh, case=None):
+        super().__init__(name, d, mesh, case)
         self.origin = np.asarray(self.dict.lookup("origin",
                                                   [0.0, 0.0, 0.0]), float)
         axis = np.asarray(self.dict.lookup("axis", [0.0, 0.0, 1.0]), float)
@@ -89,8 +110,8 @@ class ExplicitPorositySource(Option):
     derived/explicitPorositySource + porosityModel/DarcyForchheimer):
     implicit Sp contribution -(nu*d + 0.5*|U|*f)*V per unit volume."""
 
-    def __init__(self, name, d, mesh):
-        super().__init__(name, d, mesh)
+    def __init__(self, name, d, mesh, case=None):
+        super().__init__(name, d, mesh, case)
         sub = self.dict.subdict("DarcyForchheimerCoeffs", required=False) \
             or self.dict
         dvec = sub.lookup("d", required=True)
@@ -121,8 +142,8 @@ class SemiImplicitSource(Option):
     """Su/Sp injection (reference: sources/general/semiImplicitSource):
     per field (Su Sp) pair; volumeMode absolute|specific."""
 
-    def __init__(self, name, d, mesh):
-        super().__init__(name, d, mesh)
+    def __init__(self, name, d, mesh, case=None):
+        super().__init__(name, d, mesh, case)
         self.volume_mode = self.dict.word("volumeMode", "specific")
         inj = self.dict.subdict("injectionRateSuSp", required=True)
         self.rates = {}
@@ -152,8 +173,8 @@ class FixedTemperatureConstraint(Option):
     """Constraint: fix T (or the energy eq's psi) in the selection
     (reference: constraints/fixedTemperatureConstraint)."""
 
-    def __init__(self, name, d, mesh):
-        super().__init__(name, d, mesh)
+    def __init__(self, name, d, mesh, case=None):
+        super().__init__(name, d, mesh, case)
         self.temperature = float(self.dict.scalar("temperature", 300.0))
 
     def applies_to(self, field_name):
@@ -187,7 +208,7 @@ class FvOptions:
                 info(f"fvOptions: unknown type '{typ}' for '{name}' "
                      f"— skipped")
                 continue
-            self.options.append(cls(str(name), sub, case.mesh))
+            self.options.append(cls(str(name), sub, case.mesh, case))
             info(f"Creating fvOption {name} of type {typ}")
 
     def __call__(self, mesh, field_name: str, eqn, env=None):
@@ -212,8 +233,8 @@ class ActuationDiskSource(Option):
     selection volume along diskDir). upstreamPoint selects the
     reference-velocity cell (nearest cell centre, host once)."""
 
-    def __init__(self, name, d, mesh):
-        super().__init__(name, d, mesh)
+    def __init__(self, name, d, mesh, case=None):
+        super().__init__(name, d, mesh, case)
         self.disk_dir = np.asarray(self.dict.lookup("diskDir",
                                                     [1.0, 0.0, 0.0]),
                                    float)
@@ -256,8 +277,8 @@ class PressureGradientExplicitSource(Option):
     gradient is adapted each call from the volume-averaged flow-dir
     velocity error with the matrix diagonal as the relaxation scale."""
 
-    def __init__(self, name, d, mesh):
-        super().__init__(name, d, mesh)
+    def __init__(self, name, d, mesh, case=None):
+        super().__init__(name, d, mesh, case)
         ubar = self.dict.lookup("Ubar", required=True)
         if isinstance(ubar, tuple):
             ubar = Dimensioned.from_entry(ubar).value
@@ -290,8 +311,8 @@ class TemperatureLimits(Option):
     constraints/fixedTemperatureConstraint family /
     limitTemperature)."""
 
-    def __init__(self, name, d, mesh):
-        super().__init__(name, d, mesh)
+    def __init__(self, name, d, mesh, case=None):
+        super().__init__(name, d, mesh, case)
         self.t_min = float(self.dict.scalar("Tmin",
                                             self.dict.scalar("min", 0.0)))
         self.t_max = float(self.dict.scalar("Tmax",
@@ -318,8 +339,8 @@ class ExplicitSetValue(Option):
     """Hard-set field values in the selection (reference:
     constraints/explicitSetValue): injectionRate { U (1 0 0); }."""
 
-    def __init__(self, name, d, mesh):
-        super().__init__(name, d, mesh)
+    def __init__(self, name, d, mesh, case=None):
+        super().__init__(name, d, mesh, case)
         inj = self.dict.subdict("injectionRate", required=True)
         self.values = {str(k): (np.asarray(v, float)
                                 if isinstance(v, list) else float(v))
