@@ -144,9 +144,14 @@ def make_dynamic_mesh(case):
     typ = d.word("dynamicFvMesh", "staticFvMesh")
     if typ == "staticFvMesh":
         return None
-    if typ not in ("solidBodyMotionFvMesh", "dynamicMotionSolverFvMesh"):
+    if typ == "dynamicMotionSolverFvMesh":
+        from .motionsolver import MotionSolverMesh
+        info("Selecting dynamicFvMesh dynamicMotionSolverFvMesh")
+        return MotionSolverMesh(case, d)
+    if typ != "solidBodyMotionFvMesh":
         raise KeyError(f"dynamicMeshDict: unsupported dynamicFvMesh "
-                       f"'{typ}' (staticFvMesh|solidBodyMotionFvMesh)")
+                       f"'{typ}' (staticFvMesh|solidBodyMotionFvMesh|"
+                       f"dynamicMotionSolverFvMesh)")
     coeffs = d.subdict("solidBodyMotionFvMeshCoeffs", required=False) \
         or d
     fname = coeffs.word("solidBodyMotionFunction", "rotatingMotion")
