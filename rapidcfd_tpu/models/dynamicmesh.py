@@ -145,6 +145,14 @@ def make_dynamic_mesh(case):
     if typ == "staticFvMesh":
         return None
     if typ == "dynamicMotionSolverFvMesh":
+        ms = d.word("motionSolver", "displacementLaplacian")
+        if ms == "sixDoFRigidBodyMotion":
+            from .sixdof import SixDoFMotionMesh
+            info("Selecting dynamicFvMesh dynamicMotionSolverFvMesh "
+                 "(sixDoFRigidBodyMotion)")
+            coeffs = d.subdict("sixDoFRigidBodyMotionCoeffs",
+                               required=False) or d
+            return SixDoFMotionMesh(case, coeffs)
         from .motionsolver import MotionSolverMesh
         info("Selecting dynamicFvMesh dynamicMotionSolverFvMesh")
         return MotionSolverMesh(case, d)

@@ -159,6 +159,8 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
         info(f"Time = {case.time.name}\n")
         t = case.time.value
         if dyn is not None:
+            if getattr(dyn, "needs_flow", False):
+                dyn.set_flow(U, p, transport.nu(mesh, U))
             mesh, mesh_phi, mesh_ub = dyn.update(t)
             case.mesh = mesh       # keep function objects/IO consistent
         else:
