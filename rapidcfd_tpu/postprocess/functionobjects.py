@@ -432,8 +432,33 @@ class SampledSurfaces(FunctionObject):
                         quads.append([p0, p0 + 1, p0 + n_u + 1, p0 + n_u])
                 self.surfaces.append(("plane", str(sname), cells, quads,
                                       pts))
+            elif typ in ("isoSurface", "isoSurfaceCell"):
+                iso_field = str(sd.word("isoField", "p"))
+                iso_val = float(sd.scalar("isoValue", 0.0))
+                self.surfaces.append(("iso", str(sname),
+                                      (iso_field, iso_val), None, None))
+            elif typ == "triSurfaceMesh":
+                surf_file = str(sd.word("surface", sname + ".stl"))
+                path = os.path.join(case.dir, "constant", "triSurface",
+                                    surf_file)
+                from ..mesh.trisurface import read_surface
+                try:
+                    tsurf = read_surface(path)
+                except FileNotFoundError:
+                    info(f"surfaces: missing {path} — skipped")
+                    continue
+                from ..mesh.meshsearch import MeshSearch
+                ms = MeshSearch(mesh)
+                fc = tsurf.face_centres()
+                cells = ms.find_cell(fc)
+                near = ms.find_nearest_cell(fc)
+                cells = np.where(cells >= 0, cells, near)
+                self.surfaces.append(("tri", str(sname), cells,
+                                      tsurf.faces.tolist(),
+                                      tsurf.points))
             else:
                 info(f"surfaces: unsupported type '{typ}' — skipped")
+        self._point_interp = None
 
     def _write_vtk(self, path, points, polys, cell_data: dict):
         with open(path, "w") as f:
@@ -465,6 +490,27 @@ class SampledSurfaces(FunctionObject):
         if self._count % self.interval:
             return
         for kind, sname, sel, polys, pts in self.surfaces:
+            if kind == "iso":
+                iso_field, iso_val = sel
+                if iso_field not in fields:
+                    continue
+                fld = fields[iso_field]
+                if self._point_interp is None:
+                    from ..mesh.pointinterp import \
+                        build_point_interpolator
+                    self._point_interp = build_point_interpolator(
+                        self.case.pmesh, mesh)
+                from ..mesh.isosurface import iso_surface
+                pv = np.asarray(self._point_interp(fld.data,
+                                                   fld.bvalues))
+                surf, tri_cells = iso_surface(
+                    mesh, self.case.pmesh, np.asarray(fld.data), pv,
+                    iso_val)
+                if surf.n_faces == 0:
+                    continue
+                pts = surf.points
+                polys = surf.faces.tolist()
+                sel = tri_cells
             cell_data = {}
             for fname in self.field_names:
                 if fname not in fields:
@@ -474,6 +520,8 @@ class SampledSurfaces(FunctionObject):
                     patch = sel
                     bsl = slice(patch.bstart, patch.bstart + patch.size)
                     cell_data[fname] = np.asarray(fld.bvalues[bsl])
+                elif kind in ("iso", "tri"):
+                    cell_data[fname] = np.asarray(fld.data)[sel]
                 else:
                     vals = np.asarray(fld.data)[sel]
                     # face value = mean of its 4 corner samples
