@@ -70,21 +70,36 @@ class OscillatingLinearMotion(SolidBodyMotion):
 
 
 class RotatingMotion(SolidBodyMotion):
-    """Rigid rotation about an axis (reference: rotatingMotion; the
-    omega Function1 reduced to a constant rad/s)."""
+    """Rigid rotation about an axis (reference: rotatingMotion) with a
+    full Function1 omega(t) in rad/s: the rotation angle is the exact
+    running integral of the table/polynomial/sine entry."""
 
     def __init__(self, d: Dictionary):
         self.origin = np.asarray(d.lookup("origin", [0.0, 0.0, 0.0]),
                                  float)
         axis = np.asarray(d.lookup("axis", [0.0, 0.0, 1.0]), float)
         self.axis = axis / np.linalg.norm(axis)
-        om = d.lookup("omega", 1.0)
-        if isinstance(om, tuple):       # `omega constant 6.28;`
-            om = om[-1]
-        self.omega = float(om)
+        from ..utils.function1 import Function1
+        self._omega = Function1.from_entry(d, "omega", default=1.0)
+
+    def omega_at(self, t: float) -> float:
+        return float(self._omega(t))
+
+    def _angle(self, t: float) -> float:
+        if self._omega.kind == "constant":
+            return float(self._omega(0.0)) * t
+        tab = self._omega._fn
+        if hasattr(tab, "integrate"):
+            return float(tab.integrate(0.0, t))
+        # generic Function1: fixed-step trapezoid (host, per rebuild)
+        n = 256
+        ts = np.linspace(0.0, t, n + 1)
+        vs = np.array([self._omega(x) for x in ts])
+        return float(np.trapezoid(vs, ts)) if hasattr(np, "trapezoid") \
+            else float(np.trapz(vs, ts))
 
     def _rot(self, t):
-        th = self.omega * t
+        th = self._angle(t)
         k = self.axis
         kx = np.array([[0, -k[2], k[1]],
                        [k[2], 0, -k[0]],
@@ -97,7 +112,7 @@ class RotatingMotion(SolidBodyMotion):
         return (r @ self._rot(t).T) + self.origin
 
     def velocity(self, pos, t):
-        w = self.omega * self.axis
+        w = self.omega_at(t) * self.axis
         return np.cross(w, pos - self.origin)
 
 
