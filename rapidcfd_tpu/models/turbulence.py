@@ -246,7 +246,7 @@ class KEpsilon:
             k = k.store_old()
             eps = eps.store_old()
         s2 = magsqr_symm_grad(mesh, U)
-        G = nut.data * s2                      # production [m2/s3]
+        G = self._production(mesh, state, U, s2)   # [m2/s3]
         G, eps_fix, eps_vals = self._wall_fix(mesh, state, U, nu, G)
 
         nu_eff_eps = self._dcoeff(mesh, state, nu, self.sigma_eps)
@@ -297,6 +297,9 @@ class KEpsilon:
         return new_state, perf
 
     # -- variant hooks -------------------------------------------------------
+    def _production(self, mesh, state, U, s2):
+        return state["nut"].data * s2
+
     def _k_sink(self, mesh, U, k, nu):
         return 0.0
 
@@ -553,6 +556,10 @@ class KOmegaSST:
     def _blend(self, F1, c1v, c2v):
         return F1 * c1v + (1.0 - F1) * c2v
 
+    def _omega_extra(self, mesh, U, k_pos, om_pos, gk, gom, s2):
+        """Additional explicit omega source (SAS hook)."""
+        return 0.0
+
     def _wall_fix(self, mesh, state, U, nu, G):
         """omegaWallFunction near-wall treatment: fix omega in adjacent
         cells to sqrt(omega_vis^2 + omega_log^2) and override G."""
@@ -636,8 +643,9 @@ class KOmegaSST:
         gamma_s2 = gamma * jnp.minimum(
             s2, (self.c1 / self.a1) * self.betaStar * om_pos
             * jnp.maximum(self.a1 * om_pos, self.b1 * F2 * sqrt_s2))
+        extra_om = self._omega_extra(mesh, U, k_pos, om_pos, gk, gom, s2)
         rhs_om = omega.with_calculated_bcs(
-            gamma_s2 + (1.0 - F1) * cd_kom,
+            gamma_s2 + (1.0 - F1) * cd_kom + extra_om,
             jnp.zeros_like(omega.bvalues),
             omega.dims / DimensionSet.of(0, 0, 1))
         om_eqn = (fvm.ddt(mesh, omega, (1.0 if dt is None else dt), ddt_scheme)

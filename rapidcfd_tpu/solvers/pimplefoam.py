@@ -24,7 +24,7 @@ from ..utils.logging import (ExecutionTimer, info, log_continuity,
 from .case import Case
 from .controls import PimpleControl, PisoControl
 from .icofoam import continuity_errors, courant_number
-from .simplefoam import div_dev_reff, relax_field
+from .simplefoam import div_dev_reff, relax_field, turb_nl_stress
 
 
 def make_step(case: Case, transport, turb, ctrl, piso_mode: bool,
@@ -65,7 +65,9 @@ def make_step(case: Case, transport, turb, ctrl, piso_mode: bool,
             nu_eff = turb.nu_eff(mesh, turb_state, nu)
             UEqn = (fvm.ddt(mesh, U, dt, ddt_scheme)
                     + fvm.div(mesh, phi, U, div_u)
-                    + div_dev_reff(mesh, nu_eff, U, lap_corr))
+                    + div_dev_reff(mesh, nu_eff, U, lap_corr,
+                                   turb_nl_stress(turb, mesh,
+                                                  turb_state, U)))
             if u_source is not None:
                 UEqn = UEqn.replace(
                     source=UEqn.source

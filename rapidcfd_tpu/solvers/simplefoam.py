@@ -34,13 +34,25 @@ def relax_field(new: VolField, prev: VolField, alpha: float) -> VolField:
         bvalues=prev.bvalues + alpha * (new.bvalues - prev.bvalues))
 
 
-def div_dev_reff(mesh, nu_eff, U: VolField, lap_corr: str):
+def div_dev_reff(mesh, nu_eff, U: VolField, lap_corr: str,
+                 nl_stress=None):
     """turbulence->divDevReff(U) (reference: linearViscousStress /
-    RASModel::divDevReff): -laplacian(nuEff, U) - div(nuEff*dev(T(grad U)))."""
+    RASModel::divDevReff): -laplacian(nuEff, U) - div(nuEff*dev(T(grad U))).
+    nl_stress: optional explicit nonlinear Reynolds stress tensor field
+    (LienCubicKE / scaleSimilarity-family); its +fvc::div on the LHS
+    becomes -div on the RHS source."""
     m = -fvm.laplacian(mesh, nu_eff, U, lap_corr)
     dev_t = fvc.dev_transpose_grad(mesh, U)
     expl = fvc.div_tensor(mesh, dev_t * nu_eff)
+    if nl_stress is not None:
+        expl = expl - fvc.div_tensor(mesh, nl_stress)
     return m.equals(expl)
+
+
+def turb_nl_stress(turb, mesh, turb_state, U):
+    """nonlinear_stress hook lookup (None for eddy-viscosity models)."""
+    fn = getattr(turb, "nonlinear_stress", None)
+    return fn(mesh, turb_state, U) if fn is not None else None
 
 
 def simple_step(mesh, U: VolField, p: VolField, phi: SurfaceField,
@@ -55,7 +67,8 @@ def simple_step(mesh, U: VolField, p: VolField, phi: SurfaceField,
 
     # momentum predictor (UEqn.H)
     UEqn = fvm.div(mesh, phi, U, div_u) \
-        + div_dev_reff(mesh, nu_eff, U, lap_corr)
+        + div_dev_reff(mesh, nu_eff, U, lap_corr,
+                       turb_nl_stress(turb, mesh, turb_state, U))
     if u_source is not None:
         UEqn = UEqn.replace(
             source=UEqn.source - mesh.V[:, None] * u_source(mesh, U))
