@@ -30,6 +30,8 @@ from .simplefoam import div_dev_reff, relax_field
 
 def make_step(case: Case, transport, turb, simple: SimpleControl,
               consts):
+    from ..models.fvoptions import FvOptions
+    fv_options = FvOptions(case)
     mesh = case.mesh
     beta, t_ref, pr, prt, g = consts
     div_u = case.div_scheme("div(phi,U)")
@@ -66,7 +68,11 @@ def make_step(case: Case, transport, turb, simple: SimpleControl,
                 + nut.bvalues / prt, dim_viscosity, "alphaEff")
         TEqn = (fvm.div(mesh, phi, T, div_t)
                 - fvm.laplacian(mesh, alpha_eff, T, lap_corr))
+        TEqn = fv_options(mesh, "T", TEqn,
+                          {"nu": nu, "T": T, "phi": phi,
+                           "U": U})
         TEqn = TEqn.relax(mesh, t_relax)
+        TEqn = fv_options.constrain(mesh, "T", TEqn)
         T, t_perf = solve(mesh, TEqn, t_controls)
 
         # rhok = 1 - beta*(T - TRef)
@@ -77,6 +83,7 @@ def make_step(case: Case, transport, turb, simple: SimpleControl,
         # ---- UEqn.H
         UEqn = fvm.div(mesh, phi, U, div_u) \
             + div_dev_reff(mesh, nu_eff, U, lap_corr)
+        UEqn = fv_options(mesh, "U", UEqn, {"nu": nu, "T": T})
         UEqn = UEqn.relax(mesh, u_relax)
         sng_rhok = fvc.sn_grad(mesh, rhok)
         sng_prgh = fvc.sn_grad(mesh, p_rgh)
@@ -133,6 +140,8 @@ def make_step(case: Case, transport, turb, simple: SimpleControl,
 def make_pimple_step(case: Case, transport, turb, ctrl, consts):
     """Transient Boussinesq step (reference: heatTransfer/
     buoyantBoussinesqPimpleFoam: TEqn.H/UEqn.H/pEqn.H with Euler ddt)."""
+    from ..models.fvoptions import FvOptions
+    fv_options = FvOptions(case)
     mesh = case.mesh
     beta, t_ref, pr, prt, g = consts
     div_u = case.div_scheme("div(phi,U)")
@@ -176,6 +185,10 @@ def make_pimple_step(case: Case, transport, turb, ctrl, consts):
             TEqn = (fvm.ddt(mesh, T, dt, ddt_scheme)
                     + fvm.div(mesh, phi, T, div_t)
                     - fvm.laplacian(mesh, alpha_eff, T, lap_corr))
+            TEqn = fv_options(mesh, "T", TEqn,
+                              {"nu": nu, "T": T, "dt": dt,
+                               "phi": phi, "U": U})
+            TEqn = fv_options.constrain(mesh, "T", TEqn)
             T, t_perf = solve(mesh, TEqn, t_controls)
 
             rhok = T.with_calculated_bcs(
@@ -186,6 +199,8 @@ def make_pimple_step(case: Case, transport, turb, ctrl, consts):
             UEqn = (fvm.ddt(mesh, U, dt, ddt_scheme)
                     + fvm.div(mesh, phi, U, div_u)
                     + div_dev_reff(mesh, nu_eff, U, lap_corr))
+            UEqn = fv_options(mesh, "U", UEqn,
+                              {"nu": nu, "T": T, "dt": dt})
             sng_rhok = fvc.sn_grad(mesh, rhok)
             sng_prgh = fvc.sn_grad(mesh, p_rgh)
             ff = (-ghf * sng_rhok.data - sng_prgh.data) * mesh.mag_sf
