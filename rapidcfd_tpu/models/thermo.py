@@ -338,6 +338,14 @@ class SpecieThermo:
     r_eos: float = 0.0                # perfectFluid R
     rho_poly: tuple = ()              # icoPolynomial rhoCoeffs
     psi0: float = 0.0                 # linear EoS psi
+    p0_apf: float = 1e5               # adiabaticPerfectFluid p0
+    b_apf: float = 0.0                # adiabaticPerfectFluid B
+    gamma_apf: float = 7.15           # adiabaticPerfectFluid gamma
+    t_crit: float = 0.0               # PengRobinsonGas Tc
+    p_crit: float = 1e5               # PengRobinsonGas Pc
+    v_crit: float = 0.0               # PengRobinsonGas Vc
+    z_crit: float = 1.0               # PengRobinsonGas Zc
+    omega_acc: float = 0.0            # PengRobinsonGas acentric factor
     # -- transport --
     transport: str = "const"          # const | sutherland | polynomial
     mu0: float = 0.0
@@ -371,6 +379,11 @@ class SpecieThermo:
             return self.r
         if self.eos == "perfectFluid":
             return self.r_eos
+        if self.eos == "PengRobinsonGas":
+            import numpy as np
+            z = np.asarray(self.z_pr(jnp.asarray(self.p_ref),
+                                     jnp.asarray(self.t_std)))
+            return float(self.r * z)
         return 0.0
 
     # -- thermodynamics -----------------------------------------------------
@@ -452,7 +465,41 @@ class SpecieThermo:
                          g_of(self.janaf_high))
 
     # -- equation of state --------------------------------------------------
-    def psi(self, T):
+    def z_pr(self, p, T):
+        """Peng-Robinson compressibility factor Z(p, T) (reference:
+        equationOfState/PengRobinsonGas/PengRobinsonGasI.H:Z — largest
+        real root of the PR cubic, branchless for jit)."""
+        r = self.r
+        a = 0.45724 * r ** 2 * self.t_crit ** 2 / self.p_crit
+        b = 0.07780 * r * self.t_crit / self.p_crit
+        tr = T / self.t_crit
+        kappa = 0.37464 + 1.54226 * self.omega_acc \
+            - 0.26992 * self.omega_acc ** 2
+        alpha = (1.0 + kappa * (1.0 - jnp.sqrt(tr))) ** 2
+        B = b * p / (r * T)
+        A = a * alpha * p / (r * T) ** 2
+        a2 = B - 1.0
+        a1 = A - 2.0 * B - 3.0 * B ** 2
+        a0 = -A * B + B ** 2 + B ** 3
+        Q = (3.0 * a1 - a2 * a2) / 9.0
+        Rl = (9.0 * a2 * a1 - 27.0 * a0 - 2.0 * a2 ** 3) / 54.0
+        D = Q ** 3 + Rl ** 2
+        # D <= 0: three real roots, take the largest
+        q3 = jnp.minimum(Q ** 3, 0.0)
+        th = jnp.arccos(jnp.clip(
+            Rl / jnp.sqrt(jnp.maximum(-q3, 1e-300)), -1.0, 1.0))
+        qm = 2.0 * jnp.sqrt(jnp.maximum(-Q, 0.0))
+        r3 = jnp.maximum(
+            qm * jnp.cos(th / 3.0),
+            jnp.maximum(qm * jnp.cos((th + 2.0 * jnp.pi) / 3.0),
+                        qm * jnp.cos((th + 4.0 * jnp.pi) / 3.0))) \
+            - a2 / 3.0
+        # D > 0: one real root
+        d05 = jnp.sqrt(jnp.maximum(D, 0.0))
+        r1 = jnp.cbrt(Rl + d05) + jnp.cbrt(Rl - d05) - a2 / 3.0
+        return jnp.maximum(jnp.where(D <= 0.0, r3, r1), 1e-3)
+
+    def psi(self, T, p=None):
         if self.eos == "perfectGas":
             return 1.0 / (self.r * jnp.maximum(T, 1e-10))
         if self.eos == "perfectFluid":
@@ -461,6 +508,18 @@ class SpecieThermo:
             # rho = psi0*p + rho0 -> drho/dp = psi0 (sonicLiquidFoam's
             # barotropic liquid, reference equationOfState/linear)
             return jnp.full_like(T, self.psi0)
+        if self.eos == "adiabaticPerfectFluid":
+            # psi = drho/dp (reference adiabaticPerfectFluidI.H:117)
+            pv = self.p0_apf if p is None else p
+            base = (pv + self.b_apf) / (self.p0_apf + self.b_apf)
+            return (self.rho0 / (self.gamma_apf
+                                 * (self.p0_apf + self.b_apf))
+                    * base ** (1.0 / self.gamma_apf - 1.0)) \
+                * jnp.ones_like(T)
+        if self.eos == "PengRobinsonGas":
+            pv = self.p_ref if p is None else p
+            z = self.z_pr(pv, jnp.maximum(T, 1e-10))
+            return 1.0 / (z * self.r * jnp.maximum(T, 1e-10))
         return jnp.zeros_like(T)
 
     def rho(self, p, T):
@@ -474,6 +533,15 @@ class SpecieThermo:
             return _polyval(self.rho_poly, T)
         if self.eos == "linear":
             return self.psi0 * p + self.rho0
+        if self.eos == "adiabaticPerfectFluid":
+            # rho0*((p + B)/(p0 + B))^(1/gamma) (reference
+            # adiabaticPerfectFluidI.H:105-111)
+            base = (p + self.b_apf) / (self.p0_apf + self.b_apf)
+            return self.rho0 * jnp.maximum(base, 1e-10) \
+                ** (1.0 / self.gamma_apf) * jnp.ones_like(T)
+        if self.eos == "PengRobinsonGas":
+            z = self.z_pr(p, jnp.maximum(T, 1e-10))
+            return p / (z * self.r * jnp.maximum(T, 1e-10))
         return jnp.full_like(T, self.rho0)   # rhoConst
 
     def c_sound(self, T):
@@ -482,6 +550,9 @@ class SpecieThermo:
             return jnp.sqrt(g * self.r * jnp.maximum(T, 1e-10))
         if self.eos == "perfectFluid":
             return jnp.sqrt(g * self.r_eos * jnp.maximum(T, 1e-10))
+        if self.eos == "PengRobinsonGas":
+            z = self.z_pr(self.p_ref, jnp.maximum(T, 1e-10))
+            return jnp.sqrt(g * z * self.r * jnp.maximum(T, 1e-10))
         return jnp.full_like(T, 1e3)
 
     # -- transport ----------------------------------------------------------
@@ -525,8 +596,9 @@ def read_specie_thermo(props: Dictionary) -> SpecieThermo:
         for cand in ("janaf", "hPolynomial"):
             if cand.lower() in low:
                 thermo_name = cand
-        for cand in ("incompressiblePerfectGas", "perfectFluid",
-                     "rhoConst", "icoPolynomial", "perfectGas"):
+        for cand in ("incompressiblePerfectGas", "adiabaticPerfectFluid",
+                     "PengRobinsonGas", "perfectFluid", "rhoConst",
+                     "icoPolynomial", "perfectGas"):
             if cand.lower() in low:
                 eos = cand
                 break
@@ -603,5 +675,13 @@ def specie_from_mixture_dict(mix: Dictionary, *, energy, transport,
               r_eos=eq.scalar("R", 0.0),
               rho_poly=(tuple_of(eq, "rhoCoeffs<8>")
                         or tuple_of(eq, "rhoCoeffs")),
-              psi0=eq.scalar("psi", 0.0))
+              psi0=eq.scalar("psi", 0.0),
+              p0_apf=eq.scalar("p0", 1e5),
+              b_apf=eq.scalar("B", 0.0),
+              gamma_apf=eq.scalar("gamma", 7.15),
+              t_crit=eq.scalar("Tc", 0.0),
+              p_crit=eq.scalar("Pc", 1e5),
+              v_crit=eq.scalar("Vc", 0.0),
+              z_crit=eq.scalar("Zc", 1.0),
+              omega_acc=eq.scalar("omega", 0.0))
     return SpecieThermo(**kw)

@@ -169,3 +169,63 @@ mixture
     pp = np.asarray(p.data)
     assert np.isfinite(t).all() and np.isfinite(pp).all()
     assert 250 < t.min() and t.max() < 500
+
+
+def test_adiabatic_perfect_fluid():
+    """adiabaticPerfectFluid (reference adiabaticPerfectFluidI.H:105):
+    rho = rho0*((p+B)/(p0+B))^(1/gamma) — water-like Tait EoS."""
+    m = SpecieThermo(mol_weight=18.0, eos="adiabaticPerfectFluid",
+                     rho0=1000.0, p0_apf=1e5, b_apf=3.0e8,
+                     gamma_apf=7.15)
+    T = jnp.asarray([300.0])
+    rho_ref = np.asarray(m.rho(jnp.asarray([1e5]), T))[0]
+    assert abs(rho_ref - 1000.0) < 1e-6
+    # +100 bar compresses water by ~0.5%
+    rho_hi = np.asarray(m.rho(jnp.asarray([1.01e7]), T))[0]
+    assert 1000.0 < rho_hi < 1010.0
+    # psi = drho/dp finite-difference check
+    dp = 1e4
+    fd = (np.asarray(m.rho(jnp.asarray([1e5 + dp]), T))[0]
+          - rho_ref) / dp
+    psi = np.asarray(m.psi(T, 1e5))[0]
+    assert abs(psi - fd) / fd < 1e-2
+
+
+def test_peng_robinson_gas():
+    """PengRobinsonGas (reference PengRobinsonGasI.H:Z): Z -> 1 in the
+    ideal limit; Z < 1 for CO2 near its critical region; rho > ideal."""
+    co2 = SpecieThermo(mol_weight=44.01, eos="PengRobinsonGas",
+                       t_crit=304.13, p_crit=7.377e6, v_crit=9.412e-5,
+                       z_crit=0.274, omega_acc=0.2239, p_ref=1e5)
+    T = jnp.asarray([300.0])
+    z_lo = np.asarray(co2.z_pr(jnp.asarray([1e5]), T))[0]
+    assert abs(z_lo - 1.0) < 0.01                  # near-ideal at 1 bar
+    z_hi = np.asarray(co2.z_pr(jnp.asarray([5e6]), T))[0]
+    assert 0.2 < z_hi < 0.85                       # strongly non-ideal
+    rho_id = 5e6 / (co2.r * 300.0)
+    rho_pr = np.asarray(co2.rho(jnp.asarray([5e6]), T))[0]
+    assert rho_pr > 1.1 * rho_id
+    # parse path: equationOfState subdict
+    props = parse_string("""
+thermoType
+{
+    type            hePsiThermo;
+    mixture         pureMixture;
+    transport       const;
+    thermo          hConst;
+    equationOfState PengRobinsonGas;
+    specie          specie;
+    energy          sensibleEnthalpy;
+}
+mixture
+{
+    specie { nMoles 1; molWeight 44.01; }
+    equationOfState { Tc 304.13; Pc 7.377e6; Vc 9.412e-5;
+                      Zc 0.274; omega 0.2239; }
+    thermodynamics { Cp 846; Hf 0; }
+    transport { mu 1.48e-05; Pr 0.76; }
+}
+""")
+    m2 = read_specie_thermo(props)
+    assert m2.eos == "PengRobinsonGas"
+    assert abs(m2.t_crit - 304.13) < 1e-6
