@@ -40,7 +40,7 @@ def main():
     ap.add_argument("--u-precond", default="DILU",
                     help="momentum preconditioner (AINV alias; GAMG = "
                          "one V-cycle, pays off on stiff/fine meshes)")
-    ap.add_argument("--chain", type=int, default=1,
+    ap.add_argument("--chain", type=int, default=10,
                     help="timesteps fused per dispatch (lax.scan); "
                          "amortizes launch overhead 1/chain")
     ap.add_argument("--profile", metavar="DIR", default=None,
