@@ -66,11 +66,13 @@ def main():
     # benchmark must time a converging run
     dt = 0.005 * 20 / args.n * 0.5
     nz = max(args.n // 4, 1) if args.three_d else 1
-    cavity_case(d, n=args.n, nz=nz, delta_t=dt, end_time=1e9,
-                p_solver=args.p_solver, u_solver=args.u_solver,
-                p_precond=args.p_precond, u_precond=args.u_precond)
+    pmesh = cavity_case(
+        d, n=args.n, nz=nz, delta_t=dt, end_time=1e9,
+        p_solver=args.p_solver, u_solver=args.u_solver,
+        p_precond=args.p_precond, u_precond=args.u_precond,
+        write_mesh=False)
 
-    case = Case(d)
+    case = Case(d, pmesh=pmesh)
     tp = case.transport_properties()
     nu = Dimensioned.from_entry(tp.lookup("nu", required=True), "nu")
     piso = case.algo_dict("PISO")
@@ -85,7 +87,7 @@ def main():
 
     U = case.read_field("U")
     p = case.read_field("p")
-    phi = jax.jit(lambda u: fvc.flux(case.mesh, u))(U)
+    phi = jax.jit(fvc.flux)(jax.device_put(case.mesh), U)
 
     t0 = time.perf_counter()
     U1, p1, phi1, _ = step(U, p, phi, dt)

@@ -56,7 +56,7 @@ def main():
 
     p = case.read_field("p")
     U = case.read_field("U")
-    phi = jax.jit(lambda u: fvc.flux(case.mesh, u))(U)
+    phi = jax.jit(fvc.flux)(jax.device_put(case.mesh), U)
     transport = SinglePhaseTransportModel(case.transport_properties())
     turb = make_ras_model(case, U)
     turb_state = turb.init_state(U)

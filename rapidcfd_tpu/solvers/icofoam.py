@@ -106,10 +106,18 @@ def make_step(case: Case, nu, n_correctors: int,
         n_correctors=n_correctors, n_non_orth=n_non_orth,
         p_ref_cell=p_ref_cell, p_ref_value=p_ref_value)
     nu_fn = nu if callable(nu) else (lambda U: nu)
+    mesh = jax.device_put(mesh)
 
+    # mesh is a jit ARGUMENT, not a captured constant: baking the
+    # geometry/ELL arrays into the HLO blows the program size up with
+    # O(mesh) constants (the axon remote-compile rejects >100MB bodies
+    # at ~1M cells) and forces a re-upload per recompile
     @jax.jit
-    def step(U: VolField, p: VolField, phi: SurfaceField, dt):
+    def _step(mesh, U: VolField, p: VolField, phi: SurfaceField, dt):
         return piso_step(mesh, U, p, phi, dt, nu_fn(U), **kw)
+
+    def step(U, p, phi, dt):
+        return _step(mesh, U, p, phi, dt)
 
     return step
 
@@ -133,9 +141,10 @@ def make_chained_step(case: Case, nu, n_correctors: int,
         n_correctors=n_correctors, n_non_orth=n_non_orth,
         p_ref_cell=p_ref_cell, p_ref_value=p_ref_value)
     nu_fn = nu if callable(nu) else (lambda U: nu)
+    mesh = jax.device_put(mesh)
 
     @jax.jit
-    def steps(U: VolField, p: VolField, phi: SurfaceField, dt):
+    def _steps(mesh, U: VolField, p: VolField, phi: SurfaceField, dt):
         # prime the old-time slot so the scan carry is structurally
         # stable (piso_step's store_old then refreshes it every step)
         if U.old is None:
@@ -150,6 +159,9 @@ def make_chained_step(case: Case, nu, n_correctors: int,
         (U, p, phi), stats = jax.lax.scan(body, (U, p, phi), None,
                                           length=chain)
         return U, p, phi, stats
+
+    def steps(U, p, phi, dt):
+        return _steps(mesh, U, p, phi, dt)
 
     return steps
 

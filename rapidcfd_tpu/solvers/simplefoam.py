@@ -132,13 +132,19 @@ def make_step(case: Case, transport, turb, simple: SimpleControl,
     """u_source: optional (mesh, U) -> (n,3) acceleration added to the
     momentum LHS (SRFSimpleFoam's `+ SRF->Su()`); u_name: fvSolution/
     fvSchemes key for the velocity (SRF solvers use 'Urel')."""
-    mesh = case.mesh
     kw = step_kwargs_from_case(case, simple, transport, turb,
                                u_source, u_name)
+    # mesh as jit ARGUMENT (see icofoam.make_step): keeps O(mesh)
+    # geometry out of the compiled program's constants
+    mesh = jax.device_put(case.mesh)
 
     @jax.jit
-    def step(U: VolField, p: VolField, phi: SurfaceField, turb_state):
+    def _step(mesh, U: VolField, p: VolField, phi: SurfaceField,
+              turb_state):
         return simple_step(mesh, U, p, phi, turb_state, **kw)
+
+    def step(U, p, phi, turb_state):
+        return _step(mesh, U, p, phi, turb_state)
 
     return step
 

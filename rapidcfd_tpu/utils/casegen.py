@@ -25,11 +25,14 @@ def box_mesh(nx: int, ny: int, nz: int,
              grading=(1.0, 1.0, 1.0)) -> PolyMesh:
     """Structured hex mesh of a box; patch_spec maps side->(name, type).
 
-    Sides sharing a patch name are merged into one patch. Simple geometric
-    grading per direction (blockMeshDict simpleGrading equivalent).
+    Sides sharing a patch name are merged into one patch; a
+    (name, 'cyclic', neighbourPatch) spec carries the coupled-patch
+    entry. Simple geometric grading per direction (blockMeshDict
+    simpleGrading equivalent). Delegates to the vectorized
+    unstructured.box_mesh_fast (identical mesh, million-cell capable —
+    the python-loop builder made >500^2 benches take minutes to start).
     """
-    patch_spec = patch_spec or {
-        s: (s, "patch") for s in _SIDES}
+    from .unstructured import box_mesh_fast
 
     def coords(n, length, ratio):
         if ratio == 1.0:
@@ -42,112 +45,8 @@ def box_mesh(nx: int, ny: int, nz: int,
     xs = origin[0] + coords(nx, size[0], grading[0])
     ys = origin[1] + coords(ny, size[1], grading[1])
     zs = origin[2] + coords(nz, size[2], grading[2])
-
-    # nodes
-    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
-    pts = np.stack([X.ravel(order="F"), Y.ravel(order="F"),
-                    Z.ravel(order="F")], axis=1)
-    # node id with Fortran ravel of (nx+1, ny+1, nz+1) meshgrid(ij):
-    # id = i + j*(nx+1) + k*(nx+1)*(ny+1)
-
-    def nid(i, j, k):
-        return i + j * (nx + 1) + k * (nx + 1) * (ny + 1)
-
-    def cid(i, j, k):
-        return i + j * nx + k * nx * ny
-
-    int_faces = []  # (owner, neighbour, [p0..p3])
-    # x-internal faces
-    for k in range(nz):
-        for j in range(ny):
-            for i in range(nx - 1):
-                ii = i + 1
-                int_faces.append((cid(i, j, k), cid(i + 1, j, k),
-                                  [nid(ii, j, k), nid(ii, j + 1, k),
-                                   nid(ii, j + 1, k + 1), nid(ii, j, k + 1)]))
-    # y-internal
-    for k in range(nz):
-        for j in range(ny - 1):
-            for i in range(nx):
-                jj = j + 1
-                int_faces.append((cid(i, j, k), cid(i, j + 1, k),
-                                  [nid(i, jj, k), nid(i, jj, k + 1),
-                                   nid(i + 1, jj, k + 1), nid(i + 1, jj, k)]))
-    # z-internal
-    for k in range(nz - 1):
-        for j in range(ny):
-            for i in range(nx):
-                kk = k + 1
-                int_faces.append((cid(i, j, k), cid(i, j, kk),
-                                  [nid(i, j, kk), nid(i + 1, j, kk),
-                                   nid(i + 1, j + 1, kk), nid(i, j + 1, kk)]))
-    int_faces.sort(key=lambda t: (t[0], t[1]))
-
-    # boundary faces grouped by side
-    side_faces = {s: [] for s in _SIDES}
-    for k in range(nz):
-        for j in range(ny):
-            side_faces["xmin"].append((cid(0, j, k),
-                                       [nid(0, j, k), nid(0, j, k + 1),
-                                        nid(0, j + 1, k + 1), nid(0, j + 1, k)]))
-            side_faces["xmax"].append((cid(nx - 1, j, k),
-                                       [nid(nx, j, k), nid(nx, j + 1, k),
-                                        nid(nx, j + 1, k + 1), nid(nx, j, k + 1)]))
-    for k in range(nz):
-        for i in range(nx):
-            side_faces["ymin"].append((cid(i, 0, k),
-                                       [nid(i, 0, k), nid(i + 1, 0, k),
-                                        nid(i + 1, 0, k + 1), nid(i, 0, k + 1)]))
-            side_faces["ymax"].append((cid(i, ny - 1, k),
-                                       [nid(i, ny, k), nid(i, ny, k + 1),
-                                        nid(i + 1, ny, k + 1), nid(i + 1, ny, k)]))
-    for j in range(ny):
-        for i in range(nx):
-            side_faces["zmin"].append((cid(i, j, 0),
-                                       [nid(i, j, 0), nid(i, j + 1, 0),
-                                        nid(i + 1, j + 1, 0), nid(i + 1, j, 0)]))
-            side_faces["zmax"].append((cid(i, j, nz - 1),
-                                       [nid(i, j, nz), nid(i + 1, j, nz),
-                                        nid(i + 1, j + 1, nz), nid(i, j + 1, nz)]))
-
-    # merge sides into named patches, ordered by patch_spec insertion;
-    # entries may be (name, type) or (name, 'cyclic', neighbourPatch)
-    patch_order: list[str] = []
-    patch_type: dict[str, str] = {}
-    patch_nbr: dict[str, str] = {}
-    patch_sides: dict[str, list[str]] = {}
-    for s, spec in patch_spec.items():
-        name, typ = spec[0], spec[1]
-        if name not in patch_type:
-            patch_order.append(name)
-            patch_type[name] = typ
-            patch_sides[name] = []
-            if len(spec) > 2:
-                patch_nbr[name] = spec[2]
-        patch_sides[name].append(s)
-
-    owners = [t[0] for t in int_faces]
-    neighbours = [t[1] for t in int_faces]
-    all_faces = [t[2] for t in int_faces]
-    patches = []
-    for name in patch_order:
-        start = len(all_faces)
-        for s in patch_sides[name]:
-            for own_c, fpts in side_faces[s]:
-                owners.append(own_c)
-                all_faces.append(fpts)
-        from .dictionary import Dictionary as _D
-        extra = _D()
-        if name in patch_nbr:
-            extra["neighbourPatch"] = patch_nbr[name]
-        patches.append(BoundaryPatch(name, patch_type[name], start,
-                                     len(all_faces) - start, extra))
-
-    flat = np.array([p for f in all_faces for p in f], dtype=np.int64)
-    offsets = np.zeros(len(all_faces) + 1, dtype=np.int64)
-    np.cumsum([len(f) for f in all_faces], out=offsets[1:])
-    return PolyMesh(pts, flat, offsets, np.array(owners, dtype=np.int64),
-                    np.array(neighbours, dtype=np.int64), patches)
+    return box_mesh_fast(nx, ny, nz, patch_spec=patch_spec,
+                         coords=(xs, ys, zs))
 
 
 def masked_grid_mesh(xs, ys, zs, mask, patch_rule) -> PolyMesh:
@@ -506,9 +405,12 @@ def cavity_case(case_dir: str, n: int = 20, d: float = 0.1,
                 p_solver: str = "PCG",
                 u_solver: str = "smoothSolver",
                 p_precond: str = "DIC", nz: int = 1,
-                u_precond: str = "DILU", tight_tol: bool = False):
+                u_precond: str = "DILU", tight_tol: bool = False,
+                write_mesh: bool = True):
     """The icoFoam lid-driven cavity tutorial (BASELINE config 1).
-    nz > 1 gives the 3D cavity (front/back become no-slip walls)."""
+    nz > 1 gives the 3D cavity (front/back become no-slip walls).
+    write_mesh=False skips the ascii polyMesh round-trip (big benches:
+    pass the returned mesh to Case(pmesh=...))."""
     spec = {
         "ymax": ("movingWall", "wall"),
         "xmin": ("fixedWalls", "wall"),
@@ -519,7 +421,10 @@ def cavity_case(case_dir: str, n: int = 20, d: float = 0.1,
     }
     mesh = box_mesh(n, n, nz, size=(d, d, 0.01 if nz == 1 else d),
                     patch_spec=spec)
-    write_polymesh(mesh, case_dir)
+    if write_mesh:
+        write_polymesh(mesh, case_dir)
+    else:
+        os.makedirs(os.path.join(case_dir, "system"), exist_ok=True)
 
     _write(os.path.join(case_dir, "system", "controlDict"),
            foamfile_header("dictionary", "controlDict", "system"), f"""

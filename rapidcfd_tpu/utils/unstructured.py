@@ -31,17 +31,22 @@ _SIDES = ("xmin", "xmax", "ymin", "ymax", "zmin", "zmax")
 
 def box_mesh_fast(nx: int, ny: int, nz: int,
                   size=(1.0, 1.0, 1.0), origin=(0.0, 0.0, 0.0),
-                  patch_spec: dict | None = None) -> PolyMesh:
+                  patch_spec: dict | None = None,
+                  coords=None) -> PolyMesh:
     """Vectorized structured hex box (numpy; million-cell capable).
 
     Same mesh contract as casegen.box_mesh: owner-sorted upper-triangular
     internal faces first, then boundary faces grouped into patches by
     patch_spec {side: (name, type)} with sides sharing a name merged.
+    coords=(xs, ys, zs) overrides the uniform spacing (graded meshes).
     """
     patch_spec = patch_spec or {s: (s, "patch") for s in _SIDES}
-    xs = origin[0] + np.linspace(0.0, size[0], nx + 1)
-    ys = origin[1] + np.linspace(0.0, size[1], ny + 1)
-    zs = origin[2] + np.linspace(0.0, size[2], nz + 1)
+    if coords is not None:
+        xs, ys, zs = (np.asarray(c, float) for c in coords)
+    else:
+        xs = origin[0] + np.linspace(0.0, size[0], nx + 1)
+        ys = origin[1] + np.linspace(0.0, size[1], ny + 1)
+        zs = origin[2] + np.linspace(0.0, size[2], nz + 1)
     X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
     pts = np.stack([X.ravel(order="F"), Y.ravel(order="F"),
                     Z.ravel(order="F")], axis=1)
@@ -99,8 +104,10 @@ def box_mesh_fast(nx: int, ny: int, nz: int,
 
     # boundary faces per side (node order gives outward normals)
     def side_faces(side):
+        # loop orders match casegen.box_mesh exactly: xmin/xmax (k,j),
+        # ymin/ymax (k,i), zmin/zmax (j,i) — outer index first
         if side in ("xmin", "xmax"):
-            j, k = np.meshgrid(np.arange(ny), np.arange(nz), indexing="ij")
+            k, j = np.meshgrid(np.arange(nz), np.arange(ny), indexing="ij")
             j, k = j.ravel(), k.ravel()
             if side == "xmin":
                 return cid(0, j, k), np.stack(
@@ -110,7 +117,7 @@ def box_mesh_fast(nx: int, ny: int, nz: int,
                 [nid(nx, j, k), nid(nx, j + 1, k),
                  nid(nx, j + 1, k + 1), nid(nx, j, k + 1)], axis=1)
         if side in ("ymin", "ymax"):
-            i, k = np.meshgrid(np.arange(nx), np.arange(nz), indexing="ij")
+            k, i = np.meshgrid(np.arange(nz), np.arange(nx), indexing="ij")
             i, k = i.ravel(), k.ravel()
             if side == "ymin":
                 return cid(i, 0, k), np.stack(
@@ -119,7 +126,7 @@ def box_mesh_fast(nx: int, ny: int, nz: int,
             return cid(i, ny - 1, k), np.stack(
                 [nid(i, ny, k), nid(i, ny, k + 1),
                  nid(i + 1, ny, k + 1), nid(i + 1, ny, k)], axis=1)
-        i, j = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+        j, i = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
         i, j = i.ravel(), j.ravel()
         if side == "zmin":
             return cid(i, j, 0), np.stack(
@@ -131,6 +138,7 @@ def box_mesh_fast(nx: int, ny: int, nz: int,
 
     patch_order: list[str] = []
     patch_type: dict[str, str] = {}
+    patch_nbr: dict[str, str] = {}
     patch_sides: dict[str, list[str]] = {}
     for s, spec in patch_spec.items():
         name, typ = spec[0], spec[1]
@@ -138,6 +146,8 @@ def box_mesh_fast(nx: int, ny: int, nz: int,
             patch_order.append(name)
             patch_type[name] = typ
             patch_sides[name] = []
+            if len(spec) > 2:
+                patch_nbr[name] = spec[2]
         patch_sides[name].append(s)
 
     owners = [own]
@@ -154,8 +164,11 @@ def box_mesh_fast(nx: int, ny: int, nz: int,
         p_quads = np.concatenate(p_quads, axis=0)
         owners.append(p_own)
         face_quads.append(p_quads)
+        extra = Dictionary()
+        if name in patch_nbr:
+            extra["neighbourPatch"] = patch_nbr[name]
         patches.append(BoundaryPatch(name, patch_type[name], start,
-                                     p_own.size, Dictionary()))
+                                     p_own.size, extra))
         start += p_own.size
 
     all_own = np.concatenate(owners).astype(np.int64)

@@ -140,3 +140,34 @@ def test_graded_box_mesh():
     ma, _, _2 = build_mesh_arrays(mesh, renumber=False)
     w = np.asarray(ma.weights)
     assert (w > 0).all() and (w < 1).all()
+
+
+def test_box_mesh_matches_fast_builder():
+    """casegen.box_mesh delegates to the vectorized builder; pin the
+    mesh contract (point/face/owner ordering) against a direct call so
+    the structured fast-path detection keeps seeing natural ordering."""
+    from rapidcfd_tpu.utils.unstructured import box_mesh_fast
+
+    spec = {"xmin": ("left", "patch"), "xmax": ("right", "patch"),
+            "ymin": ("walls", "wall"), "ymax": ("walls", "wall"),
+            "zmin": ("fb", "empty"), "zmax": ("fb", "empty")}
+    a = box_mesh(5, 4, 3, size=(1.0, 2.0, 3.0), patch_spec=spec)
+    b = box_mesh_fast(5, 4, 3, size=(1.0, 2.0, 3.0), patch_spec=spec)
+    assert np.allclose(a.points, b.points)
+    assert np.array_equal(a.owner, b.owner)
+    assert np.array_equal(a.neighbour, b.neighbour)
+    assert np.array_equal(a.face_points, b.face_points)
+    assert np.array_equal(a.face_offsets, b.face_offsets)
+    assert [(p.name, p.type, p.start_face, p.n_faces) for p in a.patches] == \
+           [(p.name, p.type, p.start_face, p.n_faces) for p in b.patches]
+
+
+def test_box_mesh_cyclic_spec_carries_neighbour():
+    mesh = box_mesh(4, 3, 1, patch_spec={
+        "xmin": ("inlet", "cyclic", "outlet"),
+        "xmax": ("outlet", "cyclic", "inlet"),
+        "ymin": ("walls", "wall"), "ymax": ("walls", "wall"),
+        "zmin": ("fb", "empty"), "zmax": ("fb", "empty")})
+    by = {p.name: p for p in mesh.patches}
+    assert by["inlet"].extra["neighbourPatch"] == "outlet"
+    assert by["outlet"].extra["neighbourPatch"] == "inlet"
