@@ -81,23 +81,30 @@ def main():
         walls.append(time.perf_counter() - t0)
     wall = statistics.median(walls)
 
+    def initial_residuals(stats):
+        """stats -> {field: initial residual}; perf records are plain
+        (initial, final, iters) tuples (linalg/solvers.py)."""
+        import numpy as np
+        r = {"U": max(float(np.asarray(pf[0])) for pf in stats["u_perf"]),
+             "p": float(np.asarray(stats["p_perf"][0][0]))}
+        for name, pf in stats["turb"].items():
+            r[name] = float(np.asarray(pf[0]))
+        return r
+
     extra = {}
     if args.converge:
-        import numpy as np
         it = args.warmup + args.windows * args.steps
         while it < 5000:
             U, p, phi, turb_state, stats = step(U, p, phi, turb_state)
             it += 1
             if it % 50 == 0:
-                r = {k: float(np.asarray(v["initial_residual"]).max())
-                     for k, v in stats.items() if "initial_residual" in v}
+                r = initial_residuals(stats)
+                assert r, "no residual records in solver stats"
                 print(f"iter {it}: {r}", file=sys.stderr)
                 if all(v < 1e-4 for v in r.values()):
                     break
         extra["converged_iters"] = it
-        extra["final_residuals"] = {
-            k: float(np.asarray(v["initial_residual"]).max())
-            for k, v in stats.items() if "initial_residual" in v}
+        extra["final_residuals"] = initial_residuals(stats)
 
     ups = n_cells * args.steps / wall
     out = {

@@ -17,11 +17,21 @@ as a *block-banded dense matvec*:
 The (nTiles, B, P*B) band matrix is scattered once per *solve* from the
 face coefficient arrays with static indices; every solver *iteration*
 is then gather-free. Falls back to the gather path when the bandwidth
-is too large (big 3D meshes — Pallas block-ELL is the planned follow-up)
-or when the mesh is a tracer (distributed shards).
+is too large (big 3D meshes — the Pallas block-ELL kernel covers those)
+or when the mesh is a tracer with no precomputed layout.
+
+Trace-safety: the layout can only be DERIVED from a concrete mesh, but
+once derived it is a `BandLayout` pytree (arrays = leaves, shape/offset
+metadata = static) that rides the jit boundary as an ordinary input.
+`linalg.precompute.attach_solver_layouts` attaches it to MeshArrays at
+make_step time — the fix for the round-2 regression where passing the
+mesh as a traced jit argument silently killed this whole fast path.
 """
 
 from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -38,29 +48,53 @@ MAX_D = 10       # max distinct diagonals for the DIA (pure-shift) path
 MAX_OVF_FRAC = 0.25  # max fraction of adjacencies in the overflow tail
 
 
-def band_info(mesh):
-    """Static banded-layout indices for a mesh, or None if unsuitable.
-    Two modes: 'dia' (few distinct neighbour offsets — e.g. structured
-    meshes kept in natural ordering — the product is D shifted
-    multiply-adds, memory D*n) and 'band' (dense block-band, memory
-    n*P*B; only worthwhile at small bandwidth)."""
-    # key on id() but hold a strong reference to the keying array and
-    # verify identity: without the ref, CPython reuses freed addresses
-    # and a NEW mesh could silently hit a stale entry
-    key = id(mesh.ell_coeff_idx)
-    hit = _BAND_CACHE.get(key)
-    if hit is not None and hit[0] is mesh.ell_coeff_idx:
-        return hit[1]
-    try:
-        nbr = np.asarray(mesh.cell_nbr)
-        idx = np.asarray(mesh.ell_coeff_idx)
-    except jax.errors.TracerArrayConversionError:
-        return None  # distributed shard: mesh is traced; use gathers
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BandLayout:
+    """Trace-safe banded/DIA SpMV layout.
+
+    Arrays are pytree leaves (cross the jit boundary as inputs — indexed
+    scatters/gathers are fine on tracers); everything a Python loop or a
+    shape depends on is static metadata. mode='none' records "derived,
+    but unsuitable" so a precomputed mesh doesn't retry derivation.
+    """
+    # dia-mode leaves: per-diagonal (row, slot) index pairs + overflow
+    rows: tuple = ()          # tuple of (m_d,) i32 arrays
+    slots: tuple = ()         # tuple of (m_d,) i32 arrays
+    ovf_rows: jax.Array | None = None
+    ovf_slots: jax.Array | None = None
+    ovf_nbr: jax.Array | None = None
+    # band-mode leaves: scatter targets for the (nTiles, B, P*B) block band
+    tile: jax.Array | None = None
+    row: jax.Array | None = None
+    col: jax.Array | None = None
+    # static metadata
+    mode: str = dataclasses.field(default="none",
+                                  metadata=dict(static=True))
+    n: int = dataclasses.field(default=0, metadata=dict(static=True))
+    K: int = dataclasses.field(default=0, metadata=dict(static=True))
+    offsets: tuple = dataclasses.field(default=(),
+                                       metadata=dict(static=True))
+    max_off: int = dataclasses.field(default=0,
+                                     metadata=dict(static=True))
+    n_tiles: int = dataclasses.field(default=0,
+                                     metadata=dict(static=True))
+    P: int = dataclasses.field(default=0, metadata=dict(static=True))
+    half: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+
+_NONE_LAYOUT = BandLayout()
+
+
+def compute_band_layout(mesh) -> BandLayout:
+    """Derive the BandLayout from a CONCRETE mesh (raises
+    TracerArrayConversionError on tracers). Returns mode='none' when no
+    banded/DIA layout is worthwhile."""
+    nbr = np.asarray(mesh.cell_nbr)
+    idx = np.asarray(mesh.ell_coeff_idx)
     n, K = nbr.shape
     if n < 2 * B:
-        info = None  # tiny mesh: gather is fine and padding dominates
-        _BAND_CACHE[key] = (mesh.ell_coeff_idx, info)
-        return info
+        return _NONE_LAYOUT  # tiny mesh: gather is fine, padding dominates
     cells = np.arange(n)[:, None]
     off = nbr - cells
     # zero-coefficient pad slots point at the zero slot of the
@@ -89,26 +123,23 @@ def band_info(mesh):
                 # all (row, slot) pairs — merged-cell meshes can have
                 # two faces between the same cell pair (same offset)
                 r, s = np.nonzero(m2)
-                rows.append(r.astype(np.int32))
-                slots.append(s.astype(np.int32))
+                rows.append(jnp.asarray(r, jnp.int32))
+                slots.append(jnp.asarray(s, jnp.int32))
                 in_dia |= m2
             ovf_r, ovf_s = np.nonzero(active & ~in_dia)
-            info = dict(
+            return BandLayout(
                 mode="dia", n=n, K=K,
-                offsets=sorted(chosen),
-                rows=rows, slots=slots, max_off=max_off,
-                ovf_rows=ovf_r.astype(np.int32),
-                ovf_slots=ovf_s.astype(np.int32),
-                ovf_nbr=nbr[ovf_r, ovf_s].astype(np.int32),
+                offsets=tuple(sorted(chosen)),
+                rows=tuple(rows), slots=tuple(slots), max_off=max_off,
+                ovf_rows=jnp.asarray(ovf_r, jnp.int32),
+                ovf_slots=jnp.asarray(ovf_s, jnp.int32),
+                ovf_nbr=jnp.asarray(nbr[ovf_r, ovf_s], jnp.int32),
             )
-            _BAND_CACHE[key] = (mesh.ell_coeff_idx, info)
-            return info
     bandwidth = int(np.abs(nbr - cells).max()) if n else 0
     half_blocks = (bandwidth + B - 1) // B
     P = 2 * half_blocks + 1
     if P > MAX_P:
-        _BAND_CACHE[key] = (mesh.ell_coeff_idx, None)
-        return None
+        return _NONE_LAYOUT
     n_tiles = (n + B - 1) // B
     tile = cells // B
     row = cells % B
@@ -118,36 +149,56 @@ def band_info(mesh):
     # only slots with a real coefficient participate; pads point at the
     # zero slot of the [upper|lower|0] array, so scattering their (zero)
     # coefficient is harmless — keep all slots for a static scatter.
-    # cached as NUMPY: jnp constants created inside a jit trace must
-    # never be cached across traces
-    info = dict(
+    return BandLayout(
         mode="band", n=n, K=K, n_tiles=n_tiles, P=P, half=half_blocks,
-        tile=np.broadcast_to(tile, nbr.shape).astype(np.int32),
-        row=np.broadcast_to(row, nbr.shape).astype(np.int32),
-        col=col.astype(np.int32),
+        tile=jnp.asarray(np.broadcast_to(tile, nbr.shape), jnp.int32),
+        row=jnp.asarray(np.broadcast_to(row, nbr.shape), jnp.int32),
+        col=jnp.asarray(col, jnp.int32),
     )
+
+
+def band_info(mesh) -> BandLayout | None:
+    """The banded/DIA layout for a mesh, or None if unsuitable.
+
+    Precomputed layouts attached to the mesh pytree
+    (linalg.precompute.attach_solver_layouts) are honoured first — that
+    path works on traced meshes. Otherwise the layout is derived from
+    the concrete mesh and cached (keyed on id() + a strong identity
+    check: without the held ref, CPython reuses freed addresses and a
+    NEW mesh could silently hit a stale entry)."""
+    pre = getattr(mesh, "band", None)
+    if pre is not None:
+        return None if pre.mode == "none" else pre
+    key = id(mesh.ell_coeff_idx)
+    hit = _BAND_CACHE.get(key)
+    if hit is not None and hit[0] is mesh.ell_coeff_idx:
+        return hit[1]
+    try:
+        info = compute_band_layout(mesh)
+    except jax.errors.TracerArrayConversionError:
+        return None  # traced mesh with no precomputed layout: use gathers
+    info = None if info.mode == "none" else info
     _BAND_CACHE[key] = (mesh.ell_coeff_idx, info)
     return info
 
 
-def _make_dia_mv(info, ell_coeffs):
+def _make_dia_mv(info: BandLayout, ell_coeffs):
     """Pure-shift DIA product: y = sum_d c_d * shift(x, d) (+ overflow).
     Zero gathers/scatters in the dominant path; the polyhedral tail (if
     any) is one small gather + scatter-add over the overflow entries."""
-    n, max_off = info["n"], info["max_off"]
+    n, max_off = info.n, info.max_off
     diags = []
-    for d, rows, slots in zip(info["offsets"], info["rows"],
-                              info["slots"]):
+    for d, rows, slots in zip(info.offsets, info.rows, info.slots):
         # .add, not .set: merged-cell meshes can carry two faces between
         # the same cell pair, i.e. duplicate (row, offset) entries
         c_d = jnp.zeros(n, ell_coeffs.dtype).at[rows].add(
             ell_coeffs[rows, slots])
         diags.append((d, c_d))
-    ovf_r = info.get("ovf_rows")
+    ovf_r = info.ovf_rows
     have_ovf = ovf_r is not None and ovf_r.size > 0
     if have_ovf:
-        ovf_c = ell_coeffs[info["ovf_rows"], info["ovf_slots"]]
-        ovf_nbr = info["ovf_nbr"]
+        ovf_c = ell_coeffs[info.ovf_rows, info.ovf_slots]
+        ovf_nbr = info.ovf_nbr
 
     def offdiag_mv(x):
         two_d = x.ndim == 2
@@ -172,12 +223,11 @@ def make_offdiag_mv(mesh, ell_coeffs):
     info = band_info(mesh)
     if info is None:
         return None
-    if info["mode"] == "dia":
+    if info.mode == "dia":
         return _make_dia_mv(info, ell_coeffs)
-    n, n_tiles, P, half = info["n"], info["n_tiles"], info["P"], info["half"]
+    n, n_tiles, P, half = info.n, info.n_tiles, info.P, info.half
     a_band = jnp.zeros((n_tiles, B, P * B), ell_coeffs.dtype)
-    a_band = a_band.at[info["tile"], info["row"], info["col"]].add(
-        ell_coeffs)
+    a_band = a_band.at[info.tile, info.row, info.col].add(ell_coeffs)
     pad_tail = n_tiles * B - n
 
     def offdiag_mv(x):

@@ -141,7 +141,15 @@ def build_hierarchy(mesh: MeshArrays, n_coarsest: int = 32,
     composes that many pair-agglomerations per stored level (the
     reference's GAMG mergeLevels), trading convergence rate for V-cycle
     depth — on TPU the shallow hierarchy wins (small levels are
-    latency-bound)."""
+    latency-bound).
+
+    A hierarchy precomputed onto the mesh pytree
+    (linalg.precompute.attach_solver_layouts) is honoured first — that
+    path works on traced meshes; its n_coarsest/merge_levels are the
+    ones it was built with (one hierarchy per mesh, like the
+    reference's per-mesh GAMGAgglomeration cache)."""
+    if mesh.gamg is not None:
+        return list(mesh.gamg)
     key = (id(mesh.ell_coeff_idx), n_coarsest, merge_levels)
     hit = _HIERARCHY_CACHE.get(key)
     if hit is not None and hit[0] is mesh.ell_coeff_idx:
@@ -424,9 +432,11 @@ def make_vcycle(mesh: MeshArrays, m, amul_fine, diag, controls,
             merge_levels=getattr(controls, 'merge_levels', 1))
     except jax.errors.TracerArrayConversionError as e:
         raise NotImplementedError(
-            "GAMG requires the mesh as a trace-time constant (single-chip "
-            "path); install a block hierarchy (parallel.dist_gamg) for "
-            "distributed runs") from e
+            "GAMG on a traced mesh needs a precomputed hierarchy: call "
+            "linalg.precompute.attach_solver_layouts(mesh, controls) on "
+            "the concrete mesh before jitting (single-chip), or install "
+            "a block hierarchy (parallel.dist_gamg) for distributed "
+            "runs") from e
     return _vcycle_from_levels(levels, diag, m.lower, m.upper, amul_fine,
                                controls, scale_correction, fixed_scale)
 

@@ -42,17 +42,19 @@ def structured_info(mesh):
     3D {±1, ±nx, ±nx*ny} (x fastest, natural ordering)."""
     if getattr(mesh, "structured", None) is not None:
         return mesh.structured.shape
+    traced = isinstance(mesh.cell_nbr, jax.core.Tracer)
     key = id(mesh.cell_nbr)
-    hit = _SINFO_CACHE.get(key)
-    if hit is not None and hit[0] is mesh.cell_nbr:
-        return hit[1]
+    if not traced:
+        hit = _SINFO_CACHE.get(key)
+        if hit is not None and hit[0] is mesh.cell_nbr:
+            return hit[1]
     info = band_info(mesh)
     res = None
-    if (info is not None and info["mode"] == "dia"
-            and not len(info.get("ovf_rows", ()))):
-        n = info["n"]
-        offs = sorted(o for o in info["offsets"] if o > 0)
-        neg = sorted(-o for o in info["offsets"] if o < 0)
+    if (info is not None and info.mode == "dia"
+            and (info.ovf_rows is None or not info.ovf_rows.size)):
+        n = info.n
+        offs = sorted(o for o in info.offsets if o > 0)
+        neg = sorted(-o for o in info.offsets if o < 0)
         if offs == neg:
             if offs == [1]:
                 res = (1, 1, n)
@@ -64,7 +66,8 @@ def structured_info(mesh):
                 nx, nxny = offs[1], offs[2]
                 if nxny % nx == 0 and n % nxny == 0:
                     res = (n // nxny, nxny // nx, nx)
-    _SINFO_CACHE[key] = (mesh.cell_nbr, res)
+    if not traced:  # never cache tracer-keyed entries across traces
+        _SINFO_CACHE[key] = (mesh.cell_nbr, res)
     return res
 
 
@@ -74,8 +77,7 @@ def _planes_from_ell(mesh, ell_coeffs, shape):
     info = band_info(mesh)
     nz, ny, nx = shape
     planes = {}
-    for d, rows, slots in zip(info["offsets"], info["rows"],
-                              info["slots"]):
+    for d, rows, slots in zip(info.offsets, info.rows, info.slots):
         c = jnp.zeros(mesh.n_cells, ell_coeffs.dtype).at[rows].set(
             ell_coeffs[rows, slots])
         planes[int(d)] = c.reshape(nz, ny, nx)

@@ -105,6 +105,15 @@ class MeshArrays:
     # cyclicAMI coupling tables, one entry per patch (None if not AMI);
     # () when the mesh has no AMI interfaces (mesh/ami.py)
     ami: tuple = ()
+    # solver layouts precomputed from the CONCRETE mesh by
+    # linalg.precompute.attach_solver_layouts, so jitted steps can pass
+    # the mesh as a traced argument (keeping O(mesh) geometry out of the
+    # compiled program's constants) without losing the banded/DIA SpMV
+    # or GAMG: both are pytree children whose arrays ride the jit
+    # boundary as inputs. None = not precomputed (derive from the
+    # concrete mesh on demand; gather/raise on tracers).
+    band: object = None   # linalg.banded.BandLayout | None
+    gamg: object = None   # tuple[linalg.gamg.Level, ...] | None
 
     # -- helpers -----------------------------------------------------------
     @property

@@ -106,12 +106,18 @@ def make_step(case: Case, nu, n_correctors: int,
         n_correctors=n_correctors, n_non_orth=n_non_orth,
         p_ref_cell=p_ref_cell, p_ref_value=p_ref_value)
     nu_fn = nu if callable(nu) else (lambda U: nu)
-    mesh = jax.device_put(mesh)
-
     # mesh is a jit ARGUMENT, not a captured constant: baking the
     # geometry/ELL arrays into the HLO blows the program size up with
     # O(mesh) constants (the axon remote-compile rejects >100MB bodies
-    # at ~1M cells) and forces a re-upload per recompile
+    # at ~1M cells) and forces a re-upload per recompile. The banded/DIA
+    # layout and GAMG hierarchy can only be DERIVED concrete, so they
+    # are attached to the mesh pytree here, before the jit boundary.
+    from ..linalg.precompute import attach_solver_layouts
+    mesh = attach_solver_layouts(
+        mesh, (kw["u_controls"], kw["p_controls"],
+               kw["p_final_controls"]), case=case)
+    mesh = jax.device_put(mesh)
+
     @jax.jit
     def _step(mesh, U: VolField, p: VolField, phi: SurfaceField, dt):
         return piso_step(mesh, U, p, phi, dt, nu_fn(U), **kw)
@@ -141,6 +147,10 @@ def make_chained_step(case: Case, nu, n_correctors: int,
         n_correctors=n_correctors, n_non_orth=n_non_orth,
         p_ref_cell=p_ref_cell, p_ref_value=p_ref_value)
     nu_fn = nu if callable(nu) else (lambda U: nu)
+    from ..linalg.precompute import attach_solver_layouts
+    mesh = attach_solver_layouts(
+        mesh, (kw["u_controls"], kw["p_controls"],
+               kw["p_final_controls"]), case=case)
     mesh = jax.device_put(mesh)
 
     @jax.jit

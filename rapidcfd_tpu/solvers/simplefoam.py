@@ -135,8 +135,13 @@ def make_step(case: Case, transport, turb, simple: SimpleControl,
     kw = step_kwargs_from_case(case, simple, transport, turb,
                                u_source, u_name)
     # mesh as jit ARGUMENT (see icofoam.make_step): keeps O(mesh)
-    # geometry out of the compiled program's constants
-    mesh = jax.device_put(case.mesh)
+    # geometry out of the compiled program's constants; the banded/DIA
+    # layout + GAMG hierarchy must be derived CONCRETE, so attach them
+    # to the mesh pytree before the jit boundary
+    from ..linalg.precompute import attach_solver_layouts
+    mesh = attach_solver_layouts(
+        case.mesh, (kw["u_controls"], kw["p_controls"]), case=case)
+    mesh = jax.device_put(mesh)
 
     @jax.jit
     def _step(mesh, U: VolField, p: VolField, phi: SurfaceField,

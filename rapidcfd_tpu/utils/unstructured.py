@@ -14,9 +14,9 @@ practice: a hex background grid with
 - random interior node perturbation, giving non-orthogonality, skewness
   and non-planar faces.
 
-Everything is vectorized numpy so million-cell meshes build in seconds
-(casegen.box_mesh's python loops are kept for the small structured
-fixtures).
+Everything is vectorized numpy so million-cell meshes build in seconds.
+box_mesh_fast is the sole structured-box builder: casegen.box_mesh is a
+thin graded-coords wrapper over it.
 """
 
 from __future__ import annotations

@@ -140,8 +140,8 @@ PISO { nCorrectors 2; nNonOrthogonalCorrectors 0;
     from rapidcfd_tpu.linalg.banded import band_info
     case = Case(d)
     info = band_info(case.mesh)
-    assert info is not None and info["mode"] == "dia"
-    assert len(info["offsets"]) == 6          # ±1, ±10, ±100
+    assert info is not None and info.mode == "dia"
+    assert len(info.offsets) == 6          # ±1, ±10, ±100
     L.Info.enabled = False
     from rapidcfd_tpu.solvers import icofoam
     case, U, p, phi = icofoam.run(d, write=False)

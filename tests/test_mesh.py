@@ -143,23 +143,34 @@ def test_graded_box_mesh():
 
 
 def test_box_mesh_matches_fast_builder():
-    """casegen.box_mesh delegates to the vectorized builder; pin the
-    mesh contract (point/face/owner ordering) against a direct call so
-    the structured fast-path detection keeps seeing natural ordering."""
-    from rapidcfd_tpu.utils.unstructured import box_mesh_fast
-
+    """Pin the structured-box mesh CONTRACT (owner-sorted upper-
+    triangular internal faces in x-fastest natural ordering, then patch
+    faces) against stored golden arrays for a 3x2x1 box — the structured
+    fast-path detection and the decomposition both rely on this exact
+    ordering, and box_mesh now delegates to box_mesh_fast so a
+    builder-vs-builder comparison would be vacuous."""
     spec = {"xmin": ("left", "patch"), "xmax": ("right", "patch"),
             "ymin": ("walls", "wall"), "ymax": ("walls", "wall"),
             "zmin": ("fb", "empty"), "zmax": ("fb", "empty")}
-    a = box_mesh(5, 4, 3, size=(1.0, 2.0, 3.0), patch_spec=spec)
-    b = box_mesh_fast(5, 4, 3, size=(1.0, 2.0, 3.0), patch_spec=spec)
-    assert np.allclose(a.points, b.points)
-    assert np.array_equal(a.owner, b.owner)
-    assert np.array_equal(a.neighbour, b.neighbour)
-    assert np.array_equal(a.face_points, b.face_points)
-    assert np.array_equal(a.face_offsets, b.face_offsets)
-    assert [(p.name, p.type, p.start_face, p.n_faces) for p in a.patches] == \
-           [(p.name, p.type, p.start_face, p.n_faces) for p in b.patches]
+    m = box_mesh(3, 2, 1, size=(1.0, 2.0, 3.0), patch_spec=spec)
+    assert np.array_equal(m.owner, [
+        0, 0, 1, 1, 2, 3, 4,                      # internal
+        0, 3, 2, 5,                               # left/right
+        0, 1, 2, 3, 4, 5,                         # walls (ymin+ymax)
+        0, 1, 2, 3, 4, 5, 0, 1, 2, 3, 4, 5])      # fb (zmin+zmax)
+    assert np.array_equal(m.neighbour, [1, 3, 2, 4, 5, 4, 5])
+    assert np.array_equal(m.face_offsets, np.arange(30) * 4)
+    assert [(p.name, p.type, p.start_face, p.n_faces)
+            for p in m.patches] == [
+        ("left", "patch", 7, 2), ("right", "patch", 9, 2),
+        ("walls", "wall", 11, 6), ("fb", "empty", 17, 12)]
+    # first internal face (between cells 0 and 1, x-normal plane)
+    assert np.array_equal(m.face_points[:4], [1, 5, 17, 13])
+    # point grid: (nx+1)(ny+1)(nz+1) nodes, x fastest
+    assert m.points.shape == (24, 3)
+    assert np.allclose(m.points[1], [1.0 / 3.0, 0.0, 0.0])
+    assert np.allclose(m.points[4], [0.0, 1.0, 0.0])
+    assert np.allclose(m.points[12], [0.0, 0.0, 3.0])
 
 
 def test_box_mesh_cyclic_spec_carries_neighbour():

@@ -108,8 +108,8 @@ def test_hybrid_dia_overflow_paths():
     try:
         banded._BAND_CACHE.clear()
         info = banded.band_info(ma)
-        assert info is not None and info["mode"] == "dia"
-        assert len(info["ovf_rows"]) > 0
+        assert info is not None and info.mode == "dia"
+        assert info.ovf_rows.size > 0
         rng = np.random.default_rng(1)
         idx = np.asarray(ma.ell_coeff_idx)
         ell = rng.standard_normal(idx.shape)
