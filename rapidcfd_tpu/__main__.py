@@ -52,6 +52,7 @@ SOLVERS = {
                          {"lts": True}),
     "rhoCentralFoam": ("rapidcfd_tpu.solvers.rhocentralfoam", {}),
     "interFoam": ("rapidcfd_tpu.solvers.interfoam", {}),
+    "interDyMFoam": ("rapidcfd_tpu.solvers.interdymfoam", {}),
     "LTSInterFoam": ("rapidcfd_tpu.solvers.interfoam", {"lts": True}),
     "twoLiquidMixingFoam": ("rapidcfd_tpu.solvers.interfoam",
                             {"mixing": True}),

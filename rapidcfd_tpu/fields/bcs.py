@@ -469,13 +469,67 @@ class MovingWallVelocity(FixedValue):
 
 @register("fvPatchField", "fixedFluxPressure")
 @dataclass(frozen=True)
-class FixedFluxPressure(ZeroGradient):
-    """Pressure gradient adjusted so the boundary flux matches the
-    body-force flux (reference: derived/fixedFluxPressure). The solvers
-    realise the same balance by excluding body-force fluxes (phig) from
-    non-coupled boundary faces, so the remaining gradient is zero —
-    this type behaves as zeroGradient here and exists so reference
-    cases parse unchanged."""
+class FixedFluxPressure(FixedGradient):
+    """TRUE fixedFluxPressure (reference: derived/fixedFluxPressure/
+    fixedFluxPressureFvPatchScalarField.C:115-140): a fixedGradient
+    patch whose gradient is SET by the solver each pressure corrector
+    (the reference's updateCoeffs(snGradp) called via setSnGrad from the
+    buoyant pEqn.H) so the boundary pressure flux exactly balances the
+    body-force + HbyA flux:
+
+        gradient = (phiHbyA_b - Sf_b & U_b) / (magSf_b * Dp_b)
+
+    Solvers install it with set_fixed_flux_pressure_gradient before
+    assembling the pEqn. Before the first setSnGrad (e.g. evaluating a
+    freshly-read field) the gradient defaults to the dict 'gradient'
+    entry, or zero."""
+    value_free = True
+
+    def _grad(self, bd, psi_c):
+        g = bd.get("snGrad", bd.get("gradient"))
+        if g is None:
+            return jnp.zeros_like(psi_c)
+        return jnp.broadcast_to(g, psi_c.shape)
+
+    def evaluate(self, mesh, patch, field, bd, env=None):
+        psi_c = field.patch_internal(mesh, patch)
+        dc = _bcast(mesh.patch_delta_coeffs(patch), psi_c)
+        return psi_c + self._grad(bd, psi_c) / dc
+
+
+def fixed_flux_pressure_mask(mesh, field):
+    """(nBoundaryFaces,) 1.0 where the patch BC is fixedFluxPressure.
+    Static per field (BC types are pytree-static), so solvers can keep
+    the body-force boundary flux phig ONLY on the patches whose BC will
+    compensate it, and zero it elsewhere (legacy zeroGradient cases keep
+    the round-2 stand-in behaviour)."""
+    m = jnp.zeros(mesh.n_boundary)
+    for patch, bc in zip(mesh.patches, field.bcs):
+        if isinstance(bc, FixedFluxPressure) and patch.size:
+            m = m.at[patch.bstart:patch.bstart + patch.size].set(1.0)
+    return m
+
+
+def set_fixed_flux_pressure_gradient(mesh, field, sngrad_b):
+    """setSnGrad<fixedFluxPressureFvPatchScalarField> (reference: e.g.
+    buoyantSimpleFoam pEqn.H): write the solver-computed boundary snGrad
+    (a (nBoundaryFaces,) array) into the bcdata of every
+    fixedFluxPressure patch, then refresh the boundary values. No-op
+    when the field has no such patch."""
+    new_bd = []
+    changed = False
+    for patch, bc, bd in zip(mesh.patches, field.bcs, field.bcdata):
+        if isinstance(bc, FixedFluxPressure) and patch.size:
+            d = dict(bd)
+            d["snGrad"] = sngrad_b[patch.bstart:patch.bstart + patch.size]
+            new_bd.append(d)
+            changed = True
+        else:
+            new_bd.append(bd)
+    if not changed:
+        return field
+    return field.replace(bcdata=tuple(new_bd)) \
+        .correct_boundary_conditions(mesh)
 
 
 def make_bc(type_word: str, patch_idx: int, pd=None) -> BC:

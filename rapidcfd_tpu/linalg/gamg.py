@@ -406,13 +406,21 @@ def make_vcycle(mesh: MeshArrays, m, amul_fine, diag, controls,
     if blk is not None:
         # level 0 keeps the GLOBAL fine operator (halo-refreshed gathers,
         # so smoothing and residuals see cut-face coupling and the cycle
-        # converges to the global solution); only the coarse correction
-        # is block-local. Restriction gathers owned rows only, and
-        # corr_mask pins ghost rows of the prolonged correction to zero.
-        levels_loc, own_mask = blk
+        # converges to the global solution); mid-level smoothing is
+        # block-local, and the COARSEST level is solved GLOBALLY when a
+        # GlobalCoarse table is installed (cross-shard dense assembly +
+        # psum + MXU solve — the TPU re-founding of the reference's
+        # distributed coarse grid, processorGAMGInterface). Restriction
+        # gathers owned rows only, and corr_mask pins ghost rows of the
+        # prolonged correction to zero.
+        if len(blk) == 3:
+            levels_loc, own_mask, gcoarse = blk
+        else:
+            (levels_loc, own_mask), gcoarse = blk, None
         return _vcycle_from_levels(
             levels_loc, diag, m.lower, m.upper, amul_fine, controls,
-            scale_correction, fixed_scale, corr_mask=own_mask)
+            scale_correction, fixed_scale, corr_mask=own_mask,
+            gcoarse=gcoarse)
 
     # structured natural-ordering grids take the gather-free geometric
     # path (reshape restrict/prolong + DIA level Amuls) — ~30x cheaper
@@ -441,12 +449,82 @@ def make_vcycle(mesh: MeshArrays, m, amul_fine, diag, controls,
                                controls, scale_correction, fixed_scale)
 
 
+def _global_coarsest_solver(gc, lvl: Level, mats_last, fine_lower,
+                            fine_upper):
+    """Distributed GLOBAL coarsest-level dense solve.
+
+    Every shard scatters its coarsest rows (diag/off-diag of its block
+    hierarchy) AND its cut-face couplings (summed fine coefficients
+    between its coarse cells and the partner shard's, via the static
+    GlobalCoarse addressing) into one (NCg, NCg) dense matrix; a psum
+    replicates the full global matrix on every shard (NCg ~ a few
+    hundred — trivial), which is inverted once per solve and applied as
+    a matmul. This is the TPU re-founding of the reference's distributed
+    coarse grid (processorGAMGInterface per-level comms,
+    src/OpenFOAM/matrices/lduMatrix/solvers/GAMG/interfaces/) — it
+    removes the block-Jacobi iteration growth with device count."""
+    from ..parallel.hooks import psum_all
+    dC, loC, upC = mats_last
+    NCg = gc.n_global
+    rid = gc.row_ids
+    cut_c = jnp.where(gc.cut_upper > 0.5,
+                      jnp.take(fine_upper, gc.cut_face),
+                      jnp.take(fine_lower, gc.cut_face)) * gc.cut_valid
+
+    def dense_of(dcol):
+        a = jnp.zeros((NCg + 1, NCg + 1), dcol.dtype)
+        a = a.at[rid, rid].add(dcol)
+        a = a.at[rid[lvl.coarse_owner],
+                 rid[lvl.coarse_neighbour]].add(upC)
+        a = a.at[rid[lvl.coarse_neighbour],
+                 rid[lvl.coarse_owner]].add(loC)
+        a = a.at[rid[gc.cut_rows], gc.cut_cols].add(
+            cut_c.astype(dcol.dtype))
+        a = psum_all(a)[:NCg, :NCg]
+        dd = jnp.diagonal(a)
+        return a + jnp.diag(jnp.where(dd == 0.0,
+                                      jnp.ones_like(dd), 0.0))
+
+    def inv_of(a):
+        if a.dtype == jnp.float64 and \
+                jax.devices()[0].platform not in ("cpu", "gpu"):
+            # TPU LuDecomposition is F32-only (see single-chip path)
+            return jnp.linalg.inv(a.astype(jnp.float32)).astype(a.dtype)
+        return jnp.linalg.inv(a)
+
+    if dC.ndim == 1:
+        invC = inv_of(dense_of(dC))
+    else:
+        invC = jnp.stack([inv_of(dense_of(dC[:, k]))
+                          for k in range(dC.shape[1])])
+
+    def solve(b_loc):
+        if b_loc.ndim == 1:
+            b_g = psum_all(jnp.zeros(NCg + 1, b_loc.dtype)
+                           .at[rid].add(b_loc))[:NCg]
+            x_g = invC @ b_g
+            xpad = jnp.concatenate([x_g, jnp.zeros(1, x_g.dtype)])
+            return jnp.take(xpad, rid)
+        m_comp = b_loc.shape[1]
+        b_g = psum_all(jnp.zeros((NCg + 1, m_comp), b_loc.dtype)
+                       .at[rid].add(b_loc))[:NCg]
+        x_g = jnp.einsum("kij,jk->ik", invC, b_g)
+        xpad = jnp.concatenate(
+            [x_g, jnp.zeros((1, m_comp), x_g.dtype)], axis=0)
+        return jnp.take(xpad, rid, axis=0)
+
+    return solve
+
+
 def _vcycle_from_levels(levels, diag, lower, upper, amul_fine, controls,
-                        scale_correction, fixed_scale, corr_mask=None):
+                        scale_correction, fixed_scale, corr_mask=None,
+                        gcoarse=None):
     """The V-cycle closure over an explicit hierarchy. corr_mask (set on
     the distributed block path) restricts the cycle to the owned block:
     the rhs and every prolonged correction are masked so ghost rows stay
-    exactly zero."""
+    exactly zero. gcoarse (distributed only) switches the coarsest level
+    from block-local to a GLOBAL dense solve (see
+    parallel.dist_gamg.GlobalCoarse)."""
     from .solvers import gsum
     n_pre = getattr(controls, "n_pre_sweeps", 0)
     n_post = getattr(controls, "n_post_sweeps", 2)
@@ -490,6 +568,29 @@ def _vcycle_from_levels(levels, diag, lower, upper, amul_fine, controls,
     # solve (the matrix is fixed across V-cycles) and apply as a matmul
     dC, loC, upC = mats[-1]
     ncc = dC.shape[0]
+    coarse_corr = None
+    if gcoarse is not None and levels:
+        # distributed: ADDITIVE global coarse-space correction (two-
+        # level Schwarz): w = blockV(r) + P A_C^-1 R r, with R the
+        # composed fine->coarsest aggregation and A_C the GLOBAL
+        # Galerkin coarse matrix (cut couplings included). Applied to
+        # the FINE residual — restricting through the block mid-levels
+        # would feed the exact global coarse solve residuals computed
+        # with cut-less block operators, which measurably HURTS (157 vs
+        # 109 PCG iterations on the 8-dev pitzDaily when wired into the
+        # V-cycle bottom).
+        gsolve = _global_coarsest_solver(
+            gcoarse, levels[-1], mats[-1], lower, upper)
+        cr = gcoarse.cell_rows
+        nc_pad = gcoarse.nc_pad
+
+        def coarse_corr(r):
+            b_loc = jnp.zeros((nc_pad + 1,) + r.shape[1:],
+                              r.dtype).at[cr].add(r)[:nc_pad]
+            x_loc = gsolve(b_loc)
+            xpad = jnp.concatenate(
+                [x_loc, jnp.zeros((1,) + r.shape[1:], r.dtype)], axis=0)
+            return jnp.take(xpad, cr, axis=0)
     if levels:
         lvl = levels[-1]
 
@@ -538,10 +639,8 @@ def _vcycle_from_levels(levels, diag, lower, upper, amul_fine, controls,
             xs.append(jnp.zeros((lv.n_coarse,) + x.shape[1:], x.dtype))
         # coarsest: precomputed-inverse matmul (MXU)
         if levels:
-            if invC.ndim == 2 and bs[-1].ndim == 1:
-                xs[-1] = invC @ bs[-1]
-            elif invC.ndim == 2:
-                xs[-1] = invC @ bs[-1]          # (ncc,ncc)@(ncc,m)
+            if invC.ndim == 2:
+                xs[-1] = invC @ bs[-1]          # (ncc,ncc)@(ncc[,m])
             else:
                 xs[-1] = jnp.einsum("kij,jk->ik", invC, bs[-1])
         else:
@@ -578,7 +677,30 @@ def _vcycle_from_levels(levels, diag, lower, upper, amul_fine, controls,
             xs[i] = xi
         return xs[0]
 
-    return vcycle
+    if coarse_corr is None:
+        return vcycle
+
+    def mask(v):
+        return _ext(corr_mask, v) * v if corr_mask is not None else v
+
+    def vcycle_two_level(x, b):
+        # symmetrized multiplicative two-level Schwarz:
+        #   M^-1 = C + (I - C A) B (I - A C),  C = P A_C^-1 R (global
+        # coarse), B = the block V-cycle. Exact on the coarse space both
+        # before and after the block cycle, so block and coarse
+        # corrections never double-count — measured 8-dev pitzDaily PCG
+        # iterations: 109 (block only) / 79 (additive) / this variant
+        # below. blk mode is preconditioner-only (x == 0 on every call
+        # from _gamg_precond / the Krylov-wrapped gamg_solve), so the
+        # input residual is b itself.
+        b = mask(b)
+        w1 = mask(coarse_corr(b))
+        r1 = mask(b - amul_fine(w1))
+        w2 = w1 + vcycle(jnp.zeros_like(b), r1)
+        r2 = mask(b - amul_fine(w2))
+        return w2 + mask(coarse_corr(r2))
+
+    return vcycle_two_level
 
 
 def gamg_solve(mesh: MeshArrays, m, amul_fine, diag, source,
@@ -611,10 +733,13 @@ def gamg_solve(mesh: MeshArrays, m, amul_fine, diag, source,
     nf = _norm_factor(amul_fine, psi0, source, apsi, v_ones)
     res0 = gsum(jnp.abs(source - apsi)) / nf
 
-    # fp32 runs stall above the requested tolerance; stop when the
-    # residual hasn't improved for a few cycles instead of burning
-    # maxIter (fp32 only; fp64 converges past any practical tolerance)
-    stall = 6 if psi0.dtype == jnp.float32 else controls.max_iter
+    # stall guard: stop when the residual hasn't improved for a few
+    # cycles instead of burning maxIter. fp32 floors sit well above
+    # practical tolerances (tight window); fp64 V-cycling also has a
+    # roundoff floor (~5e-12 normalized on pitzDaily — a 1e-12
+    # tolerance burned the full 1000 iterations there), so fp64 gets a
+    # generous-but-finite window too.
+    stall = 6 if psi0.dtype == jnp.float32 else 30
 
     def cond(carry):
         x, it, res, best, since_best = carry

@@ -59,6 +59,8 @@ class FvMatrix:
     ref_cell: jax.Array | None = None    # data leaf: traced per-shard
     ref_value: jax.Array | None = None
     ref_weight: jax.Array | None = None
+    ref_diag: jax.Array | None = None    # the pin's diag bump (for the
+    #                                      compatibility projection)
 
     # -- construction --------------------------------------------------------
     @staticmethod
@@ -175,7 +177,7 @@ class FvMatrix:
             diag = mesh.add_at_patch_cells(p, diag, ic)
             if not cpl:
                 src = mesh.add_at_patch_cells(p, src, bc)
-        return diag, src
+        return diag, self._compat_project(src)
 
     def component_system(self, mesh: MeshArrays, cmpt: int | None):
         """(diag, source) for one component with patch coefficients folded
@@ -192,7 +194,29 @@ class FvMatrix:
             diag = mesh.add_at_patch_cells(p, diag, icc)
             if not cpl:
                 src = mesh.add_at_patch_cells(p, src, bcc)
-        return diag, src
+        return diag, self._compat_project(src)
+
+    def _compat_project(self, src):
+        """fp32 compatibility projection for setReference'd (pure-
+        Neumann) systems: with every source folded (cell source +
+        boundary-coefficient sources), the rhs of a compatible Neumann
+        system must gsum to the pin's own contribution. Roundoff leaves
+        an O(eps*N) imbalance the single pinned cell would have to
+        absorb — its response grows with N and destabilized the 48^2+
+        cavity in fp32. Subtract the volume-distributed imbalance (a
+        uniform shift of source/V — the smoothest compatible
+        perturbation). In fp64 this is a no-op at machine precision.
+        Runs AFTER boundary folding: projecting the cell source alone
+        (the round-2 placement) un-balanced fixedFluxPressure systems
+        whose boundary_coeffs legitimately compensate div(phiHbyA)."""
+        if self.ref_cell is None:
+            return src
+        from ..linalg.solvers import gsum
+        pin = jnp.zeros_like(src).at[self.ref_cell].add(
+            self.ref_diag * self.ref_value * self.ref_weight
+            * jnp.ones(src.shape[1:], src.dtype))
+        imb = gsum(src - pin) / gsum(self.V)
+        return src - _ext(self.V, src) * imb
 
     def coupled_mv(self, mesh: MeshArrays):
         """The implicit-interface part of M*x: for every coupled patch,
@@ -353,22 +377,19 @@ class FvMatrix:
         if not force and any(getattr(bc, "fixes_level", False)
                              for bc in self.psi.bcs):
             return self
-        # fp32 compatibility projection: a pure-Neumann system is only
-        # solvable when gsum(source) == 0. Roundoff in the assembled
-        # source (e.g. div(phiHbyA) built from O(1) flux differences)
-        # leaves an O(eps*N) imbalance that the single pinned cell must
-        # absorb — its response grows with N and destabilized the 48^2+
-        # cavity in fp32. Subtract the volume-distributed imbalance (a
-        # uniform shift of source/V — the smoothest compatible
-        # perturbation) before pinning. In fp64 this is a no-op at
-        # machine precision.
-        from ..linalg.solvers import gsum
-        imb = gsum(self.source) / gsum(self.V)
-        src = self.source - self.V * imb
+        # The fp32 compatibility projection (subtract the volume-
+        # distributed source imbalance so the single pinned cell needn't
+        # absorb O(eps*N) roundoff) happens in component_system, AFTER
+        # the boundary-coefficient sources are folded in — projecting
+        # the cell source alone un-balances systems whose boundary
+        # fluxes legitimately carry the compensation (fixedFluxPressure:
+        # the body-force boundary flux in div(phiHbyA) is balanced by
+        # the gradient flux living in boundary_coeffs).
         dc = self.diag[cell] * weight
-        src = src.at[cell].add(dc * value)
+        src = self.source.at[cell].add(dc * value)
         return self.replace(diag=self.diag.at[cell].add(dc), source=src,
                             ref_cell=jnp.asarray(cell, jnp.int32),
                             ref_value=jnp.asarray(value, self.diag.dtype),
                             ref_weight=jnp.asarray(weight,
-                                                   self.diag.dtype))
+                                                   self.diag.dtype),
+                            ref_diag=dc)

@@ -16,12 +16,52 @@ so they pass through shard_map like every other decomposed array.
 from __future__ import annotations
 
 import dataclasses
+from dataclasses import dataclass
 
+import jax
 import numpy as np
 
 from ..linalg.gamg import Level, _graph_hierarchy
 from ..mesh.mesharrays import build_ell
 from .decompose import Decomposition
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class GlobalCoarse:
+    """Static addressing for the GLOBAL coarsest-level solve.
+
+    The block hierarchies coarsen each shard's owned block independently
+    (cut faces dropped), which makes the coarse correction block-local —
+    iteration counts then grow with device count (109 vs ~10 at 8
+    devices on pitzDaily). This table restores the reference's
+    distributed coarse grid (processorGAMGInterface,
+    src/OpenFOAM/matrices/lduMatrix/solvers/GAMG/interfaces/) the TPU
+    way: every shard scatters its coarsest rows AND its cut-face
+    couplings into one small global dense matrix (P * nCoarsest ~ a few
+    hundred rows), psums it (replicated on every shard — tiny), and
+    solves it on the MXU. Arrays are stacked (P, ...) outside shard_map.
+    """
+    row_ids: jax.Array    # (NC_pad,) i32 global row per local coarse row
+    #                       (inactive/pad rows -> n_global dump row)
+    cut_rows: jax.Array   # (ncut_pad,) i32 LOCAL coarse row of the owned
+    #                       cell of each cut face
+    cut_cols: jax.Array   # (ncut_pad,) i32 GLOBAL coarse col of the
+    #                       ghost cell (pads -> n_global)
+    cut_face: jax.Array   # (ncut_pad,) i32 local fine-face index (pad 0)
+    cut_upper: jax.Array  # (ncut_pad,) 1.0 where the owned row's ghost
+    #                       coefficient is upper[f], 0.0 -> lower[f]
+    cut_valid: jax.Array  # (ncut_pad,) 1.0 real entry, 0.0 padding
+    cell_rows: jax.Array | None = None  # (n_local_cells,) i32 local
+    #                       coarsest row per OWNED cell (ghosts/pads ->
+    #                       NC_pad dump) — the composed fine->coarsest
+    #                       aggregation, for the additive coarse-space
+    #                       correction applied directly to the fine
+    #                       residual
+    n_global: int = dataclasses.field(default=0,
+                                      metadata=dict(static=True))
+    nc_pad: int = dataclasses.field(default=0,
+                                    metadata=dict(static=True))
 
 
 def _identity_level(own, nei, nc, nf) -> Level:
@@ -115,11 +155,24 @@ def _pad_level(lv: Level, NF, NFF, NC, NFC, Kch, Kfc, Kif, Kc) -> Level:
         int_faces=ifc.astype(np.int32))
 
 
-def build_block_hierarchies(dec: Decomposition, n_coarsest: int = 32,
-                            merge_levels: int = 1) -> list[Level]:
+def build_block_hierarchies(dec: Decomposition,
+                            n_coarsest: int | None = None,
+                            merge_levels: int = 1):
     """Per-shard owned-block agglomeration hierarchies, padded to common
-    shapes and stacked on a leading (P,) axis for shard_map."""
+    shapes and stacked on a leading (P,) axis for shard_map.
+
+    Returns (levels, global_coarse): levels is the stacked per-level
+    Level list; global_coarse is the stacked GlobalCoarse addressing for
+    the cross-shard coarsest solve (None when no coarsening happened).
+
+    n_coarsest=None picks the per-shard coarsest size automatically: a
+    RICHER coarse space than single-chip GAMG's 32 (the global coarse
+    solve is what couples the shards — 128 rows/shard cut 8-dev
+    pitzDaily PCG iterations 56 -> 37 at 1e-12), capped so the
+    replicated global dense solve stays trivial (NCg <= ~2048)."""
     P = dec.n_devices
+    if n_coarsest is None:
+        n_coarsest = max(32, min(128, 2048 // max(P, 1)))
     lm = dec.mesh
     lown = np.asarray(lm.owner)
     lnei = np.asarray(lm.neighbour)
@@ -144,7 +197,7 @@ def build_block_hierarchies(dec: Decomposition, n_coarsest: int = 32,
 
     n_levels = max(len(ls) for ls in per_levels)
     if n_levels == 0:
-        return []
+        return [], None
     for d in range(P):
         own_t, nei_t, _, nc_t = tails[d]
         if not per_levels[d]:
@@ -188,9 +241,94 @@ def build_block_hierarchies(dec: Decomposition, n_coarsest: int = 32,
         Kc = max(lv.cell_nbr.shape[1] for lv in lvs)
         padded = [_pad_level(lv, NF, NFF, NC, NFC, Kch, Kfc, Kif, Kc)
                   for lv in lvs]
-        import jax
         import jax.numpy as jnp
         stacked.append(jax.tree_util.tree_map(
             lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *padded))
         prev_NC, prev_NFC = NC, NFC
-    return stacked
+
+    gcoarse = _build_global_coarse(dec, per_levels, prev_NC)
+    return stacked, gcoarse
+
+
+def _build_global_coarse(dec: Decomposition, per_levels, NC_pad
+                         ) -> GlobalCoarse:
+    """Host-side global coarsest addressing (see GlobalCoarse)."""
+    import jax.numpy as jnp
+    P = dec.n_devices
+    lm = dec.mesh
+    nil = lm.n_internal
+    n_own = dec.n_own
+    bounds = dec.slab_bounds
+    lown = np.asarray(lm.owner)
+    lnei = np.asarray(lm.neighbour)
+
+    # composed owned-cell -> local coarsest id map per shard
+    comp_all = []
+    for d in range(P):
+        n_owned_d = int(bounds[d + 1] - bounds[d])
+        comp = np.asarray(per_levels[d][0].restrict_addr
+                          ).astype(np.int64)[:n_owned_d]
+        for lv in per_levels[d][1:]:
+            comp = np.asarray(lv.restrict_addr).astype(np.int64)[comp]
+        comp_all.append(comp)
+
+    nc_last = [int(per_levels[d][-1].n_coarse) for d in range(P)]
+    offs = np.concatenate([[0], np.cumsum(nc_last)]).astype(np.int64)
+    NCg = int(offs[-1])
+
+    row_ids = np.full((P, NC_pad), NCg, dtype=np.int64)
+    cell_rows = np.full((P, lm.n_cells), NC_pad, dtype=np.int64)
+    for d in range(P):
+        row_ids[d, :nc_last[d]] = offs[d] + np.arange(nc_last[d])
+        n_owned_d = int(bounds[d + 1] - bounds[d])
+        cell_rows[d, :n_owned_d] = comp_all[d]
+
+    # cut-face couplings: for each local face with exactly one owned
+    # endpoint, the owned row couples to the ghost's global coarse cell
+    per_cut = []
+    for d in range(P):
+        own_d = lown[d, :nil].astype(np.int64)
+        nei_d = lnei[d, :nil].astype(np.int64)
+        gf = np.asarray(dec.face_map[d])[:nil]
+        o_in = own_d < n_own
+        n_in = nei_d < n_own
+        cut = (gf >= 0) & (o_in ^ n_in)
+        fids = np.nonzero(cut)[0]
+        owner_owned = o_in[fids]
+        my_cell = np.where(owner_owned, own_d[fids], nei_d[fids])
+        ghost = np.where(owner_owned, nei_d[fids], own_d[fids])
+        n_owned_d = int(bounds[d + 1] - bounds[d])
+        rows = comp_all[d][my_cell]
+        g_glob = np.asarray(dec.cells_of[d])[
+            n_owned_d + (ghost - n_own)]
+        d2 = np.searchsorted(bounds, g_glob, side="right") - 1
+        loc2 = g_glob - bounds[d2]
+        cols = np.array([offs[dd] + comp_all[dd][ll]
+                         for dd, ll in zip(d2, loc2)], dtype=np.int64) \
+            if fids.size else np.zeros(0, dtype=np.int64)
+        per_cut.append((rows, cols, fids,
+                        owner_owned.astype(np.float32)))
+
+    ncut = max(1, max(r[0].size for r in per_cut))
+
+    def pad1(a, fill, dt):
+        out = np.full(ncut, fill, dtype=dt)
+        out[:a.size] = a
+        return out
+
+    return GlobalCoarse(
+        row_ids=jnp.asarray(row_ids, jnp.int32),
+        cut_rows=jnp.asarray(np.stack(
+            [pad1(r, 0, np.int64) for r, _, _, _ in per_cut]), jnp.int32),
+        cut_cols=jnp.asarray(np.stack(
+            [pad1(c, NCg, np.int64) for _, c, _, _ in per_cut]),
+            jnp.int32),
+        cut_face=jnp.asarray(np.stack(
+            [pad1(f, 0, np.int64) for _, _, f, _ in per_cut]), jnp.int32),
+        cut_upper=jnp.asarray(np.stack(
+            [pad1(u, 0.0, np.float32) for _, _, _, u in per_cut])),
+        cut_valid=jnp.asarray(np.stack(
+            [pad1(np.ones(r.size, np.float32), 0.0, np.float32)
+             for r, _, _, _ in per_cut])),
+        cell_rows=jnp.asarray(cell_rows, jnp.int32),
+        n_global=NCg, nc_pad=int(NC_pad))

@@ -44,16 +44,17 @@ def make_distributed_step(dec: Decomposition, device_mesh: Mesh, nu,
     see parallel.dist_gamg).
     """
     lm = dec.mesh
-    blk_levels = []
+    blk_levels, gcoarse = [], None
     if block_gamg:
         from .dist_gamg import build_block_hierarchies
-        blk_levels = build_block_hierarchies(dec)
+        blk_levels, gcoarse = build_block_hierarchies(dec)
 
-    def shard_body(mesh_arrays, halo, blk, U, p, phi_data, dt, ref_cell,
-                   ref_weight):
+    def shard_body(mesh_arrays, halo, blk, gc, U, p, phi_data, dt,
+                   ref_cell, ref_weight):
         mesh_l: MeshArrays = _local_view(mesh_arrays)
         halo_l: HaloSpec = _local_view(halo)
         blk_l = _local_view(blk)
+        gc_l = _local_view(gc) if gc is not None else None
         U_l = _local_view(U)
         p_l = _local_view(p)
         phi_l = _local_view(phi_data)
@@ -74,9 +75,13 @@ def make_distributed_step(dec: Decomposition, device_mesh: Mesh, nu,
         phi_f = phi_l  # already a SurfaceField (pytree-mapped local view)
         # empty levels (shards at/below coarsest size) still take the
         # block path: the V-cycle degenerates to masked block smoothing
-        gamg_blk = (blk_l, own) if block_gamg else None
+        gamg_blk = (blk_l, own, gc_l) if block_gamg else None
 
-        with distributed(halo_fn, gsum_fn, gmax_fn, gamg_block=gamg_blk):
+        def psum_fn(x):
+            return jax.lax.psum(x, AXIS)
+
+        with distributed(halo_fn, gsum_fn, gmax_fn, gamg_block=gamg_blk,
+                         psum_fn=psum_fn):
             # ghosts of the inputs must be fresh before the first gather
             U_l = U_l.replace(data=halo_fn(U_l.data))
             p_l = p_l.replace(data=halo_fn(p_l.data))
@@ -91,7 +96,7 @@ def make_distributed_step(dec: Decomposition, device_mesh: Mesh, nu,
 
     from jax import shard_map
     specs_in = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-                P(), P(AXIS), P(AXIS))
+                P(AXIS), P(), P(AXIS), P(AXIS))
     specs_out = (P(AXIS), P(AXIS), P(AXIS), P())
 
     smapped = shard_map(shard_body, mesh=device_mesh,
@@ -100,8 +105,8 @@ def make_distributed_step(dec: Decomposition, device_mesh: Mesh, nu,
     step = jax.jit(smapped)
 
     def run(mesh_arrays, halo, U, p, phi, dt, ref_cell, ref_weight):
-        return step(mesh_arrays, halo, blk_levels, U, p, phi, dt,
-                    ref_cell, ref_weight)
+        return step(mesh_arrays, halo, blk_levels, gcoarse, U, p, phi,
+                    dt, ref_cell, ref_weight)
     return run
 
 
@@ -212,16 +217,17 @@ def make_distributed_simple_step(dec: Decomposition, device_mesh: Mesh,
     """Distributed simpleFoam iteration (solvers.simplefoam.simple_step
     under shard_map). turb_state is a dict of decomposed VolFields."""
     from ..solvers.simplefoam import simple_step
-    blk_levels = []
+    blk_levels, gcoarse = [], None
     if block_gamg:
         from .dist_gamg import build_block_hierarchies
-        blk_levels = build_block_hierarchies(dec)
+        blk_levels, gcoarse = build_block_hierarchies(dec)
 
-    def shard_body(mesh_arrays, halo, blk, U, p, phi_data, turb_state,
-                   ref_cell, ref_weight):
+    def shard_body(mesh_arrays, halo, blk, gc, U, p, phi_data,
+                   turb_state, ref_cell, ref_weight):
         mesh_l: MeshArrays = _local_view(mesh_arrays)
         halo_l: HaloSpec = _local_view(halo)
         blk_l = _local_view(blk)
+        gc_l = _local_view(gc) if gc is not None else None
         U_l = _local_view(U)
         p_l = _local_view(p)
         phi_l = _local_view(phi_data)
@@ -242,8 +248,13 @@ def make_distributed_simple_step(dec: Decomposition, device_mesh: Mesh,
 
         kw = dict(step_kwargs, p_ref_cell=ref_cell[0],
                   p_ref_weight=ref_weight[0])
-        gamg_blk = (blk_l, own) if block_gamg else None
-        with distributed(halo_fn, gsum_fn, gmax_fn, gamg_block=gamg_blk):
+        gamg_blk = (blk_l, own, gc_l) if block_gamg else None
+
+        def psum_fn(x):
+            return jax.lax.psum(x, AXIS)
+
+        with distributed(halo_fn, gsum_fn, gmax_fn, gamg_block=gamg_blk,
+                         psum_fn=psum_fn):
             U_l = U_l.replace(data=halo_fn(U_l.data))
             p_l = p_l.replace(data=halo_fn(p_l.data))
             ts_l = {k: v.replace(data=halo_fn(v.data))
@@ -256,7 +267,7 @@ def make_distributed_simple_step(dec: Decomposition, device_mesh: Mesh,
         return expand + (stats,)
 
     from jax import shard_map
-    specs_in = (P(AXIS),) * 9
+    specs_in = (P(AXIS),) * 10
     specs_out = (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P())
 
     smapped = shard_map(shard_body, mesh=device_mesh,
@@ -266,7 +277,7 @@ def make_distributed_simple_step(dec: Decomposition, device_mesh: Mesh,
 
     def run(mesh_arrays, halo, U, p, phi, turb_state, ref_cell,
             ref_weight):
-        return step(mesh_arrays, halo, blk_levels, U, p, phi,
+        return step(mesh_arrays, halo, blk_levels, gcoarse, U, p, phi,
                     turb_state, ref_cell, ref_weight)
     return run
 

@@ -21,6 +21,22 @@ from contextlib import contextmanager
 
 _HALO = None
 _GAMG_BLOCK = None
+_PSUM = None
+
+
+def psum_all(x):
+    """Raw (unmasked) cross-shard sum of an arbitrary-shape array —
+    identity on a single chip. Used where the summand is NOT
+    cell-indexed (e.g. the global GAMG coarsest matrix assembly), so the
+    masked ``gsum`` cell reduction does not apply."""
+    if _PSUM is None:
+        return x
+    return _PSUM(x)
+
+
+def set_psum(fn):
+    global _PSUM
+    _PSUM = fn
 
 
 def gamg_block():
@@ -53,18 +69,20 @@ def set_halo(fn):
 
 
 def clear_hooks():
-    global _HALO, _GAMG_BLOCK
+    global _HALO, _GAMG_BLOCK, _PSUM
     _HALO = None
     _GAMG_BLOCK = None
+    _PSUM = None
     from ..linalg import solvers
     solvers.set_gsum(solvers._gsum_default)
     solvers.set_gmax(solvers._gmax_default)
 
 
 @contextmanager
-def distributed(halo_fn, gsum_fn, gmax_fn=None, gamg_block=None):
-    """Install halo/gsum/gmax (+ optional block-GAMG) hooks for the
-    duration of a trace."""
+def distributed(halo_fn, gsum_fn, gmax_fn=None, gamg_block=None,
+                psum_fn=None):
+    """Install halo/gsum/gmax (+ optional block-GAMG, raw-psum) hooks
+    for the duration of a trace."""
     from ..linalg import solvers
     set_halo(halo_fn)
     solvers.set_gsum(gsum_fn)
@@ -72,6 +90,8 @@ def distributed(halo_fn, gsum_fn, gmax_fn=None, gamg_block=None):
         solvers.set_gmax(gmax_fn)
     if gamg_block is not None:
         set_gamg_block(gamg_block)
+    if psum_fn is not None:
+        set_psum(psum_fn)
     try:
         yield
     finally:

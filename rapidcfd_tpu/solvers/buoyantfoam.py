@@ -99,12 +99,27 @@ def make_step(case: Case, transport, turb, simple: SimpleControl,
         rAU_f = fvc.face_values(mesh, rAU)
         HbyA = fvc.constrain_hbya(mesh, rAU * UEqn_c.H(mesh), U)
         phig = -rAU_f * ghf * fvc.sn_grad(mesh, rhok).data * mesh.mag_sf
-        # walls: the pressure BC cannot cancel a body-force flux through
-        # the boundary (reference uses fixedFluxPressure); suppress it
-        phig = phig.at[mesh.n_internal:].set(0.0)
-        phi_hbya = SurfaceField(fvc.flux(mesh, HbyA).data + phig,
-                                fvc.flux(mesh, HbyA).dims, "phiHbyA")
-        phi_hbya = fvc.adjust_phi(mesh, phi_hbya, U)
+        # body-force boundary flux: kept on fixedFluxPressure patches
+        # (their snGrad balances it), zeroed on legacy zeroGradient
+        # patches (round-2 stand-in)
+        from ..fields.bcs import (fixed_flux_pressure_mask,
+                                  set_fixed_flux_pressure_gradient)
+        ffp_mask = fixed_flux_pressure_mask(mesh, p_rgh)
+        phig = phig.at[mesh.n_internal:].multiply(ffp_mask)
+        phi_hbya = fvc.adjust_phi(mesh, SurfaceField(
+            fvc.flux(mesh, HbyA).data, fvc.flux(mesh, HbyA).dims,
+            "phiHbyA"), U)
+        phi_hbya = SurfaceField(phi_hbya.data + phig, phi_hbya.dims,
+                                "phiHbyA")
+        # setSnGrad<fixedFluxPressure> (reference:
+        # buoyantBoussinesqSimpleFoam pEqn.H): gradient =
+        # (phiHbyA_b - Sf_b & U_b) / (magSf_b * rAUf_b)
+        n_int = mesh.n_internal
+        sngrad_b = (phi_hbya.data[n_int:]
+                    - (mesh.Sf[n_int:] * U.bvalues).sum(-1)) \
+            / (jnp.maximum(mesh.mag_sf[n_int:], 1e-30)
+               * jnp.maximum(rAU_f[n_int:], 1e-30))
+        p_rgh = set_fixed_flux_pressure_gradient(mesh, p_rgh, sngrad_b)
 
         p_prev = p_rgh
         p_perf_all = []
@@ -215,12 +230,25 @@ def make_pimple_step(case: Case, transport, turb, ctrl, consts):
                 rAU = 1.0 / UEqn_c.A(mesh)
                 rAU_f = fvc.face_values(mesh, rAU)
                 HbyA = fvc.constrain_hbya(mesh, rAU * UEqn_c.H(mesh), U)
+                from ..fields.bcs import (
+                    fixed_flux_pressure_mask,
+                    set_fixed_flux_pressure_gradient)
+                ffp_mask = fixed_flux_pressure_mask(mesh, p_rgh)
                 phig = (-rAU_f * ghf * fvc.sn_grad(mesh, rhok).data
-                        * mesh.mag_sf).at[mesh.n_internal:].set(0.0)
-                phi_hbya = SurfaceField(
-                    fvc.flux(mesh, HbyA).data + phig,
-                    fvc.flux(mesh, HbyA).dims, "phiHbyA")
-                phi_hbya = fvc.adjust_phi(mesh, phi_hbya, U)
+                        * mesh.mag_sf)
+                phig = phig.at[mesh.n_internal:].multiply(ffp_mask)
+                phi_hbya = fvc.adjust_phi(mesh, SurfaceField(
+                    fvc.flux(mesh, HbyA).data,
+                    fvc.flux(mesh, HbyA).dims, "phiHbyA"), U)
+                phi_hbya = SurfaceField(phi_hbya.data + phig,
+                                        phi_hbya.dims, "phiHbyA")
+                n_int = mesh.n_internal
+                sngrad_b = (phi_hbya.data[n_int:]
+                            - (mesh.Sf[n_int:] * U.bvalues).sum(-1)) \
+                    / (jnp.maximum(mesh.mag_sf[n_int:], 1e-30)
+                       * jnp.maximum(rAU_f[n_int:], 1e-30))
+                p_rgh = set_fixed_flux_pressure_gradient(mesh, p_rgh,
+                                                         sngrad_b)
                 for north in range(n_non_orth + 1):
                     final = (outer == n_outer - 1
                              and corr == n_corr - 1
@@ -266,6 +294,10 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None,
 
     U = case.read_field("U")
     p_rgh = case.read_field("p_rgh")
+    from ..fields.bcs import set_fixed_flux_pressure_gradient
+    import jax.numpy as _jnp
+    p_rgh = set_fixed_flux_pressure_gradient(
+        mesh, p_rgh, _jnp.zeros(mesh.n_boundary, mesh.V.dtype))
     T = case.read_field("T")
     phi = fvc.flux(mesh, U)
     transport = SinglePhaseTransportModel(tp)

@@ -44,6 +44,10 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
     ghb = ghf[mesh.n_internal:]
 
     p_rgh = case.read_field("p_rgh")
+    from ..fields.bcs import set_fixed_flux_pressure_gradient
+    import jax.numpy as _jnp
+    p_rgh = set_fixed_flux_pressure_gradient(
+        mesh, p_rgh, _jnp.zeros(mesh.n_boundary, mesh.V.dtype))
     T = case.read_field("T")
     U = case.read_field("U")
     p = case.read_field("p")
@@ -146,11 +150,28 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
                 rho_rau_f = fvc.face_values(mesh, rho_rau)
                 HbyA = fvc.constrain_hbya(mesh, rAU * UEqn_c.H(mesh), U)
                 rho_f = fvc.face_values(mesh, rho)
+                from ..fields.bcs import (
+                    fixed_flux_pressure_mask,
+                    set_fixed_flux_pressure_gradient)
+                ffp_mask = fixed_flux_pressure_mask(mesh, p_rgh)
                 phig = (-rho_rau_f * ghf * fvc.sn_grad(mesh, rho).data
-                        * mesh.mag_sf).at[mesh.n_internal:].set(0.0)
+                        * mesh.mag_sf)
+                # kept on fixedFluxPressure patches (their snGrad
+                # balances it), zeroed on legacy zeroGradient patches
+                phig = phig.at[mesh.n_internal:].multiply(ffp_mask)
                 phi_hbya = SurfaceField(
                     rho_f * fvc.flux(mesh, HbyA).data + phig,
                     DimensionSet.of(1, 0, -1), "phiHbyA")
+                # setSnGrad<fixedFluxPressure> (reference:
+                # buoyantPimpleFoam pEqn.H)
+                n_int = mesh.n_internal
+                sngrad_b = (phi_hbya.data[n_int:]
+                            - rho.bvalues
+                            * (mesh.Sf[n_int:] * U.bvalues).sum(-1)) \
+                    / (jnp.maximum(mesh.mag_sf[n_int:], 1e-30)
+                       * jnp.maximum(rho_rau_f[n_int:], 1e-30))
+                p_rgh = set_fixed_flux_pressure_gradient(mesh, p_rgh,
+                                                         sngrad_b)
                 # psi*correction(ddt(p_rgh)): pin the old level to the
                 # current p_rgh so the pair collapses to psi/dt (p - p*)
                 p2 = p_rgh.replace(old=p_rgh.replace(old=None))

@@ -74,6 +74,19 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
     # initial mass for the closed-volume pressure-level adjustment
     initial_mass = float(jnp.sum(m.rho(p.data, T.data) * mesh.V))
 
+    # TRUE fixedFluxPressure (reference: buoyantSimpleFoam pEqn.H
+    # setSnGrad<fixedFluxPressure...>): the body-force boundary flux is
+    # kept on patches whose BC balances it; legacy zeroGradient patches
+    # keep the zeroed-phig stand-in. Seed the snGrad slot host-side so
+    # the jitted step's pytree structure is stable from the first call.
+    from ..fields.bcs import (fixed_flux_pressure_mask,
+                              set_fixed_flux_pressure_gradient)
+    ffp_mask = fixed_flux_pressure_mask(mesh, p_rgh)
+    p_rgh = set_fixed_flux_pressure_gradient(
+        mesh, p_rgh, jnp.zeros(mesh.n_boundary, mesh.V.dtype))
+    sf_b = mesh.Sf[mesh.n_internal:]
+    msf_b = jnp.maximum(mesh.mag_sf[mesh.n_internal:], 1e-30)
+
     @jax.jit
     def step(U: VolField, p_rgh: VolField, T: VolField, p: VolField,
              rho: VolField, phi: SurfaceField, G: VolField | None):
@@ -127,14 +140,23 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
         rho_f = fvc.face_values(mesh, rho)
         phig = -rho_rau_f * ghf * fvc.sn_grad(mesh, rho).data \
             * mesh.mag_sf
-        # fixedFluxPressure stand-in: no body-force flux through
-        # non-coupled boundaries
-        phig = phig.at[mesh.n_internal:].set(0.0)
+        # body-force boundary flux: kept on fixedFluxPressure patches
+        # (their snGrad balances it, reference pEqn.H), zeroed on legacy
+        # zeroGradient patches (the round-2 stand-in)
+        phig = phig.at[mesh.n_internal:].multiply(ffp_mask)
         phi_hbya = SurfaceField(rho_f * fvc.flux(mesh, HbyA).data,
                                 DimensionSet.of(1, 0, -1), "phiHbyA")
         phi_hbya = fvc.adjust_phi(mesh, phi_hbya, U)
         phi_hbya = SurfaceField(phi_hbya.data + phig, phi_hbya.dims,
                                 "phiHbyA")
+
+        # setSnGrad<fixedFluxPressure>: gradient = (phiHbyA_b -
+        # rho_b*(Sf_b & U_b)) / (magSf_b * rhorAUf_b) (reference:
+        # buoyantSimpleFoam pEqn.H)
+        sngrad_b = (phi_hbya.data[mesh.n_internal:]
+                    - rho.bvalues * (sf_b * U.bvalues).sum(-1)) \
+            / (msf_b * jnp.maximum(rho_rau_f[mesh.n_internal:], 1e-30))
+        p_rgh = set_fixed_flux_pressure_gradient(mesh, p_rgh, sngrad_b)
 
         p_prev = p_rgh
         p_perf_all = []

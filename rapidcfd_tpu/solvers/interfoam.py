@@ -30,12 +30,19 @@ from .icofoam import courant_number
 
 
 def make_step(case: Case, consts, ctrl: PimpleControl,
-              mixing: bool = False, lts: bool = False):
+              mixing: bool = False, lts: bool = False,
+              dym: bool = False):
     """mixing=True gives twoLiquidMixingFoam semantics (reference:
     multiphase/twoLiquidMixingFoam): no interface compression, no
     surface tension, plus an implicit Dab diffusion of alpha.
     lts=True gives LTSInterFoam: the step takes a per-cell rDeltaT
-    (reference: LTSInterFoam/setrDeltaT.H + localEuler ddt)."""
+    (reference: LTSInterFoam/setrDeltaT.H + localEuler ddt).
+    dym=True gives interDyMFoam (reference: multiphase/interFoam/
+    interDyMFoam/interDyMFoam.C:51): the step takes the UPDATED mesh as
+    a jit argument plus (mesh_phi, mesh_ub), convects with the RELATIVE
+    flux, and returns the relative flux (caller restores the absolute
+    flux — topology is static under solid-body motion so geometry
+    updates do not recompile)."""
     mesh = case.mesh
     rho1, rho2, nu1, nu2, sigma, g = consts
     solvers_d = case.fv_solution.subdict("solvers")
@@ -70,11 +77,9 @@ def make_step(case: Case, consts, ctrl: PimpleControl,
     n_alpha_sub = int(ctrl.dict.scalar("nAlphaSubCycles", 1))
     n_non_orth = ctrl.n_non_orth
     p_ref_cell, p_ref_value = ctrl.p_ref_cell, ctrl.p_ref_value
-    gh = (mesh.C * jnp.asarray(g, mesh.C.dtype)).sum(-1)       # g & C
-    ghf = (mesh.Cf * jnp.asarray(g, mesh.C.dtype)).sum(-1)     # g & Cf
     delta_n = 1e-8
 
-    def mixture(alpha):
+    def mixture(mesh, alpha):
         rho_d = alpha.data * rho1 + (1.0 - alpha.data) * rho2
         rho_b = alpha.bvalues * rho1 + (1.0 - alpha.bvalues) * rho2
         rho = alpha.with_calculated_bcs(rho_d, rho_b, dim_density, "rho")
@@ -85,7 +90,7 @@ def make_step(case: Case, consts, ctrl: PimpleControl,
                                        DimensionSet.of(1, -1, -1), "mu")
         return rho, mu
 
-    def sigma_kappa_snalpha(alpha):
+    def sigma_kappa_snalpha(mesh, alpha):
         """CSF: sigma*curvature*snGrad(alpha) face field (reference:
         interfaceProperties)."""
         g_a = fvc.grad(mesh, alpha)
@@ -103,8 +108,37 @@ def make_step(case: Case, consts, ctrl: PimpleControl,
         return sigma * kf * sng.data
 
     @jax.jit
-    def step(alpha: VolField, U: VolField, p_rgh: VolField,
-             phi: SurfaceField, dt):
+    def _step(mesh, alpha: VolField, U: VolField, p_rgh: VolField,
+              phi: SurfaceField, dt, mesh_phi, mesh_ub):
+        ghf = (mesh.Cf * jnp.asarray(g, mesh.C.dtype)).sum(-1)
+        if dym:
+            # moving-wall velocity baked into bcdata + boundary relative
+            # flux rebuilt from the corrected wall velocity (reference:
+            # interDyMFoam.C mesh.update()/makeRelative; same pattern as
+            # pimpledymfoam.make_step)
+            from ..fields.bcs import MovingWallVelocity
+            env_w = {"meshUb": mesh_ub,
+                     "meshPhiB": mesh_phi[mesh.n_internal:]}
+            bcdata = list(U.bcdata)
+            for i, bc in enumerate(U.bcs):
+                if isinstance(bc, MovingWallVelocity):
+                    patch = mesh.patches[i]
+                    sl = slice(patch.bstart, patch.bstart + patch.size)
+                    nrm = mesh.patch_normals(patch)
+                    v = mesh_ub[sl]
+                    vn = (mesh_phi[mesh.n_internal:][sl] / jnp.maximum(
+                        mesh.patch_mag_sf(patch), 1e-30))[:, None] * nrm
+                    bd = dict(bcdata[i])
+                    bd["meshWallValue"] = \
+                        v - nrm * (v * nrm).sum(-1, keepdims=True) + vn
+                    bcdata[i] = bd
+            U = U.replace(bcdata=tuple(bcdata))
+            U = U.correct_boundary_conditions(mesh, env={**env_w,
+                                                         "phi": phi})
+            phi_b = (U.bvalues * mesh.Sf[mesh.n_internal:]).sum(-1) \
+                - mesh_phi[mesh.n_internal:]
+            phi = SurfaceField(jnp.concatenate(
+                [phi.data[:mesh.n_internal], phi_b]), phi.dims, "phi")
         if lts:
             dt = 1.0 / dt      # caller passes rDeltaT (nCells,)
         U = U.store_old()
@@ -168,8 +202,9 @@ def make_step(case: Case, consts, ctrl: PimpleControl,
                 rho_phi.data + dflux.data * (rho1 - rho2),
                 rho_phi.dims, "rhoPhi")
 
-        rho, mu = mixture(alpha)
-        rho = rho.replace(old=mixture(alpha.old)[0].replace(old=None))
+        rho, mu = mixture(mesh, alpha)
+        rho = rho.replace(
+            old=mixture(mesh, alpha.old)[0].replace(old=None))
 
         # ---- UEqn.H
         mu_f = Dimensioned("muf", DimensionSet.of(1, -1, -1),
@@ -185,10 +220,14 @@ def make_step(case: Case, consts, ctrl: PimpleControl,
             rAU_f = fvc.face_values(mesh, rAU)
             HbyA = fvc.constrain_hbya(mesh, rAU * UEqn_c.H(mesh), U)
             phi_hbya = fvc.flux(mesh, HbyA)
+            if dym:
+                # fvc::makeRelative(phiHbyA, U) on the moving mesh
+                phi_hbya = SurfaceField(phi_hbya.data - mesh_phi,
+                                        phi_hbya.dims, "phiHbyA")
             # buoyancy + surface tension as face forces
             sng_rho = fvc.sn_grad(mesh, rho)
-            phig = (sigma_kappa_snalpha(alpha) - ghf * sng_rho.data) \
-                * rAU_f * mesh.mag_sf
+            phig = (sigma_kappa_snalpha(mesh, alpha)
+                    - ghf * sng_rho.data) * rAU_f * mesh.mag_sf
             # no body-force flux through non-coupled boundaries
             # (reference pairs this with fixedFluxPressure on p_rgh)
             phig = phig.at[mesh.n_internal:].set(0.0)
@@ -212,8 +251,11 @@ def make_step(case: Case, consts, ctrl: PimpleControl,
                 (phig - flux_p.data) / jnp.maximum(rAU_f, 1e-30),
                 phi.dims / rAU.dims, "corrF")
             U_star = HbyA + rAU * fvc.reconstruct(mesh, corr_f)
+            env_u = ({"meshUb": mesh_ub,
+                      "meshPhiB": mesh_phi[mesh.n_internal:],
+                      "phi": phi} if dym else None)
             U = U.replace(data=U_star.data).correct_boundary_conditions(
-                mesh)
+                mesh, env=env_u)
 
         local_err, glob_err = (
             gsum(jnp.abs(fvc.div(mesh, phi).data) * mesh.V),
@@ -225,6 +267,31 @@ def make_step(case: Case, consts, ctrl: PimpleControl,
                      co=(co_mean, co_max), alpha=(a_min, a_max,
                                                   gsum(alpha.data * mesh.V)))
         return alpha, U, p_rgh, phi, stats
+
+    if dym:
+        from ..linalg.precompute import attach_solver_layouts
+        mesh0 = jax.device_put(attach_solver_layouts(
+            mesh, (p_controls, p_final), case=case))
+
+        def step(mesh_new, alpha, U, p_rgh, phi_rel, mesh_phi, mesh_ub,
+                 dt):
+            # motion preserves topology: carry the precomputed solver
+            # layouts (band/DIA indices, GAMG agglomeration) across
+            # geometry updates
+            import dataclasses as _dc
+            m2 = _dc.replace(mesh_new, band=mesh0.band, gamg=mesh0.gamg)
+            return _step(m2, alpha, U, p_rgh, phi_rel, dt, mesh_phi,
+                         mesh_ub)
+        return step
+
+    from ..linalg.precompute import attach_solver_layouts
+    mesh_a = jax.device_put(attach_solver_layouts(
+        mesh, (p_controls, p_final), case=case))
+    zf = jnp.zeros(mesh.n_faces, mesh.V.dtype)
+    zb = jnp.zeros((mesh.n_boundary, 3), mesh.C.dtype)
+
+    def step(alpha, U, p_rgh, phi, dt):
+        return _step(mesh_a, alpha, U, p_rgh, phi, dt, zf, zb)
 
     return step
 

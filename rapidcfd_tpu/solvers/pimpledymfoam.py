@@ -10,9 +10,9 @@ module once their base solvers take the mesh as an argument.
 TPU-first: the step is jitted with MeshArrays as an ARGUMENT (static
 topology metadata is unchanged by motion, so geometry updates do not
 recompile); the host rebuilds geometry and the analytic mesh flux per
-step (models/dynamicmesh.py). GAMG needs a trace-constant mesh, so the
-pressure solver is PCG/DIC-class here (matching the reference's
-practice of smoother solvers on moving meshes).
+step (models/dynamicmesh.py). Solver layouts (band/DIA, GAMG
+agglomeration) are derived once from the initial mesh and carried
+across motion — topology-static, so GAMG works on moving meshes.
 """
 
 from __future__ import annotations
@@ -35,6 +35,9 @@ from .simplefoam import div_dev_reff
 
 
 def make_step(case: Case, transport, turb, ctrl):
+    import dataclasses as _dc
+
+    from ..linalg.precompute import attach_solver_layouts
     div_u = case.div_scheme("div(phi,U)")
     lap_corr = case.laplacian_scheme()
     ddt_scheme = case.ddt_scheme()
@@ -46,10 +49,16 @@ def make_step(case: Case, transport, turb, ctrl):
     n_corr = ctrl.n_correctors
     n_non_orth = ctrl.n_non_orth
     p_ref_cell, p_ref_value = ctrl.p_ref_cell, ctrl.p_ref_value
+    # solver layouts derived ONCE from the initial concrete mesh:
+    # solid-body motion preserves topology, so the band/DIA indices and
+    # the GAMG agglomeration stay valid across geometry updates — GAMG
+    # now works on moving meshes (round-2 limitation removed)
+    mesh0 = attach_solver_layouts(case.mesh, (p_controls, p_final),
+                                  case=case)
 
     @jax.jit
-    def step(mesh, U: VolField, p: VolField, phi_rel: SurfaceField,
-             mesh_phi, mesh_ub, turb_state, dt):
+    def _step(mesh, U: VolField, p: VolField, phi_rel: SurfaceField,
+              mesh_phi, mesh_ub, turb_state, dt):
         """phi_rel: flux relative to the mesh motion (the convecting
         flux of every equation on a moving mesh)."""
         U = U.store_old()
@@ -130,6 +139,11 @@ def make_step(case: Case, transport, turb, ctrl):
                      turb=turb_perf, cont=(local_err, glob_err),
                      co=(co_mean, co_max))
         return U, p, phi, turb_state, stats
+
+    def step(mesh, U, p, phi_rel, mesh_phi, mesh_ub, turb_state, dt):
+        m2 = _dc.replace(mesh, band=mesh0.band, gamg=mesh0.gamg)
+        return _step(m2, U, p, phi_rel, mesh_phi, mesh_ub, turb_state,
+                     dt)
 
     return step
 

@@ -174,3 +174,128 @@ PIMPLE { nOuterCorrectors 1; nCorrectors 2;
     hot = C[:, 0] < 0.1
     assert u[hot, 1].max() > 1e-4
     assert np.abs(u).max() < 5.0
+
+
+def _stratified_skewed_cavity(d, p_bc, n=12, skew=0.25):
+    """Stably-stratified closed cavity (cold floor, hot ceiling) on a
+    node-skewed mesh: the continuum steady state is pure conduction with
+    U = 0, so any residual velocity is discretization/BC imbalance."""
+    import numpy as np
+    mesh = box_mesh(n, n, 1, size=(1.0, 1.0, 0.1), patch_spec={
+        "xmin": ("left", "wall"), "xmax": ("right", "wall"),
+        "ymin": ("floor", "wall"), "ymax": ("ceiling", "wall"),
+        "zmin": ("frontAndBack", "empty"),
+        "zmax": ("frontAndBack", "empty")})
+    pts = np.asarray(mesh.points).copy()
+    npl = (n + 1) * (n + 1)
+    rng = np.random.default_rng(7)
+    xy = pts[:npl, :2].copy()
+    h = 1.0 / n
+    interior = ((xy[:, 0] > 1e-9) & (xy[:, 0] < 1 - 1e-9)
+                & (xy[:, 1] > 1e-9) & (xy[:, 1] < 1 - 1e-9))
+    xy[interior] += rng.uniform(-1, 1, (int(interior.sum()), 2)) * skew * h
+    pts[:npl, :2] = xy
+    pts[npl:2 * npl, :2] = xy
+    mesh.points = pts
+    write_polymesh(mesh, d)
+    _write(os.path.join(d, "system", "controlDict"),
+           foamfile_header("dictionary", "controlDict", "system"), """
+application buoyantBoussinesqSimpleFoam;
+startFrom startTime; startTime 0; stopAt endTime; endTime 10000;
+deltaT 1; writeControl timeStep; writeInterval 10000; writeFormat ascii;
+""")
+    _write(os.path.join(d, "system", "fvSchemes"),
+           foamfile_header("dictionary", "fvSchemes", "system"), """
+ddtSchemes { default steadyState; }
+gradSchemes { default Gauss linear; }
+divSchemes { default none; div(phi,U) bounded Gauss upwind;
+             div(phi,T) bounded Gauss upwind; }
+laplacianSchemes { default Gauss linear corrected; }
+interpolationSchemes { default linear; }
+snGradSchemes { default corrected; }
+""")
+    _write(os.path.join(d, "system", "fvSolution"),
+           foamfile_header("dictionary", "fvSolution", "system"), """
+solvers
+{
+    p_rgh { solver PCG; preconditioner DIC; tolerance 1e-10; relTol 0; }
+    "(U|T)" { solver smoothSolver; smoother symGaussSeidel;
+              tolerance 1e-09; relTol 0; }
+}
+SIMPLE { nNonOrthogonalCorrectors 2; pRefCell 0; pRefValue 0; }
+relaxationFactors
+{
+    fields { p_rgh 0.7; }
+    equations { U 0.5; T 0.7; }
+}
+""")
+    _write(os.path.join(d, "constant", "transportProperties"),
+           foamfile_header("dictionary", "transportProperties",
+                           "constant"), """
+transportModel Newtonian;
+nu              nu [0 2 -1 0 0 0 0] 1e-03;
+beta            beta [0 0 0 -1 0 0 0] 3e-03;
+TRef            TRef [0 0 0 1 0 0 0] 300;
+Pr              Pr [0 0 0 0 0 0 0] 0.7;
+Prt             Prt [0 0 0 0 0 0 0] 0.85;
+""")
+    _write(os.path.join(d, "constant", "g"),
+           foamfile_header("uniformDimensionedVectorField", "g",
+                           "constant"),
+           "\ndimensions [0 1 -2 0 0 0 0];\nvalue (0 -9.81 0);\n")
+    _write(os.path.join(d, "constant", "RASProperties"),
+           foamfile_header("dictionary", "RASProperties", "constant"),
+           "\nRASModel laminar;\nturbulence off;\n")
+    wall_u = ("        type            fixedValue;\n"
+              "        value           uniform (0 0 0);\n")
+    write_field(d, "0", "U", "volVectorField", "[0 1 -1 0 0 0 0]",
+                "uniform (0 0 0)", {
+                    "left": wall_u, "right": wall_u,
+                    "floor": wall_u, "ceiling": wall_u,
+                    "frontAndBack": "        type            empty;\n"})
+    write_field(d, "0", "p_rgh", "volScalarField", "[0 2 -2 0 0 0 0]",
+                "uniform 0", {
+                    "left": p_bc, "right": p_bc,
+                    "floor": p_bc, "ceiling": p_bc,
+                    "frontAndBack": "        type            empty;\n"})
+    write_field(d, "0", "T", "volScalarField", "[0 0 0 1 0 0 0]",
+                "uniform 300", {
+                    "floor": "        type            fixedValue;\n"
+                             "        value           uniform 290;\n",
+                    "ceiling": "        type            fixedValue;\n"
+                               "        value           uniform 310;\n",
+                    "left": "        type            zeroGradient;\n",
+                    "right": "        type            zeroGradient;\n",
+                    "frontAndBack": "        type            empty;\n"})
+
+
+@pytest.mark.slow
+def test_fixed_flux_pressure_well_balanced(tmp_path_factory):
+    """TRUE fixedFluxPressure (reference:
+    fixedFluxPressureFvPatchScalarField.C:115-140): on the stably-
+    stratified skewed cavity the solver-set boundary gradient balances
+    the body-force flux, cutting the spurious steady velocity well
+    below the zeroGradient stand-in; on the unskewed mesh the discrete
+    balance is exact (machine-zero velocity)."""
+    L.Info.enabled = False
+    from rapidcfd_tpu.solvers import buoyantfoam
+
+    def steady_max_u(p_bc, skew):
+        d = str(tmp_path_factory.mktemp("wb"))
+        _stratified_skewed_cavity(d, p_bc, skew=skew)
+        case, U, p_rgh, T, phi, ts = buoyantfoam.run(d, max_steps=300,
+                                                     write=False)
+        u = np.asarray(U.data)
+        assert np.isfinite(u).all()
+        return np.abs(u).max()
+
+    ffp = ("        type            fixedFluxPressure;\n"
+           "        value           uniform 0;\n")
+    zg = "        type            zeroGradient;\n"
+    u_exact = steady_max_u(ffp, skew=0.0)
+    assert u_exact < 1e-6, f"unskewed balance not exact: {u_exact}"
+    u_ffp = steady_max_u(ffp, skew=0.25)
+    u_zg = steady_max_u(zg, skew=0.25)
+    assert u_ffp < 0.07, f"skewed-mesh spurious velocity too big: {u_ffp}"
+    assert u_ffp < 0.5 * u_zg, (u_ffp, u_zg)
+    L.Info.enabled = True

@@ -57,8 +57,8 @@ def test_block_hierarchy_p1_equals_global():
     res_global = float(jnp.abs(b - amul_g(x)).sum())
 
     dec = decompose_slab(mesh, 1)
-    blk = jax.tree_util.tree_map(lambda a: a[0],
-                                 build_block_hierarchies(dec))
+    blk_levels, _gc = build_block_hierarchies(dec)
+    blk = jax.tree_util.tree_map(lambda a: a[0], blk_levels)
     lm = dec.mesh
     fmap = dec.face_map[0]
     nil = lm.n_internal
@@ -103,3 +103,55 @@ def test_icofoam_gamg_8dev_matches_1chip(config):
 def test_simplefoam_kepsilon_8dev_matches_1chip():
     from rapidcfd_tpu.parallel.dryrun import dryrun_simple_step
     dryrun_simple_step(8)
+
+
+@pytest.mark.slow
+def test_global_coarse_iterations_near_single_chip():
+    """The distributed two-level GAMG preconditioner (block V-cycle +
+    GLOBAL Galerkin coarse solve, parallel/dist_gamg.GlobalCoarse) must
+    keep 8-device pressure iterations within 2x of single-chip at the
+    production tolerance (VERDICT r2 item 3; block-Jacobi alone needed
+    109 vs ~10)."""
+    import tempfile
+
+    import jax
+
+    from rapidcfd_tpu.models.transport import SinglePhaseTransportModel
+    from rapidcfd_tpu.models.turbulence import make_ras_model
+    from rapidcfd_tpu.ops import fvc
+    from rapidcfd_tpu.parallel.dryrun import dryrun_simple_step
+    from rapidcfd_tpu.solvers import simplefoam
+    from rapidcfd_tpu.solvers.case import Case
+    from rapidcfd_tpu.solvers.controls import SimpleControl
+    from rapidcfd_tpu.utils import casegen as cg
+    from rapidcfd_tpu.utils import logging as L
+
+    L.Info.enabled = False
+    d = tempfile.mkdtemp()
+    cg.pitz_daily_case(d, scale=1, model="kEpsilon", tight_tol=False)
+    case = Case(d)
+    U = case.read_field("U")
+    p = case.read_field("p")
+    phi = fvc.flux(case.mesh, U)
+    transport = SinglePhaseTransportModel(case.transport_properties())
+    turb = make_ras_model(case, U)
+    ts = turb.init_state(U)
+    step = simplefoam.make_step(case, transport, turb,
+                                SimpleControl(case))
+    _, _, _, _, stats1 = step(U, p, phi, ts)
+    n1 = int(stats1["p_perf"][0][2])
+
+    orig = cg.pitz_daily_case
+
+    def loose(dd, **kw):
+        kw["tight_tol"] = False
+        return orig(dd, **kw)
+
+    cg.pitz_daily_case = loose
+    try:
+        stats8 = dryrun_simple_step(8, check=False, x64=True)
+    finally:
+        cg.pitz_daily_case = orig
+    n8 = int(stats8["p_perf"][0][2])
+    L.Info.enabled = True
+    assert n8 <= max(2 * n1, n1 + 4), (n8, n1)
