@@ -123,17 +123,20 @@ def compute_band_layout(mesh) -> BandLayout:
                 # all (row, slot) pairs — merged-cell meshes can have
                 # two faces between the same cell pair (same offset)
                 r, s = np.nonzero(m2)
-                rows.append(jnp.asarray(r, jnp.int32))
-                slots.append(jnp.asarray(s, jnp.int32))
+                # NOTE: stored as numpy so the cached layout is trace-free
+                # (jnp constants created inside a jit trace must not be
+                # cached — a jnp.asarray under trace yields a Tracer)
+                rows.append(np.asarray(r, np.int32))
+                slots.append(np.asarray(s, np.int32))
                 in_dia |= m2
             ovf_r, ovf_s = np.nonzero(active & ~in_dia)
             return BandLayout(
                 mode="dia", n=n, K=K,
                 offsets=tuple(sorted(chosen)),
                 rows=tuple(rows), slots=tuple(slots), max_off=max_off,
-                ovf_rows=jnp.asarray(ovf_r, jnp.int32),
-                ovf_slots=jnp.asarray(ovf_s, jnp.int32),
-                ovf_nbr=jnp.asarray(nbr[ovf_r, ovf_s], jnp.int32),
+                ovf_rows=np.asarray(ovf_r, np.int32),
+                ovf_slots=np.asarray(ovf_s, np.int32),
+                ovf_nbr=np.asarray(nbr[ovf_r, ovf_s], np.int32),
             )
     bandwidth = int(np.abs(nbr - cells).max()) if n else 0
     half_blocks = (bandwidth + B - 1) // B
@@ -151,9 +154,11 @@ def compute_band_layout(mesh) -> BandLayout:
     # coefficient is harmless — keep all slots for a static scatter.
     return BandLayout(
         mode="band", n=n, K=K, n_tiles=n_tiles, P=P, half=half_blocks,
-        tile=jnp.asarray(np.broadcast_to(tile, nbr.shape), jnp.int32),
-        row=jnp.asarray(np.broadcast_to(row, nbr.shape), jnp.int32),
-        col=jnp.asarray(col, jnp.int32),
+        tile=np.ascontiguousarray(
+            np.broadcast_to(tile, nbr.shape).astype(np.int32)),
+        row=np.ascontiguousarray(
+            np.broadcast_to(row, nbr.shape).astype(np.int32)),
+        col=np.asarray(col, np.int32),
     )
 
 

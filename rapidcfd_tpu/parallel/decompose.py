@@ -1,9 +1,12 @@
 """Domain decomposition: global mesh -> stacked per-device local meshes.
 
 Replaces the reference's decomposePar + processorPolyPatch machinery
-(SURVEY.md §2.7): cells are slab-partitioned along the (Cuthill-McKee
-renumbered) cell index into P contiguous ranges; each device owns its
-slab plus ghost copies of face-neighbour cells on other devices. Every
+(SURVEY.md §2.7; processorPolyPatch.H:59 records neighbour rank + face
+matching). Cells are partitioned by an arbitrary cell->device map —
+1-D contiguous slabs over the (Cuthill-McKee renumbered) cell index, a
+recursive coordinate bisection of the cell centres (the motorBike-class
+general partition), or any user-supplied map. Each device owns its
+cells plus ghost copies of face-neighbour cells on other devices. Every
 per-device array is padded to the max size over devices so the stacked
 (P, ...) arrays shard cleanly over a jax.sharding.Mesh axis, and the
 single-chip operator/solver code runs unchanged inside shard_map with
@@ -16,14 +19,18 @@ Local layout per device:
           zero-area faces), then per-patch owned boundary faces (each
           patch padded to its max size over devices).
 
-Halo exchange is a ppermute ring over the 'x' mesh axis using
-per-device static send/recv index vectors — the exact faceCells gather
-the reference's processorFvPatchField does (SURVEY.md §3.5), fused into
-the step program by XLA.
+Halo exchange generalises the reference's per-processor-patch send/recv
+(SURVEY.md §3.5) to ppermute rounds over the 'x' mesh axis: one round
+per *active ring shift* s (device d talks to device (d+s)%P), with
+per-device static send/recv index vectors. A slab partition has exactly
+two active shifts (1 and P-1 — the nearest-neighbour ring); an RCB
+partition activates only the shifts its neighbour graph needs. XLA
+fuses the gathers/scatters into the step program.
 """
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 
 import jax
@@ -38,13 +45,16 @@ from ..mesh.polymesh import PolyMesh
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class HaloSpec:
-    """Stacked (P, ...) halo index arrays; inside shard_map each device
-    sees its own row. Exchange is nearest-neighbour over the ring: for
-    each direction d (0: +1 'right', 1: -1 'left'), send
-    x[send_idx[d]] and scatter the received buffer at recv_idx[d]."""
-    send_idx: jax.Array   # (P, 2, H) into local cells (pad: 0)
-    recv_idx: jax.Array   # (P, 2, H) into local cells (pad: dump slot)
+    """Stacked per-shift halo index arrays; inside shard_map each device
+    sees its own row. For each active shift s (static), every device d
+    sends x[send_idx[si]] to device (d+s)%P and scatters the buffer it
+    receives (from (d-s)%P) at recv_idx[si]. Pad sends gather slot 0;
+    pad receives scatter into the dump slot (last local cell)."""
+    send_idx: tuple   # per shift: (P, H_s) int32 into local cells
+    recv_idx: tuple   # per shift: (P, H_s) int32 into local cells
     own_mask: jax.Array   # (P, n_local) 1.0 for owned cells
+    shifts: tuple = dataclasses.field(default=(),
+                                      metadata=dict(static=True))
 
 
 def _exchange(x, halo: HaloSpec, axis_name: str):
@@ -53,13 +63,12 @@ def _exchange(x, halo: HaloSpec, axis_name: str):
     n = jax.lax.psum(1, axis_name)
     if n == 1:
         return x
-    right = [(i, (i + 1) % n) for i in range(n)]
-    left = [(i, (i - 1) % n) for i in range(n)]
     out = x
-    for d, perm in ((0, right), (1, left)):
-        buf = jnp.take(x, halo.send_idx[d], axis=0)
+    for s, snd, rcv in zip(halo.shifts, halo.send_idx, halo.recv_idx):
+        perm = [(i, (i + s) % n) for i in range(n)]
+        buf = jnp.take(x, snd, axis=0)
         buf = jax.lax.ppermute(buf, axis_name, perm)
-        out = out.at[halo.recv_idx[d]].set(buf)
+        out = out.at[rcv].set(buf)
     return out
 
 
@@ -72,31 +81,95 @@ class Decomposition:
     cells_of: list            # global cell ids per device [owned..., ghosts...]
     face_map: list            # per device: global face id per local face (-1 pad)
     n_own: int                # padded owned-cell count (uniform)
-    slab_bounds: np.ndarray   # (P+1,) global slab boundaries
+    dev_of: np.ndarray        # (nc,) owning device per global cell
+    pos_of: np.ndarray        # (nc,) local owned index per global cell
+
+    @property
+    def n_owned_of(self):
+        """Owned-cell count per device."""
+        return np.bincount(self.dev_of, minlength=self.n_devices)
 
     def local_cell_of_global(self, g: int):
         """(device, local_index) of a global cell id (owned copy)."""
-        d = int(np.searchsorted(self.slab_bounds, g, side="right") - 1)
-        return d, int(g - self.slab_bounds[d])
+        return int(self.dev_of[g]), int(self.pos_of[g])
+
+
+def slab_partition(ma: MeshArrays, P: int) -> np.ndarray:
+    """1-D contiguous slabs over the cell index (RCM order)."""
+    bounds = np.linspace(0, ma.n_cells, P + 1).astype(np.int64)
+    return (np.searchsorted(bounds, np.arange(ma.n_cells), side="right")
+            - 1).astype(np.int64)
+
+
+def rcb_partition(ma: MeshArrays, P: int) -> np.ndarray:
+    """Recursive coordinate bisection of the cell centres — the
+    general-geometry partitioner (the role stock OpenFOAM's decomposePar
+    plays for the reference; hierarchical/simple-equivalent). Handles
+    arbitrary P by weighted splits along the widest axis."""
+    C = np.asarray(ma.C, dtype=float)
+    dev = np.zeros(ma.n_cells, dtype=np.int64)
+
+    def split(ids: np.ndarray, parts: int, base: int):
+        if parts == 1:
+            dev[ids] = base
+            return
+        left = parts // 2
+        frac = left / parts
+        box = C[ids]
+        axis = int(np.argmax(box.max(0) - box.min(0)))
+        order = np.argsort(box[:, axis], kind="stable")
+        k = int(round(frac * ids.size))
+        k = min(max(k, 1), ids.size - 1)
+        split(ids[order[:k]], left, base)
+        split(ids[order[k:]], parts - left, base + left)
+
+    split(np.arange(ma.n_cells), P, 0)
+    return dev
 
 
 def decompose_slab(ma: MeshArrays, P: int, dtype=None) -> Decomposition:
-    """Decompose a (single-chip) MeshArrays into P stacked local meshes."""
+    """Slab decomposition (back-compat name)."""
+    return decompose(ma, P, method="slab", dtype=dtype)
+
+
+def decompose(ma: MeshArrays, P: int, method: str = "slab",
+              dev_of: np.ndarray | None = None, dtype=None
+              ) -> Decomposition:
+    """Decompose a (single-chip) MeshArrays into P stacked local meshes.
+
+    method: 'slab' (contiguous index ranges) or 'rcb' (recursive
+    coordinate bisection); dev_of overrides with an arbitrary
+    cell->device map (values in [0, P))."""
     if dtype is None:
         dtype = default_dtype()
+    if dev_of is None:
+        dev_of = (slab_partition(ma, P) if method == "slab"
+                  else rcb_partition(ma, P))
+    dev_of = np.asarray(dev_of, dtype=np.int64)
+    if dev_of.shape != (ma.n_cells,):
+        raise ValueError("dev_of must map every cell to a device")
+    if dev_of.min() < 0 or dev_of.max() >= P:
+        raise ValueError("dev_of values must lie in [0, P)")
+
     nc, nf, n_int = ma.n_cells, ma.n_faces, ma.n_internal
     own = np.asarray(ma.owner)
     nei = np.asarray(ma.neighbour)
 
-    bounds = np.linspace(0, nc, P + 1).astype(np.int64)
-    dev_of = np.searchsorted(bounds, np.arange(nc), side="right") - 1
+    # position of each cell within its device's owned list (ascending
+    # global order per device)
+    pos_of = np.zeros(nc, dtype=np.int64)
+    owned_lists = []
+    for d in range(P):
+        ids = np.nonzero(dev_of == d)[0]
+        owned_lists.append(ids)
+        pos_of[ids] = np.arange(ids.size)
 
     # per-device: owned cells, cut faces, ghosts, local faces
     per = []
+    o_dev = dev_of[own[:n_int]]
+    n_dev = dev_of[nei]
     for d in range(P):
-        owned = np.arange(bounds[d], bounds[d + 1])
-        o_dev = dev_of[own[:n_int]]
-        n_dev = dev_of[nei]
+        owned = owned_lists[d]
         f_int = np.nonzero((o_dev == d) & (n_dev == d))[0]
         f_cut = np.nonzero((o_dev == d) ^ (n_dev == d))[0]
         ghost_g = np.unique(np.concatenate(
@@ -106,12 +179,6 @@ def decompose_slab(ma: MeshArrays, P: int, dtype=None) -> Decomposition:
         for pi, p in enumerate(ma.patches):
             gf = np.arange(p.start, p.start + p.size)
             bfaces[pi] = gf[dev_of[own[gf]] == d]
-        lo = bounds[max(d - 1, 0)]
-        hi = bounds[min(d + 2, P)]
-        if ghost_g.size and (ghost_g.min() < lo or ghost_g.max() >= hi):
-            raise ValueError(
-                "slab decomposition produced non-adjacent ghosts; the "
-                "ring halo needs wider exchange (reduce P or renumber)")
         per.append(dict(owned=owned, f_int=np.concatenate([f_int, f_cut]),
                         ghosts=ghost_g, bfaces=bfaces))
 
@@ -151,28 +218,32 @@ def decompose_slab(ma: MeshArrays, P: int, dtype=None) -> Decomposition:
     cells_of = []
     K_glob = ma.K
 
-    # precompute per-device send lists (cells we own that device e ghosts)
+    # per (device, shift) send/recv lists. Device d sends to e=(d+s)%P
+    # the cells it owns that e ghosts, in e's ghost-list order; it
+    # receives from src=(d-s)%P its own ghosts owned by src, same order.
     ghost_lists = [p["ghosts"] for p in per]
-    sends = np.zeros((P, 2), dtype=object)
-    recvs = np.zeros((P, 2), dtype=object)
-    for d in range(P):
-        for dirn, e in ((0, (d + 1) % P), (1, (d - 1) % P)):
-            if P == 1:
-                sends[d, dirn] = np.zeros(0, dtype=np.int64)
-                recvs[d, dirn] = np.zeros(0, dtype=np.int64)
-                continue
-            # cells owned by d that appear in e's ghost list, in e's order
+    sends = {}
+    recvs = {}
+    active_shifts = []
+    for s in range(1, P):
+        traffic = 0
+        for d in range(P):
+            e = (d + s) % P
             gl = ghost_lists[e]
-            mine = gl[(gl >= bounds[d]) & (gl < bounds[d + 1])]
-            sends[d, dirn] = mine
-            # symmetric: what d receives from the device in direction dirn
-            src = (d - 1) % P if dirn == 0 else (d + 1) % P
+            sends[d, s] = gl[dev_of[gl] == d]
+            src = (d - s) % P
             gl_d = ghost_lists[d]
-            recvs[d, dirn] = gl_d[(gl_d >= bounds[src])
-                                  & (gl_d < bounds[src + 1])]
-    H = max(1, max(len(sends[d, k]) for d in range(P) for k in (0, 1)))
-    send_idx = np.zeros((P, 2, H), dtype=np.int64)
-    recv_idx = np.full((P, 2, H), n_local - 1, dtype=np.int64)
+            recvs[d, s] = gl_d[dev_of[gl_d] == src]
+            traffic += sends[d, s].size
+        if traffic:
+            active_shifts.append(s)
+
+    shift_H = {s: max(1, max(sends[d, s].size for d in range(P)))
+               for s in active_shifts}
+    send_idx = {s: np.zeros((P, shift_H[s]), dtype=np.int64)
+                for s in active_shifts}
+    recv_idx = {s: np.full((P, shift_H[s]), n_local - 1, dtype=np.int64)
+                for s in active_shifts}
 
     for d in range(P):
         p = per[d]
@@ -269,11 +340,11 @@ def decompose_slab(ma: MeshArrays, P: int, dtype=None) -> Decomposition:
         stacks["ell_coeff_idx"].append(ell["ell_idx"])
         stacks["internal_mask"].append(ell["internal_mask"])
 
-        for dirn in (0, 1):
-            s = sends[d, dirn]
-            send_idx[d, dirn, :len(s)] = [l_of_g[g] for g in s]
-            r = recvs[d, dirn]
-            recv_idx[d, dirn, :len(r)] = [l_of_g[g] for g in r]
+        for s in active_shifts:
+            snd = sends[d, s]
+            send_idx[s][d, :snd.size] = [l_of_g[g] for g in snd]
+            rcv = recvs[d, s]
+            recv_idx[s][d, :rcv.size] = [l_of_g[g] for g in rcv]
 
     idt = jnp.int32
     fdt = dtype
@@ -297,12 +368,16 @@ def decompose_slab(ma: MeshArrays, P: int, dtype=None) -> Decomposition:
         n_cells=n_local, n_faces=nf_loc, n_internal=n_int_loc, K=K_glob,
         patches=tuple(patches))
 
-    halo = HaloSpec(send_idx=jnp.asarray(send_idx, idt),
-                    recv_idx=jnp.asarray(recv_idx, idt),
-                    own_mask=jnp.asarray(own_mask, fdt))
+    halo = HaloSpec(
+        send_idx=tuple(jnp.asarray(send_idx[s], idt)
+                       for s in active_shifts),
+        recv_idx=tuple(jnp.asarray(recv_idx[s], idt)
+                       for s in active_shifts),
+        own_mask=jnp.asarray(own_mask, fdt),
+        shifts=tuple(active_shifts))
     return Decomposition(mesh=mesh, halo=halo, n_devices=P,
                          cells_of=cells_of, face_map=face_maps,
-                         n_own=n_own, slab_bounds=bounds)
+                         n_own=n_own, dev_of=dev_of, pos_of=pos_of)
 
 
 def decompose_vol_field(dec: Decomposition, vf: VolField,
@@ -324,11 +399,10 @@ def decompose_vol_field(dec: Decomposition, vf: VolField,
         data[d, dec.n_own:dec.n_own + len(ghosts)] = data_g[ghosts]
     # boundary values + bcdata per patch
     per_dev_bd = [[] for _ in range(P)]
+    own_g = np.asarray(global_mesh.owner)
     for pi, (gp, lp) in enumerate(zip(global_mesh.patches, lm.patches)):
-        own_g = np.asarray(global_mesh.owner)
         gf = np.arange(gp.start, gp.start + gp.size)
-        dev_of_face = np.searchsorted(dec.slab_bounds, own_g[gf],
-                                      side="right") - 1
+        dev_of_face = dec.dev_of[own_g[gf]]
         for d in range(P):
             sel = gf[dev_of_face == d] - gp.start
             bo = lp.bstart
@@ -356,7 +430,7 @@ def decompose_vol_field(dec: Decomposition, vf: VolField,
 def collect_vol_field(dec: Decomposition, stacked_data) -> np.ndarray:
     """Gather owned cells back to global ordering (host)."""
     arr = np.asarray(stacked_data)
-    nc = dec.slab_bounds[-1]
+    nc = dec.dev_of.size
     out = np.zeros((nc,) + arr.shape[2:], arr.dtype)
     for d in range(dec.n_devices):
         owned = dec.cells_of[d][:int(np.asarray(

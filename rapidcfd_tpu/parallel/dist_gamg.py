@@ -258,14 +258,14 @@ def _build_global_coarse(dec: Decomposition, per_levels, NC_pad
     lm = dec.mesh
     nil = lm.n_internal
     n_own = dec.n_own
-    bounds = dec.slab_bounds
+    n_owned_of = dec.n_owned_of
     lown = np.asarray(lm.owner)
     lnei = np.asarray(lm.neighbour)
 
     # composed owned-cell -> local coarsest id map per shard
     comp_all = []
     for d in range(P):
-        n_owned_d = int(bounds[d + 1] - bounds[d])
+        n_owned_d = int(n_owned_of[d])
         comp = np.asarray(per_levels[d][0].restrict_addr
                           ).astype(np.int64)[:n_owned_d]
         for lv in per_levels[d][1:]:
@@ -280,7 +280,7 @@ def _build_global_coarse(dec: Decomposition, per_levels, NC_pad
     cell_rows = np.full((P, lm.n_cells), NC_pad, dtype=np.int64)
     for d in range(P):
         row_ids[d, :nc_last[d]] = offs[d] + np.arange(nc_last[d])
-        n_owned_d = int(bounds[d + 1] - bounds[d])
+        n_owned_d = int(n_owned_of[d])
         cell_rows[d, :n_owned_d] = comp_all[d]
 
     # cut-face couplings: for each local face with exactly one owned
@@ -297,12 +297,12 @@ def _build_global_coarse(dec: Decomposition, per_levels, NC_pad
         owner_owned = o_in[fids]
         my_cell = np.where(owner_owned, own_d[fids], nei_d[fids])
         ghost = np.where(owner_owned, nei_d[fids], own_d[fids])
-        n_owned_d = int(bounds[d + 1] - bounds[d])
+        n_owned_d = int(n_owned_of[d])
         rows = comp_all[d][my_cell]
         g_glob = np.asarray(dec.cells_of[d])[
             n_owned_d + (ghost - n_own)]
-        d2 = np.searchsorted(bounds, g_glob, side="right") - 1
-        loc2 = g_glob - bounds[d2]
+        d2 = dec.dev_of[g_glob] if g_glob.size else np.zeros(0, np.int64)
+        loc2 = dec.pos_of[g_glob] if g_glob.size else np.zeros(0, np.int64)
         cols = np.array([offs[dd] + comp_all[dd][ll]
                          for dd, ll in zip(d2, loc2)], dtype=np.int64) \
             if fids.size else np.zeros(0, dtype=np.int64)

@@ -21,7 +21,7 @@ from ..mesh.mesharrays import MeshArrays
 from ..ops import fvc
 from ..solvers.icofoam import piso_step
 from .decompose import (Decomposition, HaloSpec, _exchange,
-                        collect_vol_field, decompose_slab,
+                        collect_vol_field, decompose, decompose_slab,
                         decompose_vol_field)
 from .hooks import distributed
 
@@ -111,7 +111,8 @@ def make_distributed_step(dec: Decomposition, device_mesh: Mesh, nu,
 
 
 def dryrun_piso_step(n_devices: int, n: int = 16, check: bool = True,
-                     x64: bool = False, **case_kwargs):
+                     x64: bool = False, method: str = "slab",
+                     **case_kwargs):
     """Decompose a cavity over n_devices, run ONE full PISO step under
     shard_map, and (optionally) check the result against the single-chip
     step. case_kwargs forward to cavity_case (p_solver / p_precond /
@@ -169,7 +170,7 @@ def dryrun_piso_step(n_devices: int, n: int = 16, check: bool = True,
         p_final_controls=case.solver_controls("p", final=True),
         n_correctors=2, n_non_orth=0, p_ref_value=0.0)
 
-    dec = decompose_slab(case.mesh, n_devices)
+    dec = decompose(case.mesh, n_devices, method=method)
     U_s = decompose_vol_field(dec, U, case.mesh)
     p_s = decompose_vol_field(dec, p, case.mesh)
     # face fluxes: scatter per device via the decomposition's face maps
@@ -283,7 +284,8 @@ def make_distributed_simple_step(dec: Decomposition, device_mesh: Mesh,
 
 
 def dryrun_simple_step(n_devices: int, scale: int = 1, check: bool = True,
-                       x64: bool = True, model: str = "kEpsilon"):
+                       x64: bool = True, model: str = "kEpsilon",
+                       method: str = "slab"):
     """Decompose the pitzDaily-style case over n_devices, run ONE SIMPLE
     iteration (kEpsilon + wall functions + GAMG pressure) under
     shard_map, and check against the single-chip step (fp64, 1e-5)."""
@@ -321,7 +323,7 @@ def dryrun_simple_step(n_devices: int, scale: int = 1, check: bool = True,
     simple = SimpleControl(case)
     kw = simplefoam.step_kwargs_from_case(case, simple, transport, turb)
 
-    dec = decompose_slab(case.mesh, n_devices)
+    dec = decompose(case.mesh, n_devices, method=method)
     U_s = decompose_vol_field(dec, U, case.mesh)
     p_s = decompose_vol_field(dec, p, case.mesh)
     phi_s = _decompose_phi(dec, case.mesh, np.asarray(phi.data))

@@ -67,3 +67,36 @@ def test_dryrun_full_step_8dev_matches_single_chip():
     from rapidcfd_tpu.parallel.dryrun import dryrun_piso_step
     stats = dryrun_piso_step(8, n=16, check=True)
     assert np.isfinite(float(stats["p_perf"][-1][1]))
+
+
+def test_rcb_partition_is_2d_blocks(small_cavity):
+    """RCB on a square cavity must produce a genuinely non-slab
+    partition: multiple devices share the same x-slab range."""
+    from rapidcfd_tpu.parallel.decompose import rcb_partition
+    d, ma, maps = small_cavity
+    dev = rcb_partition(ma, 4)
+    # every device owns a quarter
+    assert np.bincount(dev, minlength=4).min() >= ma.n_cells // 4 - 1
+    C = np.asarray(ma.C)
+    # at least two devices overlap in x (2-D blocks, not x-slabs)
+    xr = [(C[dev == dd, 0].min(), C[dev == dd, 0].max())
+          for dd in range(4)]
+    overlaps = sum(1 for i in range(4) for j in range(i + 1, 4)
+                   if xr[i][0] < xr[j][1] and xr[j][0] < xr[i][1])
+    assert overlaps >= 2
+
+
+def test_dryrun_full_step_8dev_rcb_matches_single_chip():
+    """General (non-slab) decomposition: an RCB 2-D block partition of
+    the cavity over 8 devices reproduces the single-chip step (fp64,
+    1e-5) — the processorPolyPatch arbitrary-neighbour-graph equivalent
+    (VERDICT r2 item 4)."""
+    from rapidcfd_tpu.parallel.dryrun import dryrun_piso_step
+    stats = dryrun_piso_step(8, n=16, check=True, x64=True, method="rcb")
+    assert np.isfinite(float(stats["p_perf"][-1][1]))
+
+
+def test_dryrun_simple_step_8dev_rcb_matches_single_chip():
+    """RCB partition through the full SIMPLE+kEpsilon+GAMG step."""
+    from rapidcfd_tpu.parallel.dryrun import dryrun_simple_step
+    dryrun_simple_step(8, method="rcb")
