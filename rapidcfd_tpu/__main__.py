@@ -44,9 +44,16 @@ SOLVERS = {
                       {"_fn": "run_pimple"}),
     "pisoFoam": ("rapidcfd_tpu.solvers.pimplefoam", {"piso_mode": True}),
     "sonicFoam": ("rapidcfd_tpu.solvers.sonicfoam", {}),
+    "sonicDyMFoam": ("rapidcfd_tpu.solvers.dymfoams",
+                     {"_fn": "run_sonic_dym"}),
     "sonicLiquidFoam": ("rapidcfd_tpu.solvers.sonicliquidfoam", {}),
     "rhoSimpleFoam": ("rapidcfd_tpu.solvers.rhosimplefoam", {}),
+    "rhoSimplecFoam": ("rapidcfd_tpu.solvers.rhosimplefoam",
+                       {"consistent": True}),
     "rhoPimpleFoam": ("rapidcfd_tpu.solvers.rhopimplefoam", {}),
+    "rhoPimplecFoam": ("rapidcfd_tpu.solvers.rhopimplefoam",
+                       {"consistent": True}),
+    "rhoPimpleDyMFoam": ("rapidcfd_tpu.solvers.rhopimpledymfoam", {}),
     "reactingFoam": ("rapidcfd_tpu.solvers.reactingfoam", {}),
     "rhoLTSPimpleFoam": ("rapidcfd_tpu.solvers.rhopimplefoam",
                          {"lts": True}),
@@ -93,7 +100,8 @@ SOLVERS = {
 # dynamic part is below fp32 resolution; they default to fp64 (the
 # reference is all-double). Override with -precision fp32.
 X64_DEFAULT = {
-    "rhoSimpleFoam", "rhoPimpleFoam", "sonicFoam", "sonicLiquidFoam",
+    "rhoSimpleFoam", "rhoSimplecFoam", "rhoPimpleFoam", "rhoPimplecFoam",
+    "rhoPimpleDyMFoam", "sonicFoam", "sonicLiquidFoam",
     "rhoCentralFoam",
     "buoyantSimpleFoam", "buoyantPimpleFoam", "thermoFoam",
     "compressibleInterFoam", "twoPhaseEulerFoam",

@@ -274,6 +274,27 @@ class FvMatrix:
         return _extrapolated(mesh, h, self.dims / _VOL_DIMS,
                              f"H({self.psi.name})")
 
+    def H1(self, mesh: MeshArrays) -> VolField:
+        """-(row-sum of off-diagonal coeffs)/V — i.e. H evaluated at
+        psi == 1 with no source (reference: lduMatrix::H1,
+        lduMatrixATmul.C:533-566 and fvMatrix::H1, fvMatrix.C:1538-1560;
+        the SIMPLEC consistent-correction denominator 1/(1/rAU - H1))."""
+        from .fvc import _extrapolated
+        from ..parallel.hooks import halo
+        ones = jnp.ones(self.diag.shape, self.diag.dtype)
+        h = -self.offdiag_mv(mesh)(halo(ones))
+        for p, bc, cpl in zip(mesh.patches, self.boundary_coeffs,
+                              self._coupled_flags()):
+            # only coupled patches contribute (reference adds
+            # boundaryCoeffs.component(0) at coupled patches only)
+            if not cpl or p.is_empty or p.size == 0:
+                continue
+            bcc = bc[..., 0] if bc.ndim > 1 else bc
+            h = mesh.add_at_patch_cells(p, h, bcc)
+        return _extrapolated(mesh, h / mesh.V,
+                             self.dims / (self.psi.dims * _VOL_DIMS),
+                             f"H1({self.psi.name})")
+
     def apply_rate(self, mesh: MeshArrays) -> jax.Array:
         """(A*psi - b)/V with patch coefficients folded in — the
         reference's `M & psi` operator (fvMatrix.C:3052-3098), i.e. the

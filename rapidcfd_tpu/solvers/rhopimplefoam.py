@@ -26,10 +26,24 @@ from .icofoam import courant_number
 
 
 def make_step(case: Case, thermo: PsiThermo, ctrl: PimpleControl,
-              lts: bool = False, turb=None):
+              lts: bool = False, turb=None, consistent: bool = False,
+              dym: bool = False):
     """lts=True (rhoLTSPimpleFoam): the step takes a per-cell rDeltaT
     instead of a scalar dt; every ddt/division below is elementwise in
-    the resulting dt (reference: rhoLTSPimpleFoam.C + localEuler)."""
+    the resulting dt (reference: rhoLTSPimpleFoam.C + localEuler).
+
+    consistent=True runs the PIMPLEC corrector (rhoPimplecFoam,
+    reference: applications/solvers/compressible/rhoPimpleFoam/
+    rhoPimplecFoam/pEqn.H subsonic branch): rAtU = 1/(1/rAU - H1),
+    phiHbyA += interp(rho*(rAtU-rAU))*snGrad(p)*magSf,
+    HbyA -= (rAU-rAtU)*grad(p), laplacian(rho*rAtU, p).
+
+    dym=True gives rhoPimpleDyMFoam (reference: compressible/
+    rhoPimpleFoam/rhoPimpleDyMFoam/rhoPimpleDyMFoam.C): the step takes
+    the UPDATED mesh as a jit argument plus (mesh_phi, mesh_ub); the
+    caller passes the RELATIVE mass flux (phi - interp(rho)*meshPhi,
+    the reference's fvc::makeRelative(fvc::interpolate(rho), phi)) and
+    gets the relative flux back (caller restores absolute)."""
     mesh = case.mesh
     m = thermo.model
     div_u = case.div_scheme("div(phi,U)")
@@ -57,8 +71,37 @@ def make_step(case: Case, thermo: PsiThermo, ctrl: PimpleControl,
     has_turb = turb is not None and not turb.laminar
 
     @jax.jit
-    def step(U: VolField, p: VolField, T: VolField, rho: VolField,
-             phi: SurfaceField, turb_state, dt):
+    def _step(mesh, U: VolField, p: VolField, T: VolField,
+              rho: VolField, phi: SurfaceField, turb_state, dt,
+              mesh_phi, mesh_ub):
+        if dym:
+            # movingWallVelocity + boundary relative mass flux rebuilt
+            # from the corrected wall velocity (same pattern as
+            # interfoam.make_step dym branch)
+            from ..fields.bcs import MovingWallVelocity
+            env_w = {"meshUb": mesh_ub,
+                     "meshPhiB": mesh_phi[mesh.n_internal:]}
+            bcdata = list(U.bcdata)
+            for i, bc in enumerate(U.bcs):
+                if isinstance(bc, MovingWallVelocity):
+                    patch = mesh.patches[i]
+                    sl = slice(patch.bstart, patch.bstart + patch.size)
+                    nrm = mesh.patch_normals(patch)
+                    v = mesh_ub[sl]
+                    vn = (mesh_phi[mesh.n_internal:][sl] / jnp.maximum(
+                        mesh.patch_mag_sf(patch), 1e-30))[:, None] * nrm
+                    bd = dict(bcdata[i])
+                    bd["meshWallValue"] = \
+                        v - nrm * (v * nrm).sum(-1, keepdims=True) + vn
+                    bcdata[i] = bd
+            U = U.replace(bcdata=tuple(bcdata))
+            U = U.correct_boundary_conditions(mesh, env={**env_w,
+                                                         "phi": phi})
+            phi_b = rho.bvalues * (
+                (U.bvalues * mesh.Sf[mesh.n_internal:]).sum(-1)
+                - mesh_phi[mesh.n_internal:])
+            phi = SurfaceField(jnp.concatenate(
+                [phi.data[:mesh.n_internal], phi_b]), phi.dims, "phi")
         if lts:
             dt = 1.0 / dt      # caller passes rDeltaT (nCells,)
         U = U.store_old()
@@ -131,12 +174,27 @@ def make_step(case: Case, thermo: PsiThermo, ctrl: PimpleControl,
                                   bvalues=m.rho(p.bvalues, T.bvalues))
                 UEqn_c = UEqn.replace(psi=U)
                 rAU = 1.0 / UEqn_c.A(mesh)
+                rAtU = (1.0 / (1.0 / rAU - UEqn_c.H1(mesh))
+                        if consistent else rAU)
                 HbyA = fvc.constrain_hbya(mesh, rAU * UEqn_c.H(mesh), U)
                 rho_f = fvc.face_values(mesh, rho)
                 phi_hbya = SurfaceField(
                     rho_f * fvc.flux(mesh, HbyA).data,
                     DimensionSet.of(1, 0, -1), "phiHbyA")
-                rho_rau = rho * rAU
+                if dym:
+                    # fvc::makeRelative(interp(rho), phiHbyA)
+                    phi_hbya = SurfaceField(
+                        phi_hbya.data - rho_f * mesh_phi,
+                        phi_hbya.dims, "phiHbyA")
+                if consistent:
+                    drho_rau_f = fvc.face_values(mesh,
+                                                 rho * (rAtU - rAU))
+                    phi_hbya = SurfaceField(
+                        phi_hbya.data + drho_rau_f
+                        * fvc.sn_grad(mesh, p).data * mesh.mag_sf,
+                        phi_hbya.dims, "phiHbyA")
+                    HbyA = HbyA - (rAU - rAtU) * fvc.grad(mesh, p)
+                rho_rau = rho * rAtU
                 for north in range(n_non_orth + 1):
                     final = (final_outer and corr == n_corr - 1
                              and north == n_non_orth)
@@ -152,9 +210,12 @@ def make_step(case: Case, thermo: PsiThermo, ctrl: PimpleControl,
                 # -laplacian inside the matrix: ADD the matrix flux
                 # (reference: rhoPimpleFoam pEqn.H:83)
                 phi = phi_hbya + pEqn.replace(psi=p).flux(mesh)
-                U_star = HbyA - rAU * fvc.grad(mesh, p)
+                U_star = HbyA - rAtU * fvc.grad(mesh, p)
+                env_u = ({"meshUb": mesh_ub,
+                          "meshPhiB": mesh_phi[mesh.n_internal:],
+                          "phi": phi} if dym else None)
                 U = U.replace(data=U_star.data) \
-                    .correct_boundary_conditions(mesh)
+                    .correct_boundary_conditions(mesh, env=env_u)
                 rho = rho.replace(data=m.rho(p.data, T.data),
                                   bvalues=m.rho(p.bvalues, T.bvalues))
 
@@ -176,13 +237,39 @@ def make_step(case: Case, thermo: PsiThermo, ctrl: PimpleControl,
                      cont=(local_err, glob_err), co=co)
         return U, p, T, rho, phi, turb_state, stats
 
+    if dym:
+        import dataclasses as _dc
+
+        from ..linalg.precompute import attach_solver_layouts
+        mesh0 = jax.device_put(attach_solver_layouts(
+            mesh, (p_controls, p_final), case=case))
+
+        def step(mesh_new, U, p, T, rho, phi_rel, turb_state, dt,
+                 mesh_phi, mesh_ub):
+            # motion preserves topology: carry the precomputed solver
+            # layouts across geometry updates
+            m2 = _dc.replace(mesh_new, band=mesh0.band, gamg=mesh0.gamg)
+            return _step(m2, U, p, T, rho, phi_rel, turb_state, dt,
+                         mesh_phi, mesh_ub)
+        return step
+
+    from ..linalg.precompute import attach_solver_layouts
+    mesh_a = jax.device_put(attach_solver_layouts(
+        mesh, (p_controls, p_final), case=case))
+    zf = jnp.zeros(mesh.n_faces, mesh.V.dtype)
+    zb = jnp.zeros((mesh.n_boundary, 3), mesh.C.dtype)
+
+    def step(U, p, T, rho, phi, turb_state, dt):
+        return _step(mesh_a, U, p, T, rho, phi, turb_state, dt, zf, zb)
+
     return step
 
 
 def run(case_dir: str, write: bool = True, max_steps: int | None = None,
-        lts: bool | None = None):
+        lts: bool | None = None, consistent: bool = False):
     """lts=True runs as rhoLTSPimpleFoam; None auto-detects from
-    `ddtSchemes { default localEuler; }` (the reference's convention)."""
+    `ddtSchemes { default localEuler; }` (the reference's convention).
+    consistent=True runs as rhoPimplecFoam."""
     case = Case(case_dir)
     mesh = case.mesh
     if lts is None:
@@ -207,7 +294,8 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None,
     from ..models.turbulence import CompressibleTurbulence
     turb = CompressibleTurbulence(case, U)
     turb_state = turb.init_state(U)
-    step = make_step(case, thermo, ctrl, lts=lts, turb=turb)
+    step = make_step(case, thermo, ctrl, lts=lts, turb=turb,
+                     consistent=consistent)
     timer = ExecutionTimer()
     cumulative_err = 0.0
 

@@ -25,11 +25,18 @@ from .simplefoam import relax_field
 
 
 def make_step(case: Case, thermo: PsiThermo, simple: SimpleControl,
-              turb=None):
+              turb=None, consistent: bool = False):
     """turb: optional CompressibleTurbulence adapter; when present the
     momentum uses muEff = mu + rho*nut (+ explicit dev2 stress) and the
     energy alphaEff = alpha + rho*nut/Prt (reference: compressible RAS
-    divDevRhoReff / alphaEff)."""
+    divDevRhoReff / alphaEff).
+
+    consistent=True runs the SIMPLEC corrector (rhoSimplecFoam,
+    reference: applications/solvers/compressible/rhoSimpleFoam/
+    rhoSimplecFoam/pEqn.H subsonic branch): rAtU = 1/(1/rAU - H1),
+    phiHbyA += interp(rho*(rAtU-rAU))*snGrad(p)*magSf,
+    HbyA -= (rAU-rAtU)*grad(p), laplacian(rho*rAtU, p), and the momentum
+    corrector uses rAtU — permitting p relaxation factors near 1."""
     mesh = case.mesh
     m = thermo.model
     div_u = case.div_scheme("div(phi,U)")
@@ -106,15 +113,24 @@ def make_step(case: Case, thermo: PsiThermo, simple: SimpleControl,
                               bvalues=m.rho(p.bvalues, T.bvalues))
         rho = relax_field(rho_eos, rho, rho_relax)
 
-        # ---- pEqn.H (subsonic SIMPLE)
+        # ---- pEqn.H (subsonic SIMPLE / SIMPLEC)
         UEqn_c = UEqn.replace(psi=U)
         rAU = 1.0 / UEqn_c.A(mesh)
+        rAtU = (1.0 / (1.0 / rAU - UEqn_c.H1(mesh))
+                if consistent else rAU)
         HbyA = fvc.constrain_hbya(mesh, rAU * UEqn_c.H(mesh), U)
         rho_f = fvc.face_values(mesh, rho)
         phi_hbya = SurfaceField(rho_f * fvc.flux(mesh, HbyA).data,
                                 DimensionSet.of(1, 0, -1), "phiHbyA")
         phi_hbya = fvc.adjust_phi(mesh, phi_hbya, U)
-        rho_rau = rho * rAU
+        if consistent:
+            drho_rau_f = fvc.face_values(mesh, rho * (rAtU - rAU))
+            phi_hbya = SurfaceField(
+                phi_hbya.data
+                + drho_rau_f * fvc.sn_grad(mesh, p).data * mesh.mag_sf,
+                phi_hbya.dims, "phiHbyA")
+            HbyA = HbyA - (rAU - rAtU) * fvc.grad(mesh, p)
+        rho_rau = rho * rAtU
 
         p_prev = p
         p_perf_all = []
@@ -131,7 +147,7 @@ def make_step(case: Case, thermo: PsiThermo, simple: SimpleControl,
         glob_err = gsum(cont.data * mesh.V)
 
         p = relax_field(p, p_prev, p_relax)
-        U_star = HbyA - rAU * fvc.grad(mesh, p)
+        U_star = HbyA - rAtU * fvc.grad(mesh, p)
         U = U.replace(data=U_star.data).correct_boundary_conditions(mesh)
         rho = rho.replace(data=m.rho(p.data, T.data),
                           bvalues=m.rho(p.bvalues, T.bvalues))
@@ -153,7 +169,8 @@ def make_step(case: Case, thermo: PsiThermo, simple: SimpleControl,
     return step
 
 
-def run(case_dir: str, write: bool = True, max_steps: int | None = None):
+def run(case_dir: str, write: bool = True, max_steps: int | None = None,
+        consistent: bool = False):
     case = Case(case_dir)
     mesh = case.mesh
     thermo_model = read_thermo(case.constant_dict(
@@ -175,7 +192,8 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
     from ..models.turbulence import CompressibleTurbulence
     turb = CompressibleTurbulence(case, U)
     turb_state = turb.init_state(U)
-    step = make_step(case, thermo, simple, turb=turb)
+    step = make_step(case, thermo, simple, turb=turb,
+                     consistent=consistent)
     timer = ExecutionTimer()
     cumulative_err = 0.0
 

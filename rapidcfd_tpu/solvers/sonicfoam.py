@@ -26,7 +26,13 @@ from .controls import PisoControl
 from .icofoam import courant_number
 
 
-def make_step(case: Case, thermo: PsiThermo, ctrl: PisoControl):
+def make_step(case: Case, thermo: PsiThermo, ctrl: PisoControl,
+              dym: bool = False):
+    """dym=True gives sonicDyMFoam (reference: compressible/sonicFoam/
+    sonicDyMFoam/): the step takes the UPDATED mesh as a jit argument
+    plus (mesh_phi, mesh_ub); the caller passes the RELATIVE mass flux
+    and gets it back; phid is made relative with interp(psi)*meshPhi
+    (the reference's fvc::makeRelative(fvc::interpolate(psi), phid))."""
     mesh = case.mesh
     m = thermo.model
     div_u = case.div_scheme("div(phi,U)")
@@ -52,8 +58,33 @@ def make_step(case: Case, thermo: PsiThermo, ctrl: PisoControl):
     t_min = float(ctrl.dict.scalar("TMin", 0.0))
 
     @jax.jit
-    def step(U: VolField, p: VolField, T: VolField, rho: VolField,
-             phi: SurfaceField, dt):
+    def _step(mesh, U: VolField, p: VolField, T: VolField,
+              rho: VolField, phi: SurfaceField, dt, mesh_phi, mesh_ub):
+        if dym:
+            from ..fields.bcs import MovingWallVelocity
+            env_w = {"meshUb": mesh_ub,
+                     "meshPhiB": mesh_phi[mesh.n_internal:]}
+            bcdata = list(U.bcdata)
+            for i, bc in enumerate(U.bcs):
+                if isinstance(bc, MovingWallVelocity):
+                    patch = mesh.patches[i]
+                    sl = slice(patch.bstart, patch.bstart + patch.size)
+                    nrm = mesh.patch_normals(patch)
+                    v = mesh_ub[sl]
+                    vn = (mesh_phi[mesh.n_internal:][sl] / jnp.maximum(
+                        mesh.patch_mag_sf(patch), 1e-30))[:, None] * nrm
+                    bd = dict(bcdata[i])
+                    bd["meshWallValue"] = \
+                        v - nrm * (v * nrm).sum(-1, keepdims=True) + vn
+                    bcdata[i] = bd
+            U = U.replace(bcdata=tuple(bcdata))
+            U = U.correct_boundary_conditions(mesh, env={**env_w,
+                                                         "phi": phi})
+            phi_b = rho.bvalues * (
+                (U.bvalues * mesh.Sf[mesh.n_internal:]).sum(-1)
+                - mesh_phi[mesh.n_internal:])
+            phi = SurfaceField(jnp.concatenate(
+                [phi.data[:mesh.n_internal], phi_b]), phi.dims, "phi")
         U = U.store_old()
         p = p.store_old()
         T = T.store_old()
@@ -110,9 +141,12 @@ def make_step(case: Case, thermo: PsiThermo, ctrl: PisoControl):
             HbyA = fvc.constrain_hbya(mesh, rAU * UEqn_c.H(mesh), U)
             # phid = interp(psi) * (interp(HbyA) & Sf)   [dims: phi/p]
             psi_f = fvc.face_values(mesh, psi)
+            phid_data = psi_f * fvc.flux(mesh, HbyA).data
+            if dym:
+                # fvc::makeRelative(interp(psi), phid)
+                phid_data = phid_data - psi_f * mesh_phi
             phid = SurfaceField(
-                psi_f * fvc.flux(mesh, HbyA).data,
-                psi.dims * DimensionSet.of(0, 3, -1), "phid")
+                phid_data, psi.dims * DimensionSet.of(0, 3, -1), "phid")
             rho_rau = rho * rAU
             for north in range(n_non_orth + 1):
                 final = corr == n_corr - 1 and north == n_non_orth
@@ -127,8 +161,11 @@ def make_step(case: Case, thermo: PsiThermo, ctrl: PisoControl):
                               bvalues=jnp.maximum(p.bvalues, p_min))
             phi = pEqn.replace(psi=p).flux(mesh)
             U_star = HbyA - rAU * fvc.grad(mesh, p)
+            env_u = ({"meshUb": mesh_ub,
+                      "meshPhiB": mesh_phi[mesh.n_internal:],
+                      "phi": phi} if dym else None)
             U = U.replace(data=U_star.data).correct_boundary_conditions(
-                mesh)
+                mesh, env=env_u)
             rho = rho.replace(
                 data=m.rho(p.data, T.data),
                 bvalues=m.rho(p.bvalues, T.bvalues))
@@ -147,6 +184,27 @@ def make_step(case: Case, thermo: PsiThermo, ctrl: PisoControl):
                      co=(co_mean, co_max),
                      mach_max=(umag / c).max())
         return U, p, T, rho, phi, stats
+
+    from ..linalg.precompute import attach_solver_layouts
+    if dym:
+        import dataclasses as _dc
+        mesh0 = jax.device_put(attach_solver_layouts(
+            mesh, (p_controls, p_final), case=case))
+
+        def step(mesh_new, U, p, T, rho, phi_rel, dt, mesh_phi,
+                 mesh_ub):
+            m2 = _dc.replace(mesh_new, band=mesh0.band, gamg=mesh0.gamg)
+            return _step(m2, U, p, T, rho, phi_rel, dt, mesh_phi,
+                         mesh_ub)
+        return step
+
+    mesh_a = jax.device_put(attach_solver_layouts(
+        mesh, (p_controls, p_final), case=case))
+    zf = jnp.zeros(mesh.n_faces, mesh.V.dtype)
+    zb = jnp.zeros((mesh.n_boundary, 3), mesh.C.dtype)
+
+    def step(U, p, T, rho, phi, dt):
+        return _step(mesh_a, U, p, T, rho, phi, dt, zf, zb)
 
     return step
 
