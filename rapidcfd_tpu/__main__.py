@@ -58,6 +58,8 @@ SOLVERS = {
     "rhoLTSPimpleFoam": ("rapidcfd_tpu.solvers.rhopimplefoam",
                          {"lts": True}),
     "rhoCentralFoam": ("rapidcfd_tpu.solvers.rhocentralfoam", {}),
+    "rhoCentralDyMFoam": ("rapidcfd_tpu.solvers.rhocentralfoam",
+                          {"dym": True}),
     "interFoam": ("rapidcfd_tpu.solvers.interfoam", {}),
     "interDyMFoam": ("rapidcfd_tpu.solvers.interdymfoam", {}),
     "LTSInterFoam": ("rapidcfd_tpu.solvers.interfoam", {"lts": True}),
@@ -66,9 +68,15 @@ SOLVERS = {
     "interMixingFoam": ("rapidcfd_tpu.solvers.intermixingfoam", {}),
     "interPhaseChangeFoam": ("rapidcfd_tpu.solvers.interphasechangefoam",
                              {}),
+    "interPhaseChangeDyMFoam": (
+        "rapidcfd_tpu.solvers.interphasechangefoam", {"dym": True}),
     "cavitatingFoam": ("rapidcfd_tpu.solvers.cavitatingfoam", {}),
+    "cavitatingDyMFoam": ("rapidcfd_tpu.solvers.cavitatingfoam",
+                          {"dym": True}),
     "compressibleInterFoam": (
         "rapidcfd_tpu.solvers.compressibleinterfoam", {}),
+    "compressibleInterDyMFoam": (
+        "rapidcfd_tpu.solvers.compressibleinterfoam", {"dym": True}),
     "twoPhaseEulerFoam": ("rapidcfd_tpu.solvers.twophaseeulerfoam", {}),
     "compressibleMultiphaseInterFoam": (
         "rapidcfd_tpu.solvers.compressiblemultiphaseinterfoam", {}),
@@ -76,9 +84,13 @@ SOLVERS = {
         "rapidcfd_tpu.solvers.multiphaseeulerfoam", {}),
     "potentialFreeSurfaceFoam": (
         "rapidcfd_tpu.solvers.potentialfreesurfacefoam", {}),
+    "potentialFreeSurfaceDyMFoam": (
+        "rapidcfd_tpu.solvers.potentialfreesurfacefoam", {"dym": True}),
     "driftFluxFoam": ("rapidcfd_tpu.solvers.driftfluxfoam", {}),
     "multiphaseInterFoam": ("rapidcfd_tpu.solvers.multiphaseinterfoam",
                             {}),
+    "multiphaseInterDyMFoam": (
+        "rapidcfd_tpu.solvers.multiphaseinterfoam", {"dym": True}),
     "buoyantBoussinesqSimpleFoam": ("rapidcfd_tpu.solvers.buoyantfoam", {}),
     "buoyantBoussinesqPimpleFoam": ("rapidcfd_tpu.solvers.buoyantfoam",
                                     {"transient": True}),
@@ -87,6 +99,8 @@ SOLVERS = {
     "thermoFoam": ("rapidcfd_tpu.solvers.thermofoam", {}),
     "chtMultiRegionFoam": ("rapidcfd_tpu.solvers.chtmultiregionfoam",
                            {}),
+    "chtMultiRegionSimpleFoam": (
+        "rapidcfd_tpu.solvers.chtmultiregionfoam", {"steady": True}),
     "laplacianFoam": ("rapidcfd_tpu.solvers.basic",
                       {"_fn": "run_laplacian_foam"}),
     "scalarTransportFoam": ("rapidcfd_tpu.solvers.basic",
@@ -101,10 +115,11 @@ SOLVERS = {
 # reference is all-double). Override with -precision fp32.
 X64_DEFAULT = {
     "rhoSimpleFoam", "rhoSimplecFoam", "rhoPimpleFoam", "rhoPimplecFoam",
-    "rhoPimpleDyMFoam", "sonicFoam", "sonicLiquidFoam",
-    "rhoCentralFoam",
+    "rhoPimpleDyMFoam", "sonicFoam", "sonicDyMFoam", "sonicLiquidFoam",
+    "rhoCentralFoam", "rhoCentralDyMFoam",
     "buoyantSimpleFoam", "buoyantPimpleFoam", "thermoFoam",
-    "compressibleInterFoam", "twoPhaseEulerFoam",
+    "compressibleInterFoam", "compressibleInterDyMFoam",
+    "twoPhaseEulerFoam",
     "compressibleMultiphaseInterFoam", "multiphaseEulerFoam",
 }
 

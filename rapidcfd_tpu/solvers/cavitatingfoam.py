@@ -29,9 +29,17 @@ from .interfoam import _read_constants
 _PSI = DimensionSet.of(0, -2, 2)
 
 
-def run(case_dir: str, write: bool = True, max_steps: int | None = None):
+def run(case_dir: str, write: bool = True, max_steps: int | None = None,
+        dym: bool = False):
+    """dym=True gives cavitatingDyMFoam (reference: multiphase/
+    cavitatingFoam/cavitatingDyMFoam/cavitatingDyMFoam.C):
+    mesh.update() each step, PIMPLE on the relative volumetric flux."""
     case = Case(case_dir)
     mesh = case.mesh
+    dyn = None
+    if dym:
+        from ..models.dynamicmesh import make_dynamic_mesh
+        dyn = make_dynamic_mesh(case)
     td = case.constant_dict("thermodynamicProperties")
     psil = Dimensioned.from_entry(td.lookup("psil", required=True)).value
     rhol_sat = Dimensioned.from_entry(
@@ -82,8 +90,8 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
         return av, av * psiv + (1.0 - av) * psil
 
     @jax.jit
-    def step(p: VolField, U: VolField, rho: VolField, phi: SurfaceField,
-             dt):
+    def _step(mesh, p: VolField, U: VolField, rho: VolField,
+              phi: SurfaceField, dt, mesh_phi, mesh_ub):
         U = U.store_old()
         p = p.store_old()
         rho = rho.store_old()
@@ -129,6 +137,10 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
                 rho_rau_f = fvc.face_values(mesh, rho * rAU)
                 HbyA = fvc.constrain_hbya(mesh, rAU * UEqn_c.H(mesh), U)
                 phi_v = fvc.flux(mesh, HbyA)
+                if dym:
+                    # fvc::makeRelative(phiHbyA, U)
+                    phi_v = SurfaceField(phi_v.data - mesh_phi,
+                                         phi_v.dims, "phi")
                 phi_gradp = rho_rau_f * mesh.mag_sf \
                     * fvc.sn_grad(mesh, p).data
                 phi_v = SurfaceField(phi_v.data - phi_gradp / rho_f,
@@ -185,8 +197,11 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
                 rho = rho.replace(data=rho_d)
                 p = p.replace(data=p_d).correct_boundary_conditions(mesh)
                 U_star = HbyA - rAU * fvc.grad(mesh, p)
+                env_u = ({"meshUb": mesh_ub,
+                          "meshPhiB": mesh_phi[mesh.n_internal:],
+                          "phi": phi} if dym else None)
                 U = U.replace(data=U_star.data) \
-                    .correct_boundary_conditions(mesh)
+                    .correct_boundary_conditions(mesh, env=env_u)
 
         co = courant_number(mesh, phi, dt)
         stats = dict(u_perf=u_perf, p_perf=tuple(p_perf_all),
@@ -196,12 +211,33 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
                      rho_minmax=(rho.data.min(), rho.data.max()))
         return p, U, rho, phi, stats
 
+    from ..linalg.precompute import attach_solver_layouts
+    mesh0 = jax.device_put(attach_solver_layouts(
+        mesh, (p_controls, p_final), case=case))
+
+    def step(mesh_new, p, U, rho, phi, dt, mesh_phi, mesh_ub):
+        import dataclasses as _dc
+        m2 = _dc.replace(mesh_new, band=mesh0.band, gamg=mesh0.gamg)
+        return _step(m2, p, U, rho, phi, dt, mesh_phi, mesh_ub)
+
     timer = ExecutionTimer()
     info("\nStarting time loop\n")
     n = 0
+    zf = jnp.zeros(mesh.n_faces, mesh.V.dtype)
+    zb = jnp.zeros((mesh.n_boundary, 3), mesh.C.dtype)
     while case.time.loop():
         info(f"Time = {case.time.name}\n")
-        p, U, rho, phi, stats = step(p, U, rho, phi, case.time.delta_t)
+        if dyn is not None:
+            mesh, mesh_phi, mesh_ub = dyn.update(case.time.value)
+            case.mesh = mesh
+            phi = SurfaceField(phi.data - mesh_phi, phi.dims, "phi")
+        else:
+            mesh_phi, mesh_ub = zf, zb
+        p, U, rho, phi, stats = step(mesh, p, U, rho, phi,
+                                     case.time.delta_t, mesh_phi,
+                                     mesh_ub)
+        if dyn is not None:
+            phi = SurfaceField(phi.data + mesh_phi, phi.dims, "phi")
         log_courant(*stats["co"])
         rmn, rmx = stats["rho_minmax"]
         info(f"max-min rho: {float(rmx):.6g} {float(rmn):.6g}  "

@@ -102,7 +102,7 @@ def _match_patches(case_a: Case, patch_a, case_b: Case, patch_b):
 
 
 class _SolidRegion:
-    def __init__(self, case: Case):
+    def __init__(self, case: Case, steady: bool = False):
         self.case = case
         tp = case.transport_properties()
         self.rho = Dimensioned.from_entry(
@@ -118,13 +118,22 @@ class _SolidRegion:
         mesh = case.mesh
         alpha = self.alpha
 
-        @jax.jit
-        def step(T, dt):
-            T = T.store_old()
-            eqn = fvm.ddt(mesh, T, dt) - fvm.laplacian(
-                mesh, Dimensioned("alpha", _DIFF, alpha), T,
-                self.lap_corr)
-            return solve(mesh, eqn, self.controls)
+        if steady:
+            # solveSolid.H steady form: laplacian(alpha, T) == 0
+            @jax.jit
+            def step(T, dt):
+                eqn = -1.0 * fvm.laplacian(
+                    mesh, Dimensioned("alpha", _DIFF, alpha), T,
+                    self.lap_corr)
+                return solve(mesh, eqn, self.controls)
+        else:
+            @jax.jit
+            def step(T, dt):
+                T = T.store_old()
+                eqn = fvm.ddt(mesh, T, dt) - fvm.laplacian(
+                    mesh, Dimensioned("alpha", _DIFF, alpha), T,
+                    self.lap_corr)
+                return solve(mesh, eqn, self.controls)
 
         self.step = step
 
@@ -134,10 +143,10 @@ class _SolidRegion:
 
 
 class _FluidRegion:
-    def __init__(self, case: Case):
+    def __init__(self, case: Case, steady: bool = False):
         from ..models.transport import SinglePhaseTransportModel
         from ..models.turbulence import make_ras_model
-        from .buoyantfoam import make_pimple_step
+        from .buoyantfoam import make_pimple_step, make_step
         self.case = case
         tp = case.transport_properties()
         self.beta = Dimensioned.from_entry(
@@ -166,9 +175,20 @@ class _FluidRegion:
         transport = SinglePhaseTransportModel(tp)
         self.turb = make_ras_model(case, self.U)
         self.turb_state = self.turb.init_state(self.U)
-        ctrl = PimpleControl(case)
-        self.step = make_pimple_step(case, transport, self.turb, ctrl,
-                                     (self.beta, t_ref, pr, prt, g))
+        self.steady = steady
+        if steady:
+            from .controls import SimpleControl
+            simple = SimpleControl(case)
+            simple_step = make_step(case, transport, self.turb, simple,
+                                    (self.beta, t_ref, pr, prt, g))
+            # uniform signature: steady step ignores dt
+            self.step = (lambda U, p_rgh, T, phi, turb_state, dt:
+                         simple_step(U, p_rgh, T, phi, turb_state))
+        else:
+            ctrl = PimpleControl(case)
+            self.step = make_pimple_step(case, transport, self.turb,
+                                         ctrl,
+                                         (self.beta, t_ref, pr, prt, g))
 
     def kappa_delta(self, patch):
         # dimensional conductance kappa/delta with
@@ -179,15 +199,22 @@ class _FluidRegion:
             1.0 / self.case.mesh.patch_delta_coeffs(patch))
 
 
-def run(case_dir: str, write: bool = True, max_steps: int | None = None):
+def run(case_dir: str, write: bool = True, max_steps: int | None = None,
+        steady: bool = False):
+    """steady=True gives chtMultiRegionSimpleFoam (reference:
+    heatTransfer/chtMultiRegionFoam/chtMultiRegionSimpleFoam/): fluid
+    regions run the steady buoyant SIMPLE sweep and solid regions the
+    steady conduction equation; couplings are identical."""
     fluids, solids = _read_region_properties(case_dir)
     info(f"Regions: fluid={fluids} solid={solids}\n")
     time = Time(case_dir)
     regions = {}
     for rn in fluids:
-        regions[rn] = _FluidRegion(Case(case_dir, region=rn, time=time))
+        regions[rn] = _FluidRegion(Case(case_dir, region=rn, time=time),
+                                   steady=steady)
     for rn in solids:
-        regions[rn] = _SolidRegion(Case(case_dir, region=rn, time=time))
+        regions[rn] = _SolidRegion(Case(case_dir, region=rn, time=time),
+                                   steady=steady)
 
     # mapped couplings: (region, patch, nbr_region, nbr_patch, face map)
     couplings = []

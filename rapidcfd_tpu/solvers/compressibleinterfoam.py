@@ -64,7 +64,12 @@ def _read_setup(case: Case):
     return names, t1, t2, sigma, pmin, g
 
 
-def make_step(case: Case, setup, ctrl: PimpleControl):
+def make_step(case: Case, setup, ctrl: PimpleControl,
+              dym: bool = False):
+    """dym=True gives compressibleInterDyMFoam (reference: multiphase/
+    compressibleInterFoam/compressibleInterDyMFoam/): the step takes
+    the UPDATED mesh as a jit argument plus (mesh_phi, mesh_ub); the
+    caller passes the RELATIVE volumetric flux and gets it back."""
     mesh = case.mesh
     names, m1, m2, sigma, p_min, g = setup
     m1: PhaseRhoThermo
@@ -85,8 +90,6 @@ def make_step(case: Case, setup, ctrl: PimpleControl):
     n_alpha_corr = int(ctrl.dict.scalar("nAlphaCorr", 1))
     n_non_orth = ctrl.n_non_orth
     momentum_predictor = ctrl.momentum_predictor
-    gh = (mesh.C * jnp.asarray(g, mesh.C.dtype)).sum(-1)
-    ghf = (mesh.Cf * jnp.asarray(g, mesh.C.dtype)).sum(-1)
 
     def calc_bcs(like: VolField, data, bdata, dims, name):
         return like.with_calculated_bcs(data, bdata, dims, name)
@@ -107,7 +110,7 @@ def make_step(case: Case, setup, ctrl: PimpleControl):
                         f"rho.{names[1]}")
         return rho1, rho2
 
-    def surface_tension(alpha):
+    def surface_tension(mesh, alpha):
         """CSF sigma*kappa*snGrad(alpha) face force (reference:
         interfaceProperties::surfaceTensionForce)."""
         g_a = fvc.grad(mesh, alpha)
@@ -124,9 +127,11 @@ def make_step(case: Case, setup, ctrl: PimpleControl):
         return sigma * kf * sng.data, nhatf
 
     @jax.jit
-    def step(alpha: VolField, U: VolField, p_rgh: VolField, p: VolField,
-             T: VolField, rho1: VolField, rho2: VolField,
-             phi: SurfaceField, dgdt, dt):
+    def _step(mesh, alpha: VolField, U: VolField, p_rgh: VolField,
+              p: VolField, T: VolField, rho1: VolField, rho2: VolField,
+              phi: SurfaceField, dgdt, dt, mesh_phi, mesh_ub):
+        gh = (mesh.C * jnp.asarray(g, mesh.C.dtype)).sum(-1)
+        ghf = (mesh.Cf * jnp.asarray(g, mesh.C.dtype)).sum(-1)
         U = U.store_old()
         T = T.store_old()
         alpha = alpha.store_old()
@@ -151,7 +156,7 @@ def make_step(case: Case, setup, ctrl: PimpleControl):
                 su = divu * jnp.minimum(alpha.data, 1.0) \
                     + jnp.where(cond_pos, dgdt * alpha.data, 0.0)
                 a_f = fvc.face_values(mesh, alpha, "vanLeer", phi)
-                _, nhatf = surface_tension(alpha)
+                _, nhatf = surface_tension(mesh, alpha)
                 phir = c_alpha * jnp.abs(phi.data) \
                     / jnp.maximum(mesh.mag_sf, 1e-30) * nhatf
                 phir = phir.at[mesh.n_internal:].set(0.0)
@@ -187,7 +192,7 @@ def make_step(case: Case, setup, ctrl: PimpleControl):
             UEqn = (fvm.ddt(mesh, U, dt, coeff=rho)
                     + fvm.div(mesh, rho_phi, U, div_u_scheme)
                     - fvm.laplacian(mesh, mu_f, U, lap_corr))
-            csf, _ = surface_tension(alpha)
+            csf, _ = surface_tension(mesh, alpha)
             if momentum_predictor:
                 sng_rho = fvc.sn_grad(mesh, rho)
                 sng_prgh = fvc.sn_grad(mesh, p_rgh)
@@ -239,6 +244,10 @@ def make_step(case: Case, setup, ctrl: PimpleControl):
                 rAU_f = fvc.face_values(mesh, rAU)
                 HbyA = fvc.constrain_hbya(mesh, rAU * UEqn_p.H(mesh), U)
                 phi_hbya = fvc.flux(mesh, HbyA)
+                if dym:
+                    # fvc::makeRelative(phiHbyA, U)
+                    phi_hbya = SurfaceField(phi_hbya.data - mesh_phi,
+                                            phi_hbya.dims, "phiHbyA")
                 # fvc::ddtCorr(U, phi): Rhie-Chow temporal coupling
                 # (reference: EulerDdtScheme::fvcDdtPhiCorr) — damps the
                 # collocated face-flux/cell-velocity acoustic decoupling
@@ -250,7 +259,7 @@ def make_step(case: Case, setup, ctrl: PimpleControl):
                 ddt_corr = rho_rau_f * coeff * dphi / dt
                 phi_hbya = SurfaceField(phi_hbya.data + ddt_corr,
                                         phi_hbya.dims, "phiHbyA")
-                csf_c, _ = surface_tension(alpha)
+                csf_c, _ = surface_tension(mesh, alpha)
                 sng_rho = fvc.sn_grad(mesh, rho)
                 phig = (csf_c - ghf * sng_rho.data) * rAU_f * mesh.mag_sf
                 phig = phig.at[mesh.n_internal:].set(0.0)
@@ -300,8 +309,11 @@ def make_step(case: Case, setup, ctrl: PimpleControl):
                     (phig - flux_p.data) / jnp.maximum(rAU_f, 1e-30),
                     phi.dims / rAU.dims, "corrF")
                 U_star = HbyA + rAU * fvc.reconstruct(mesh, corr_f)
+                env_u = ({"meshUb": mesh_ub,
+                          "meshPhiB": mesh_phi[mesh.n_internal:],
+                          "phi": phi} if dym else None)
                 U = U.replace(data=U_star.data) \
-                     .correct_boundary_conditions(mesh)
+                     .correct_boundary_conditions(mesh, env=env_u)
                 # rho_i += psi_i*(p_rgh - p_rgh0); p from p_rgh
                 dp = p_rgh.data - p_cur
                 rho1 = rho1.replace(data=rho1.data + psi1 * dp)
@@ -332,12 +344,38 @@ def make_step(case: Case, setup, ctrl: PimpleControl):
                      t_minmax=(T.data.min(), T.data.max()))
         return alpha, U, p_rgh, p, T, rho1, rho2, phi, dgdt, stats
 
+    from ..linalg.precompute import attach_solver_layouts
+    import dataclasses as _dc
+    mesh0 = jax.device_put(attach_solver_layouts(
+        mesh, (p_controls, p_final), case=case))
+
+    if dym:
+        def step(mesh_new, alpha, U, p_rgh, p, T, rho1, rho2, phi_rel,
+                 dgdt, dt, mesh_phi, mesh_ub):
+            m2x = _dc.replace(mesh_new, band=mesh0.band,
+                              gamg=mesh0.gamg)
+            return _step(m2x, alpha, U, p_rgh, p, T, rho1, rho2,
+                         phi_rel, dgdt, dt, mesh_phi, mesh_ub)
+        return step
+
+    zf = jnp.zeros(mesh.n_faces, mesh.V.dtype)
+    zb = jnp.zeros((mesh.n_boundary, 3), mesh.C.dtype)
+
+    def step(alpha, U, p_rgh, p, T, rho1, rho2, phi, dgdt, dt):
+        return _step(mesh0, alpha, U, p_rgh, p, T, rho1, rho2, phi,
+                     dgdt, dt, zf, zb)
+
     return step
 
 
-def run(case_dir: str, write: bool = True, max_steps: int | None = None):
+def run(case_dir: str, write: bool = True, max_steps: int | None = None,
+        dym: bool = False):
     case = Case(case_dir)
     mesh = case.mesh
+    dyn = None
+    if dym:
+        from ..models.dynamicmesh import make_dynamic_mesh
+        dyn = make_dynamic_mesh(case)
     setup = _read_setup(case)
     names, m1, m2, sigma, p_min, g = setup
     info(f"Two compressible phases: {names[0]} ({m1.eos}), "
@@ -360,8 +398,10 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
     dgdt = jnp.zeros_like(alpha.data)
     ctrl = PimpleControl(case)
 
-    step = make_step(case, setup, ctrl)
+    step = make_step(case, setup, ctrl, dym=dym)
     timer = ExecutionTimer()
+    zf = jnp.zeros(mesh.n_faces, mesh.V.dtype)
+    zb = jnp.zeros((mesh.n_boundary, 3), mesh.C.dtype)
 
     info("\nStarting time loop\n")
     n = 0
@@ -374,9 +414,23 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
             case.time.set_delta_t(f * case.time.delta_t)
         case.time.increment()
         info(f"Time = {case.time.name}\n")
-        (alpha, U, p_rgh, p, T, rho1, rho2, phi, dgdt,
-         stats) = step(alpha, U, p_rgh, p, T, rho1, rho2, phi, dgdt,
-                       case.time.delta_t)
+        if dym:
+            if dyn is not None:
+                mesh, mesh_phi, mesh_ub = dyn.update(case.time.value)
+                case.mesh = mesh
+                phi = SurfaceField(phi.data - mesh_phi, phi.dims, "phi")
+            else:
+                mesh_phi, mesh_ub = zf, zb
+            (alpha, U, p_rgh, p, T, rho1, rho2, phi, dgdt,
+             stats) = step(mesh, alpha, U, p_rgh, p, T, rho1, rho2,
+                           phi, dgdt, case.time.delta_t, mesh_phi,
+                           mesh_ub)
+            if dyn is not None:
+                phi = SurfaceField(phi.data + mesh_phi, phi.dims, "phi")
+        else:
+            (alpha, U, p_rgh, p, T, rho1, rho2, phi, dgdt,
+             stats) = step(alpha, U, p_rgh, p, T, rho1, rho2, phi, dgdt,
+                           case.time.delta_t)
         co_mean, co_max = stats["co"]
         co_max_prev = float(co_max)
         log_courant(co_mean, co_max)

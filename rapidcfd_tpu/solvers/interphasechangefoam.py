@@ -33,9 +33,19 @@ from .interfoam import _read_constants
 _RTIME = DimensionSet.of(0, 0, -1)
 
 
-def run(case_dir: str, write: bool = True, max_steps: int | None = None):
+def run(case_dir: str, write: bool = True, max_steps: int | None = None,
+        dym: bool = False):
+    """dym=True gives interPhaseChangeDyMFoam (reference: multiphase/
+    interPhaseChangeFoam/interPhaseChangeDyMFoam/
+    interPhaseChangeDyMFoam.C): mesh.update() each step, relative flux,
+    divU taken of the ABSOLUTE flux (reference :109
+    fvc::div(fvc::absolute(phi, U)))."""
     case = Case(case_dir)
     mesh = case.mesh
+    dyn = None
+    if dym:
+        from ..models.dynamicmesh import make_dynamic_mesh
+        dyn = make_dynamic_mesh(case)
     rho1, rho2, nu1, nu2, sigma, g = _read_constants(case)
     pc = make_phase_change_mixture(case.transport_properties(),
                                    rho1, rho2)
@@ -62,9 +72,6 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
     n_outer, n_corr = ctrl.n_outer, ctrl.n_correctors
     n_non_orth = ctrl.n_non_orth
     p_ref_cell, p_ref_value = ctrl.p_ref_cell, ctrl.p_ref_value
-    gh = (mesh.C * jnp.asarray(g, mesh.C.dtype)).sum(-1)
-    ghf = (mesh.Cf * jnp.asarray(g, mesh.C.dtype)).sum(-1)
-
     def mixture(a):
         rho_d = a.data * rho1 + (1.0 - a.data) * rho2
         rho_b = a.bvalues * rho1 + (1.0 - a.bvalues) * rho2
@@ -76,8 +83,10 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
         return rho, mu
 
     @jax.jit
-    def step(alpha: VolField, U: VolField, p_rgh: VolField,
-             phi: SurfaceField, dt):
+    def _step(mesh, alpha: VolField, U: VolField, p_rgh: VolField,
+              phi: SurfaceField, dt, mesh_phi, mesh_ub):
+        gh = (mesh.C * jnp.asarray(g, mesh.C.dtype)).sum(-1)
+        ghf = (mesh.Cf * jnp.asarray(g, mesh.C.dtype)).sum(-1)
         U = U.store_old()
         alpha = alpha.store_old()
         rho0, _ = mixture(alpha)
@@ -89,7 +98,9 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
         # ---- alphaEqn.H (implicit MULESCorr form with sources)
         vdotc_a, vdotv_a = pc.v_dot_alphal(alpha.data, p_abs.data)
         vdotvmc = vdotv_a - vdotc_a
-        div_u_field = fvc.div(mesh, phi)
+        # divU of the ABSOLUTE flux (identity when static: mesh_phi==0)
+        div_u_field = fvc.div(mesh, SurfaceField(
+            phi.data + mesh_phi, phi.dims, "phiAbs"))
         a_eqn = (fvm.ddt(mesh, alpha, dt)
                  + fvm.div(mesh, phi, alpha, "upwind")
                  - fvm.Sp(mesh, Dimensioned("divU", _RTIME,
@@ -124,6 +135,10 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
             rAU_f = fvc.face_values(mesh, rAU)
             HbyA = fvc.constrain_hbya(mesh, rAU * UEqn_c.H(mesh), U)
             phi_hbya = fvc.flux(mesh, HbyA)
+            if dym:
+                # fvc::makeRelative(phiHbyA, U)
+                phi_hbya = SurfaceField(phi_hbya.data - mesh_phi,
+                                        phi_hbya.dims, "phiHbyA")
             sng_rho = fvc.sn_grad(mesh, rho)
             phig = (-ghf * sng_rho.data * rAU_f * mesh.mag_sf) \
                 .at[mesh.n_internal:].set(0.0)
@@ -155,8 +170,11 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
                 (phig - flux_p.data) / jnp.maximum(rAU_f, 1e-30),
                 phi.dims / rAU.dims, "corrF")
             U_star = HbyA + rAU * fvc.reconstruct(mesh, corr_f)
+            env_u = ({"meshUb": mesh_ub,
+                      "meshPhiB": mesh_phi[mesh.n_internal:],
+                      "phi": phi} if dym else None)
             U = U.replace(data=U_star.data) \
-                .correct_boundary_conditions(mesh)
+                .correct_boundary_conditions(mesh, env=env_u)
             p_abs = p_rgh.with_calculated_bcs(
                 p_rgh.data + rho.data * gh,
                 p_rgh.bvalues
@@ -170,13 +188,33 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
                      vap=gsum((1.0 - alpha.data) * mesh.V))
         return alpha, U, p_rgh, phi, stats
 
+    from ..linalg.precompute import attach_solver_layouts
+    mesh0 = jax.device_put(attach_solver_layouts(
+        mesh, (p_controls, p_final), case=case))
+
+    def step(mesh_new, alpha, U, p_rgh, phi, dt, mesh_phi, mesh_ub):
+        import dataclasses as _dc
+        m2 = _dc.replace(mesh_new, band=mesh0.band, gamg=mesh0.gamg)
+        return _step(m2, alpha, U, p_rgh, phi, dt, mesh_phi, mesh_ub)
+
     timer = ExecutionTimer()
     info("\nStarting time loop\n")
     n = 0
+    zf = jnp.zeros(mesh.n_faces, mesh.V.dtype)
+    zb = jnp.zeros((mesh.n_boundary, 3), mesh.C.dtype)
     while case.time.loop():
         info(f"Time = {case.time.name}\n")
-        alpha, U, p_rgh, phi, stats = step(alpha, U, p_rgh, phi,
-                                           case.time.delta_t)
+        if dyn is not None:
+            mesh, mesh_phi, mesh_ub = dyn.update(case.time.value)
+            case.mesh = mesh
+            phi = SurfaceField(phi.data - mesh_phi, phi.dims, "phi")
+        else:
+            mesh_phi, mesh_ub = zf, zb
+        alpha, U, p_rgh, phi, stats = step(mesh, alpha, U, p_rgh, phi,
+                                           case.time.delta_t, mesh_phi,
+                                           mesh_ub)
+        if dyn is not None:
+            phi = SurfaceField(phi.data + mesh_phi, phi.dims, "phi")
         log_courant(*stats["co"])
         a_min, a_max, a_int = stats["alpha"]
         info(f"Liquid phase volume fraction = "

@@ -74,9 +74,17 @@ def _read_sigmas(tp: Dictionary, names):
     return out
 
 
-def run(case_dir: str, write: bool = True, max_steps: int | None = None):
+def run(case_dir: str, write: bool = True, max_steps: int | None = None,
+        dym: bool = False):
+    """dym=True gives multiphaseInterDyMFoam (reference: multiphase/
+    multiphaseInterFoam/multiphaseInterDyMFoam/): mesh.update() each
+    step, MULES + PIMPLE on the relative flux."""
     case = Case(case_dir)
     mesh = case.mesh
+    dyn = None
+    if dym:
+        from ..models.dynamicmesh import make_dynamic_mesh
+        dyn = make_dynamic_mesh(case)
     tp = case.transport_properties()
     phases = _read_phases(tp)
     names = [p[0] for p in phases]
@@ -88,7 +96,6 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
     gpath = os.path.join(case.dir, "constant", "g")
     g = [float(x) for x in parse_file(gpath).lookup("value")] \
         if os.path.isfile(gpath) else [0.0, -9.81, 0.0]
-    ghf = (mesh.Cf * jnp.asarray(g, mesh.C.dtype)).sum(-1)
 
     alphas = [case.read_field(f"alpha{n}"
                               if case.field_exists(f"alpha{n}")
@@ -109,7 +116,7 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
     n_non_orth = ctrl.n_non_orth
     p_ref_cell, p_ref_value = ctrl.p_ref_cell, ctrl.p_ref_value
 
-    def nhatf(a, b):
+    def nhatf(mesh, a, b):
         """Interface normal flux between phases a,b (multiphaseMixture::
         nHatfv): (b grad a - a grad b) normalized, dotted with Sf."""
         ga = fvc.face_values(mesh, fvc.grad(mesh, a))
@@ -121,8 +128,9 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
         return (v / mag[:, None] * mesh.Sf).sum(-1), v / mag[:, None]
 
     @jax.jit
-    def step(alphas, U: VolField, p_rgh: VolField, phi: SurfaceField,
-             dt):
+    def _step(mesh, alphas, U: VolField, p_rgh: VolField,
+              phi: SurfaceField, dt, mesh_phi, mesh_ub):
+        ghf = (mesh.Cf * jnp.asarray(g, mesh.C.dtype)).sum(-1)
         U = U.store_old()
         alphas = [a.store_old() for a in alphas]
 
@@ -143,7 +151,7 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
             for j, b in enumerate(alphas):
                 if j == i:
                     continue
-                nhf, _ = nhatf(a, b)
+                nhf, _ = nhatf(mesh, a, b)
                 phir = (phic * nhf).at[mesh.n_internal:].set(0.0)
                 a_lin = fvc.face_values(mesh, a)
                 b_lin = fvc.face_values(mesh, b)
@@ -192,7 +200,7 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
         stf = jnp.zeros(mesh.n_faces, phi.data.dtype)
         for (i, j), sig in sigmas.items():
             a, b = alphas[i], alphas[j]
-            _, nhatv = nhatf(a, b)
+            _, nhatv = nhatf(mesh, a, b)
             kappa = -fvc.surface_sum_faces(
                 mesh, (nhatv * mesh.Sf).sum(-1)) / mesh.V
             w = mesh.weights
@@ -221,6 +229,10 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
             rAU_f = fvc.face_values(mesh, rAU)
             HbyA = fvc.constrain_hbya(mesh, rAU * UEqn_c.H(mesh), U)
             phi_hbya = fvc.flux(mesh, HbyA)
+            if dym:
+                # fvc::makeRelative(phiHbyA, U)
+                phi_hbya = SurfaceField(phi_hbya.data - mesh_phi,
+                                        phi_hbya.dims, "phiHbyA")
             sng_rho = fvc.sn_grad(mesh, rho)
             phig = ((stf - ghf * sng_rho.data) * rAU_f * mesh.mag_sf) \
                 .at[mesh.n_internal:].set(0.0)
@@ -240,18 +252,32 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
                 (phig - flux_p.data) / jnp.maximum(rAU_f, 1e-30),
                 phi.dims / rAU.dims, "corrF")
             U_star = HbyA + rAU * fvc.reconstruct(mesh, corr_f)
+            env_u = ({"meshUb": mesh_ub,
+                      "meshPhiB": mesh_phi[mesh.n_internal:],
+                      "phi": phi} if dym else None)
             U = U.replace(data=U_star.data) \
-                .correct_boundary_conditions(mesh)
+                .correct_boundary_conditions(mesh, env=env_u)
 
         co = courant_number(mesh, phi, dt)
         fracs = tuple(gsum(a.data * mesh.V) for a in alphas)
         stats = dict(p_perf=tuple(p_perf_all), co=co, fracs=fracs)
         return alphas, U, p_rgh, phi, stats
 
+    from ..linalg.precompute import attach_solver_layouts
+    mesh0 = jax.device_put(attach_solver_layouts(
+        mesh, (p_controls, p_final), case=case))
+
+    def step(mesh_new, alphas, U, p_rgh, phi, dt, mesh_phi, mesh_ub):
+        import dataclasses as _dc
+        m2 = _dc.replace(mesh_new, band=mesh0.band, gamg=mesh0.gamg)
+        return _step(m2, alphas, U, p_rgh, phi, dt, mesh_phi, mesh_ub)
+
     timer = ExecutionTimer()
     info("\nStarting time loop\n")
     n = 0
     co_max_prev = 0.0
+    zf = jnp.zeros(mesh.n_faces, mesh.V.dtype)
+    zb = jnp.zeros((mesh.n_boundary, 3), mesh.C.dtype)
     while case.time.run():
         if case.time.adjust_time_step and co_max_prev > 0:
             f = min(min(case.time.max_co / (co_max_prev + 1e-30), 1.0
@@ -260,8 +286,17 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
             case.time.set_delta_t(f * case.time.delta_t)
         case.time.increment()
         info(f"Time = {case.time.name}\n")
-        alphas, U, p_rgh, phi, stats = step(alphas, U, p_rgh, phi,
-                                            case.time.delta_t)
+        if dyn is not None:
+            mesh, mesh_phi, mesh_ub = dyn.update(case.time.value)
+            case.mesh = mesh
+            phi = SurfaceField(phi.data - mesh_phi, phi.dims, "phi")
+        else:
+            mesh_phi, mesh_ub = zf, zb
+        alphas, U, p_rgh, phi, stats = step(mesh, alphas, U, p_rgh, phi,
+                                            case.time.delta_t, mesh_phi,
+                                            mesh_ub)
+        if dyn is not None:
+            phi = SurfaceField(phi.data + mesh_phi, phi.dims, "phi")
         co_max_prev = float(stats["co"][1])
         log_courant(*stats["co"])
         vtot = float(mesh.V.sum())

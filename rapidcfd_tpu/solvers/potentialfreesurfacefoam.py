@@ -35,9 +35,17 @@ class WaveSurfacePressure(FixedValue):
     integrates zeta from the patch flux and refreshes bd['value']."""
 
 
-def run(case_dir: str, write: bool = True, max_steps: int | None = None):
+def run(case_dir: str, write: bool = True, max_steps: int | None = None,
+        dym: bool = False):
+    """dym=True gives potentialFreeSurfaceDyMFoam (reference:
+    multiphase/potentialFreeSurfaceFoam/potentialFreeSurfaceDyMFoam/):
+    mesh.update() each step, PIMPLE on the relative flux."""
     case = Case(case_dir)
     mesh = case.mesh
+    dyn = None
+    if dym:
+        from ..models.dynamicmesh import make_dynamic_mesh
+        dyn = make_dynamic_mesh(case)
     tp = case.transport_properties()
     nu = Dimensioned.from_entry(tp.lookup("nu", required=True), "nu")
     gpath = os.path.join(case.dir, "constant", "g")
@@ -66,7 +74,8 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
     p_ref_cell, p_ref_value = ctrl.p_ref_cell, ctrl.p_ref_value
 
     @jax.jit
-    def step(U: VolField, p_gh: VolField, phi: SurfaceField, zeta, dt):
+    def _step(mesh, U: VolField, p_gh: VolField, phi: SurfaceField,
+              zeta, dt, mesh_phi, mesh_ub):
         U = U.store_old()
 
         # waveSurfacePressure updateCoeffs: zeta += dt*n*phi_p/magSf,
@@ -105,6 +114,10 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
                 rAU = 1.0 / UEqn_c.A(mesh)
                 HbyA = fvc.constrain_hbya(mesh, rAU * UEqn_c.H(mesh), U)
                 phi_hbya = fvc.flux(mesh, HbyA)
+                if dym:
+                    # fvc::makeRelative(phiHbyA, U)
+                    phi_hbya = SurfaceField(phi_hbya.data - mesh_phi,
+                                            phi_hbya.dims, "phiHbyA")
                 for north in range(n_non_orth + 1):
                     final = (outer == n_outer - 1 and corr == n_corr - 1
                              and north == n_non_orth)
@@ -126,14 +139,36 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
                      zeta_max=jnp.abs(zeta).max())
         return U, p_gh, phi, zeta, stats
 
+    from ..linalg.precompute import attach_solver_layouts
+    mesh0 = jax.device_put(attach_solver_layouts(
+        mesh, (p_controls, p_final), case=case))
+
+    def step(mesh_new, U, p_gh, phi, zeta, dt, mesh_phi, mesh_ub):
+        import dataclasses as _dc
+        m2 = _dc.replace(mesh_new, band=mesh0.band, gamg=mesh0.gamg)
+        return _step(m2, U, p_gh, phi, zeta, dt, mesh_phi, mesh_ub)
+
     timer = ExecutionTimer()
     cumulative_err = 0.0
     info("\nStarting time loop\n")
     n = 0
+    zf = jnp.zeros(mesh.n_faces, mesh.V.dtype)
+    zb = jnp.zeros((mesh.n_boundary, 3), mesh.C.dtype)
     while case.time.loop():
         info(f"Time = {case.time.name}\n")
-        U, p_gh, phi, zeta, stats = step(U, p_gh, phi, zeta,
-                                         case.time.delta_t)
+        if dyn is not None:
+            mesh, mesh_phi, mesh_ub = dyn.update(case.time.value)
+            case.mesh = mesh
+            # fvc::makeRelative(phi, U)
+            phi = SurfaceField(phi.data - mesh_phi, phi.dims, "phi")
+        else:
+            mesh_phi, mesh_ub = zf, zb
+        U, p_gh, phi, zeta, stats = step(mesh, U, p_gh, phi, zeta,
+                                         case.time.delta_t, mesh_phi,
+                                         mesh_ub)
+        if dyn is not None:
+            # fvc::makeAbsolute for output/restart
+            phi = SurfaceField(phi.data + mesh_phi, phi.dims, "phi")
         log_courant(*stats["co"])
         for cmpt, perf in zip("xyz", stats["u_perf"]):
             log_solve(u_controls.solver, f"U{cmpt}", perf[0], perf[1],

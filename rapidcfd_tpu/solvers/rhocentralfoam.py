@@ -43,9 +43,18 @@ def _pos_neg(mesh, vf: VolField, scheme):
     return pos, neg
 
 
-def run(case_dir: str, write: bool = True, max_steps: int | None = None):
+def run(case_dir: str, write: bool = True, max_steps: int | None = None,
+        dym: bool = False):
+    """dym=True gives rhoCentralDyMFoam (reference: compressible/
+    rhoCentralFoam/rhoCentralDyMFoam/rhoCentralDyMFoam.C): mesh.update()
+    each step and the one-sided volumetric fluxes made relative
+    (phiv_pos/neg -= meshPhi) before the wave-speed computation."""
     case = Case(case_dir)
     mesh = case.mesh
+    dyn = None
+    if dym:
+        from ..models.dynamicmesh import make_dynamic_mesh
+        dyn = make_dynamic_mesh(case)
     thermo_model = read_thermo(case.constant_dict(
         "thermophysicalProperties"))
     thermo = PsiThermo(case, thermo_model)
@@ -79,7 +88,8 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
     _MASS_FLUX = DimensionSet.of(1, 0, -1)
 
     @jax.jit
-    def step(U: VolField, p: VolField, T: VolField, dt):
+    def _step(mesh, U: VolField, p: VolField, T: VolField, dt,
+              mesh_phi):
         # primitive -> conserved
         rho = T.with_calculated_bcs(m.rho(p.data, T.data),
                                     m.rho(p.bvalues, T.bvalues),
@@ -106,6 +116,11 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
         p_neg = rho_neg * rpsi_neg
         phiv_pos = (U_pos * mesh.Sf).sum(-1)
         phiv_neg = (U_neg * mesh.Sf).sum(-1)
+        if dym:
+            # rhoCentralDyMFoam.C: make the one-sided volumetric fluxes
+            # relative to the mesh motion before the wave speeds
+            phiv_pos = phiv_pos - mesh_phi
+            phiv_neg = phiv_neg - mesh_phi
 
         c = T.with_calculated_bcs(m.c_sound(T.data), m.c_sound(T.bvalues),
                                   U.dims, "c")
@@ -233,13 +248,28 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
                      u_perf=u_perf, e_perf=e_perf)
         return U, p, T, mass_flux, stats
 
+    from ..linalg.precompute import attach_solver_layouts
+    import dataclasses as _dc
+    mesh0 = jax.device_put(attach_solver_layouts(mesh, (), case=case))
+
+    def step(mesh_new, U, p, T, dt, mesh_phi):
+        m2 = _dc.replace(mesh_new, band=mesh0.band, gamg=mesh0.gamg)
+        return _step(m2, U, p, T, dt, mesh_phi)
+
     timer = ExecutionTimer()
     info("\nStarting time loop\n")
     n = 0
     phi = None
+    zf = jnp.zeros(mesh.n_faces, mesh.V.dtype)
     while case.time.loop():
         info(f"Time = {case.time.name}\n")
-        U, p, T, phi, stats = step(U, p, T, case.time.delta_t)
+        if dyn is not None:
+            mesh, mesh_phi, _mesh_ub = dyn.update(case.time.value)
+            case.mesh = mesh
+        else:
+            mesh_phi = zf
+        U, p, T, phi, stats = step(mesh, U, p, T, case.time.delta_t,
+                                   mesh_phi)
         co_max = float(stats["co_max"])
         info(f"Mean and max Courant Numbers = - {co_max:.6g}\n")
         info(f"max Mach = {float(stats['mach_max']):.4g}\n")

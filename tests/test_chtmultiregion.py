@@ -35,8 +35,7 @@ def _add_mapped(bfile, patch, region, spatch):
     open(bfile, "w").write(s.replace(old, new))
 
 
-def test_cht_fluid_solid_slab(tmp_path_factory):
-    d = str(tmp_path_factory.mktemp("cht"))
+def _build_cht_case(d):
     # fluid region: [0,0.05]^2 cavity; solid region: slab x in [0.05,0.08]
     fmesh = box_mesh(10, 10, 1, size=(0.05, 0.05, 0.01), patch_spec={
         "xmin": ("coldWall", "wall"),
@@ -149,10 +148,10 @@ kappa           kappa [1 1 -3 -1 0 0 0] 80;
                     "solid_to_fluid": cpl.replace("uniform 300",
                                                   "uniform 350"),
                     "hotWall": _fv(350), "sides": _ZG, "fb": _EMPTY})
-    L.Info.enabled = False
-    from rapidcfd_tpu.solvers.chtmultiregionfoam import run
-    regions = run(d, write=False)
-    L.Info.enabled = True
+    return d
+
+
+def _check_cht(regions):
     tf = np.asarray(regions["fluid"].T.data)
     ts = np.asarray(regions["solid"].T.data)
     assert np.isfinite(tf).all() and np.isfinite(ts).all()
@@ -177,3 +176,61 @@ kappa           kappa [1 1 -3 -1 0 0 0] 80;
     t_if = fb[fpatch.bstart:fpatch.bstart + fpatch.size]
     t_is = sb[spatch.bstart:spatch.bstart + spatch.size]
     assert abs(np.sort(t_if).mean() - np.sort(t_is).mean()) < 5.0
+
+
+def test_cht_fluid_solid_slab(tmp_path_factory):
+    d = _build_cht_case(str(tmp_path_factory.mktemp("cht")))
+    L.Info.enabled = False
+    try:
+        from rapidcfd_tpu.solvers.chtmultiregionfoam import run
+        regions = run(d, write=False)
+    finally:
+        L.Info.enabled = True
+    _check_cht(regions)
+
+
+def test_cht_simple_steady(tmp_path_factory):
+    """chtMultiRegionSimpleFoam: the steady variant reaches the same
+    conjugate equilibrium (reference: chtMultiRegionSimpleFoam/)."""
+    d = _build_cht_case(str(tmp_path_factory.mktemp("chts")))
+    _write(os.path.join(d, "system", "controlDict"),
+           foamfile_header("dictionary", "controlDict", "system"), """
+application chtMultiRegionSimpleFoam; startFrom startTime; startTime 0;
+stopAt endTime; endTime 40; deltaT 1;
+writeControl timeStep; writeInterval 1000; writeFormat ascii;
+""")
+    for rn in ("fluid", "solid"):
+        _write(os.path.join(d, "system", rn, "fvSchemes"),
+               foamfile_header("dictionary", "fvSchemes", "system"), """
+ddtSchemes { default steadyState; }
+gradSchemes { default Gauss linear; }
+divSchemes { default none; div(phi,U) bounded Gauss upwind;
+             div(phi,T) bounded Gauss upwind; }
+laplacianSchemes { default Gauss linear orthogonal; }
+interpolationSchemes { default linear; }
+snGradSchemes { default orthogonal; }
+""")
+    _write(os.path.join(d, "system", "fluid", "fvSolution"),
+           foamfile_header("dictionary", "fvSolution", "system"), """
+solvers
+{
+    p_rgh { solver PCG; preconditioner DIC; tolerance 1e-08;
+            relTol 0.01; }
+    "(U|T)" { solver smoothSolver; smoother symGaussSeidel;
+              tolerance 1e-08; relTol 0.1; }
+}
+SIMPLE { nNonOrthogonalCorrectors 0;
+         residualControl { p_rgh 1e-6; U 1e-6; T 1e-6; } }
+relaxationFactors
+{
+    fields    { p_rgh 0.7; }
+    equations { U 0.3; T 0.7; }
+}
+""")
+    L.Info.enabled = False
+    try:
+        from rapidcfd_tpu.solvers.chtmultiregionfoam import run
+        regions = run(d, write=False, steady=True)
+    finally:
+        L.Info.enabled = True
+    _check_cht(regions)
