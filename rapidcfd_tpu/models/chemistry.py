@@ -51,6 +51,10 @@ class Reaction:
     beta: float
     Ta: float
     reversible: bool = False
+    # +M third-body (reference: thirdBodyArrheniusReactionRate.H):
+    # the rate is multiplied by sum_i eff_i c_i (default eff 1.0)
+    third_body: bool = False
+    efficiencies: tuple = ()   # ((specie idx, efficiency), ...)
 
 
 def _parse_reaction_side(text: str, index: dict) -> tuple:
@@ -174,6 +178,11 @@ class ChemistryModel:
         for r in self.reactions:
             kf = r.A * T ** r.beta * jnp.exp(-r.Ta / jnp.maximum(T, 1.0))
             w = kf
+            if r.third_body:
+                cm = cc.sum()
+                for idx, eff in r.efficiencies:
+                    cm = cm + (eff - 1.0) * cc[idx]
+                w = w * cm
             for idx, nu, exp in r.lhs:
                 w = w * cc[idx] ** exp
             if r.reversible:
@@ -187,6 +196,11 @@ class ChemistryModel:
                     g = g - nu * self.thermo.specs[idx].nasa_g_rt(T)
                 kc = jnp.exp(-g) * (P_STD / (R_UNIVERSAL * T)) ** dn
                 wr = kf / jnp.maximum(kc, 1e-30)
+                if r.third_body:
+                    cm = cc.sum()
+                    for idx, eff in r.efficiencies:
+                        cm = cm + (eff - 1.0) * cc[idx]
+                    wr = wr * cm
                 for idx, nu, exp in r.rhs:
                     wr = wr * cc[idx] ** exp
                 w = w - wr
@@ -221,6 +235,72 @@ class ChemistryModel:
         rr = (c_new - c0).T * W[:, None] / dt              # kg/m3/s
         return rr
 
+    def ode(self, rho, Y, T, dt, eps: float = 1e-4,
+            max_iters: int = 4000):
+        """`ode` chemistry solver (reference: chemistrySolver/ode/ode.H
+        wrapping an adaptive stiff ODESolver): integrate dc/dt =
+        omega(c) over [0, dt] with PER-CELL adaptive sub-stepping.
+
+        TPU-first: one batched L-stable Rosenbrock-2 (Verwer et al.
+        1999: gamma = 1 + 1/sqrt(2)) inside a lax.while_loop — every
+        iteration advances all unfinished cells by their own h, with
+        the embedded first-order error controlling h per cell. The two
+        (ns x ns) solves per step are MXU-batched over cells, replacing
+        the reference's per-cell sequential LU. Returns RR: (ns,
+        nCells) net production [kg/m^3/s]."""
+        W = self.W
+        c0 = (rho * Y / W[:, None]).T            # (nCells, ns)
+        Tc = T
+        nC, ns = c0.shape
+        gamma = 1.0 + 1.0 / jnp.sqrt(2.0)
+        eye = jnp.eye(ns, dtype=c0.dtype)
+
+        def f_all(c):
+            return jax.vmap(self._rates_c)(c, Tc)
+
+        def jac_all(c):
+            return jax.vmap(jax.jacfwd(self._rates_c))(c, Tc)
+
+        c_scale = jnp.maximum(jnp.abs(c0).max(axis=1, keepdims=True),
+                              1e-12)
+
+        def cond(state):
+            t, h, c, it = state
+            return (it < max_iters) & (t < dt).any()
+
+        def body(state):
+            t, h, c, it = state
+            active = t < dt
+            hh = jnp.where(active, jnp.minimum(h, dt - t), 0.0)
+            hs = jnp.maximum(hh, 1e-30)[:, None]
+            J = jac_all(c)
+            A = eye[None] / (gamma * hs[..., None]) - J
+            F1 = f_all(c)
+            k1 = jnp.linalg.solve(A, (F1 / (gamma * hs))[..., None]
+                                  )[..., 0]
+            F2 = f_all(jnp.maximum(c + hs * k1, 0.0))
+            k2 = jnp.linalg.solve(
+                A, ((F2 - 2.0 * k1) / (gamma * hs))[..., None])[..., 0]
+            c2 = c + hs * (1.5 * k1 + 0.5 * k2)
+            # embedded 1st-order error: |c2 - (c + h k1)|
+            err = (jnp.abs(c2 - (c + hs * k1)) / c_scale).max(axis=1)
+            accept = active & (err <= eps)
+            c_new = jnp.where(accept[:, None],
+                              jnp.maximum(c2, 0.0), c)
+            t_new = jnp.where(accept, t + hh, t)
+            fac = jnp.clip(0.9 * jnp.sqrt(eps / jnp.maximum(err, 1e-30)),
+                           0.2, 5.0)
+            h_new = jnp.where(active, jnp.maximum(h * fac, 1e-12 * dt),
+                              h)
+            return t_new, h_new, c_new, it + 1
+
+        t0 = jnp.zeros(nC, c0.dtype)
+        h0 = jnp.full((nC,), dt * 0.1, c0.dtype)
+        _, _, c_new, _ = jax.lax.while_loop(
+            cond, body, (t0, h0, c0, jnp.asarray(0)))
+        rr = (c_new - c0).T * W[:, None] / dt              # kg/m3/s
+        return rr
+
     def qdot(self, rr, T):
         """Heat release rate [W/m^3]: -sum hc_i RR_i (reference:
         chemistryModel::Qdot, hc = enthalpy of formation)."""
@@ -249,6 +329,25 @@ def read_reacting_thermo(case_dir: str):
         transport = tt.word("transport", transport)
         thermo_name = tt.word("thermo", thermo_name)
         eos = tt.word("equationOfState", eos)
+
+    # CHEMKIN-format mechanism (reference: chemkinReader selected by
+    # `chemistryReader chemkinReader;` + CHEMKINFile/CHEMKINThermoFile)
+    reader = str(props.word("chemistryReader", "foamChemistryReader"))
+    if reader == "chemkinReader":
+        from .chemkin import read_chemkin
+        mf = str(props.lookup("CHEMKINFile",
+                              required=True)).strip('"') \
+            .replace("$FOAM_CASE", case_dir)
+        tfe = props.lookup("CHEMKINThermoFile")
+        tf = (str(tfe).strip('"').replace("$FOAM_CASE", case_dir)
+              if tfe is not None else None)
+        species, specs, reactions = read_chemkin(mf, tf)
+        inert = props.lookup("inertSpecie")
+        inert = str(inert).upper() if inert is not None else None
+        thermo = MultiComponentThermo(species, specs, inert)
+        info(f"Selecting CHEMKIN mixture: {len(species)} species, "
+             f"{len(reactions)} reactions, inert={inert}")
+        return thermo, ChemistryModel(thermo, reactions)
 
     # species + reactions either inline or in foamChemistryFile
     chem = props

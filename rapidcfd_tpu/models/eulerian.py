@@ -119,6 +119,103 @@ def lift_force(model: str, coeffs: Dictionary | None, alpha_d, rho_c,
     raise ValueError(f"unknown lift model '{model}'")
 
 
+def cd_re(k_drag, alpha_d, mu_c, d):
+    """CdRe recovered from the drag coefficient K = 0.75 Cd alphaD
+    rhoC |ur|/d (reference: dragModel::CdRe vs dragModel::K): CdRe =
+    Cd*Re = K d^2 / (0.75 alphaD muC)."""
+    return k_drag * d * d / (0.75 * jnp.maximum(alpha_d, 1e-6) * mu_c)
+
+
+def lift_force_full(model: str, coeffs, alpha_d, rho_c, rho_d, ur,
+                    curl_uc, mu_c, d, sigma=0.07, g_mag=9.81):
+    """Lift force on the dispersed phase (reference: liftModels/
+    liftModel.C:61-70 F = Cl alphaD rhoC (Ur x curl Uc); TomiyamaLift.C
+    Eo_H-correlated coefficient)."""
+    if model in ("none", None):
+        return jnp.zeros_like(ur)
+    if model in ("constantCoefficient", "constantLiftCoefficient"):
+        cl = float(coeffs.scalar("Cl", 0.5)) if coeffs else 0.5
+        cl = jnp.asarray(cl)
+    elif model == "Tomiyama":
+        # TomiyamaLift.C: Eo with horizontal diameter dH
+        ur_mag = jnp.linalg.norm(ur, axis=-1) + 1e-12
+        eo = g_mag * jnp.abs(rho_c - rho_d) * d * d \
+            / jnp.maximum(sigma, 1e-12)
+        dh = d * (1.0 + 0.163 * eo ** 0.757) ** (1.0 / 3.0)
+        eoh = g_mag * jnp.abs(rho_c - rho_d) * dh * dh \
+            / jnp.maximum(sigma, 1e-12)
+        re = _re(rho_c, mu_c, d, ur_mag)
+        f_eoh = (0.00105 * eoh ** 3 - 0.0159 * eoh ** 2
+                 - 0.0204 * eoh + 0.474)
+        cl = jnp.where(
+            eoh <= 4.0,
+            jnp.minimum(0.288 * jnp.tanh(0.121 * re), f_eoh),
+            jnp.where(eoh <= 10.0, f_eoh, -0.27))
+    else:
+        raise ValueError(f"unknown lift model '{model}'")
+    return (cl * alpha_d * rho_c)[..., None] * jnp.cross(ur, curl_uc)
+
+
+def wall_lubrication_force(model: str, coeffs, alpha_d, rho_c, rho_d,
+                           ur, d, y_wall, n_wall, sigma=0.07,
+                           g_mag=9.81):
+    """Wall-lubrication force on the dispersed phase (reference:
+    wallLubricationModels/Antal/Antal.C:70-86 and Frank/Frank.C:71-96).
+    n_wall points TOWARD the nearest wall (the propagated wall-face
+    normal of wallDistReflection); the solver applies -F to the
+    dispersed momentum, i.e. away from the wall."""
+    if model in ("none", None):
+        return jnp.zeros_like(ur)
+    ur_t = ur - (ur * n_wall).sum(-1, keepdims=True) * n_wall
+    magsq_urt = (ur_t * ur_t).sum(-1)
+    y = jnp.maximum(y_wall, 1e-8)
+    if model == "Antal":
+        cw1 = float(coeffs.scalar("Cw1", -0.01)) if coeffs else -0.01
+        cw2 = float(coeffs.scalar("Cw2", 0.05)) if coeffs else 0.05
+        coef = jnp.maximum(cw1 / d + cw2 / y, 0.0)
+    elif model == "Frank":
+        cwd = float(coeffs.scalar("Cwd", 6.8)) if coeffs else 6.8
+        cwc = float(coeffs.scalar("Cwc", 10.0)) if coeffs else 10.0
+        pexp = float(coeffs.scalar("p", 1.7)) if coeffs else 1.7
+        eo = g_mag * jnp.abs(rho_c - rho_d) * d * d \
+            / jnp.maximum(sigma, 1e-12)
+        cwl = (jnp.where((eo > 1.0) & (eo <= 5.0),
+                         jnp.exp(-0.933 * eo + 0.179), 0.0)
+               + jnp.where((eo > 5.0) & (eo <= 33.0),
+                           0.00599 * eo - 0.0187, 0.0)
+               + jnp.where(eo > 33.0, 0.179, 0.0))
+        y_t = y / (cwc * d)
+        coef = cwl * jnp.maximum(
+            (1.0 - y_t) / (cwd * y * jnp.maximum(y_t, 1e-8)
+                           ** (pexp - 1.0)), 0.0)
+    else:
+        raise ValueError(f"unknown wall lubrication model '{model}'")
+    return (coef * alpha_d * rho_c * magsq_urt)[..., None] * n_wall
+
+
+def turbulent_dispersion_force(model: str, coeffs, alpha_d, rho_c,
+                               nu_c, nut_c, d, cdre, grad_alpha_d,
+                               grad_alpha_c=None, residual_alpha=1e-3):
+    """Turbulent-dispersion force on the dispersed phase (reference:
+    turbulentDispersionModels/Gosman/Gosman.C:73-97
+    F = 0.75 CdRe alphaD nuC nutC/(sigma d^2) rhoC grad(alphaD);
+    Burns/Burns.C:73-99 with -grad(alphaC)(1+alphaD/max(alphaC,res)))."""
+    if model in ("none", None):
+        return jnp.zeros_like(grad_alpha_d)
+    sigma = float(coeffs.scalar("sigma", 0.9)) if coeffs else 0.9
+    pref = 0.75 * cdre * alpha_d * nu_c * nut_c / (sigma * d * d) \
+        * rho_c
+    if model == "Gosman":
+        return pref[..., None] * grad_alpha_d
+    if model == "Burns":
+        alpha_c = 1.0 - alpha_d
+        fac = 1.0 + alpha_d / jnp.maximum(alpha_c, residual_alpha)
+        gac = grad_alpha_c if grad_alpha_c is not None \
+            else -grad_alpha_d
+        return -(pref * fac)[..., None] * gac
+    raise ValueError(f"unknown turbulent dispersion model '{model}'")
+
+
 def read_phase_properties(props: Dictionary):
     """Parse constant/phaseProperties (reference: twoPhaseSystem.C:59-130
     + BlendedInterfacialModel pair-keyed model dicts). Returns

@@ -54,6 +54,23 @@ def make_step(case: Case, thermo, chem, ctrl: PimpleControl):
     n_corr = ctrl.n_correctors
     n_non_orth = ctrl.n_non_orth
     n_sub = int(ctrl.dict.scalar("nChemistrySubSteps", 1))
+    # chemistry solver selection (reference: chemistryProperties
+    # chemistryType { chemistrySolver ode|EulerImplicit|none; } +
+    # odeCoeffs { relTol ...; })
+    chem_solver = "EulerImplicit"
+    ode_eps = 1e-4
+    import os as _os
+    from ..utils.dictionary import parse_file as _pf
+    _cp = _os.path.join(case.dir, "constant", "chemistryProperties")
+    if _os.path.isfile(_cp):
+        cpd = _pf(_cp)
+        ct = cpd.subdict("chemistryType", required=False)
+        if ct is not None:
+            chem_solver = str(ct.word("chemistrySolver",
+                                      "EulerImplicit"))
+        oc = cpd.subdict("odeCoeffs", required=False)
+        if oc is not None:
+            ode_eps = float(oc.scalar("relTol", 1e-4))
     inert = thermo.inert_idx
     ns = thermo.n
 
@@ -80,9 +97,15 @@ def make_step(case: Case, thermo, chem, ctrl: PimpleControl):
             data=rho.old.data - dt * fvc.div(mesh, phi).data) \
             .correct_boundary_conditions(mesh)
 
-        # ---- chemistry.H: batched EulerImplicit over the solver dt
-        rr = chem.euler_implicit(rho.data, Yst, T.data, dt,
-                                 n_sub=n_sub)           # kg/m3/s
+        # ---- chemistry.H: batched chemical integration over the
+        # solver dt (EulerImplicit or the adaptive `ode` solver)
+        if chem_solver in ("none", "noChemistrySolver"):
+            rr = jnp.zeros_like(Yst)
+        elif chem_solver == "ode":
+            rr = chem.ode(rho.data, Yst, T.data, dt, eps=ode_eps)
+        else:
+            rr = chem.euler_implicit(rho.data, Yst, T.data, dt,
+                                     n_sub=n_sub)       # kg/m3/s
         qdot = chem.qdot(rr, T.data)
 
         u_perf = h_perf = None

@@ -24,8 +24,11 @@ import jax.numpy as jnp
 from ..fields.field import Dimensioned, SurfaceField, VolField
 from ..linalg import solve
 from ..linalg.solvers import gsum
-from ..models.eulerian import (drag_k, heat_transfer_coeff,
-                               read_phase_properties, virtual_mass_coeff)
+from ..models.eulerian import (cd_re, drag_k, heat_transfer_coeff,
+                               lift_force_full, read_phase_properties,
+                               turbulent_dispersion_force,
+                               virtual_mass_coeff,
+                               wall_lubrication_force)
 from ..models.thermo import read_rho_thermo
 from ..ops import fvc, fvm
 from ..ops.mules import explicit_solve
@@ -79,13 +82,46 @@ def _row_scale(mesh, m, s, dims=None):
         symmetric=False)
 
 
-def make_step(case: Case, setup, ctrl: PimpleControl):
+def make_step(case: Case, setup, ctrl: PimpleControl, turb=None):
+    """turb: optional phase-aware RAS model (models/phaseturbulence:
+    mixtureKEpsilon/LaheyKEpsilon). With turb, the effective phase
+    viscosities include rho*nut and the turbulent-dispersion force uses
+    the continuous-phase nut (reference: twoPhaseEulerFoam UEqns.H
+    lift/wallLubrication/turbulentDispersion forces)."""
     mesh = case.mesh
     names, specs, closures, m1, m2, p_min, g = setup
     spec1, spec2 = specs
     drag_name, drag_d = closures["drag"]
     vm_name, vm_d = closures["virtual_mass"]
     ht_name, _ = closures["heat_transfer"]
+    lift_name, lift_d = closures["lift"]
+    wl_name, wl_d = closures["wall_lubrication"]
+    td_name, td_d = closures["turbulent_dispersion"]
+    props = case.constant_dict("phaseProperties")
+    sigma_e = props.lookup("sigma", required=False)
+    from ..fields.field import Dimensioned as _Dim
+    sigma_st = _Dim.from_entry(sigma_e).value if sigma_e is not None \
+        else 0.07
+    g_mag = float(jnp.linalg.norm(jnp.asarray(g))) or 9.81
+    # wall geometry for the wall-lubrication force (reference:
+    # wallDependentModel yWall/nWall; n points TOWARD the wall =
+    # -normalised(grad(yWall)))
+    y_wall = n_wall = None
+    if wl_name not in ("none", None):
+        from ..models.turbulence import wall_distance
+        from ..fields.bcs import make_bc
+        yw = wall_distance(case)
+        bcs = tuple(
+            make_bc("empty" if pt.is_empty else "zeroGradient", i)
+            for i, pt in enumerate(mesh.patches))
+        ywf = VolField(yw, jnp.take(yw, jnp.asarray(
+            mesh.owner[mesh.n_internal:])), bcs,
+            DimensionSet.of(0, 1), "yWall",
+            tuple({} for _ in mesh.patches))
+        gy = fvc.grad(mesh, ywf).data
+        n_wall = -gy / jnp.maximum(
+            jnp.linalg.norm(gy, axis=-1, keepdims=True), 1e-8)
+        y_wall = yw
     solvers_d = case.fv_solution.subdict("solvers")
     alpha_key = f"alpha.{names[0]}"
     alpha_d = solvers_d.lookup(alpha_key) or solvers_d.lookup("alpha1")
@@ -118,7 +154,8 @@ def make_step(case: Case, setup, ctrl: PimpleControl):
     @jax.jit
     def step(alpha: VolField, U1: VolField, U2: VolField, p: VolField,
              T1: VolField, T2: VolField, rho1: VolField, rho2: VolField,
-             phi1: SurfaceField, phi2: SurfaceField, dgdt, dt):
+             phi1: SurfaceField, phi2: SurfaceField, dgdt, turb_state,
+             dt):
         alpha = alpha.store_old()
         U1 = U1.store_old()
         U2 = U2.store_old()
@@ -200,6 +237,36 @@ def make_step(case: Case, setup, ctrl: PimpleControl):
             k_drag = drag_k(drag_name, drag_d, a1, rho2.data, mu_c,
                             spec1.d, ur_mag)
             vm = virtual_mass_coeff(vm_name, vm_d, a1, rho2.data)
+            cdre = cd_re(k_drag, a1, mu_c, spec1.d)
+            nut1_c = turb_state["nut1"] if turb is not None \
+                else jnp.zeros_like(a1)
+            nut2_c = turb_state["nut2"] if turb is not None \
+                else jnp.zeros_like(a1)
+
+            # interfacial non-drag forces on the dispersed phase
+            # (reference: UEqns.H — applied -F to phase 1, +F to 2)
+            f_int = jnp.zeros_like(U1.data)
+            if lift_name not in ("none", None):
+                g2 = fvc.grad(mesh, U2).data
+                curl_uc = jnp.stack(
+                    [g2[..., 1, 2] - g2[..., 2, 1],
+                     g2[..., 2, 0] - g2[..., 0, 2],
+                     g2[..., 0, 1] - g2[..., 1, 0]], axis=-1)
+                f_int = f_int + lift_force_full(
+                    lift_name, lift_d, a1, rho2.data, rho1.data, ur,
+                    curl_uc, mu_c, spec1.d, sigma=sigma_st,
+                    g_mag=g_mag)
+            if wl_name not in ("none", None):
+                f_int = f_int + wall_lubrication_force(
+                    wl_name, wl_d, a1, rho2.data, rho1.data, ur,
+                    spec1.d, y_wall, n_wall, sigma=sigma_st,
+                    g_mag=g_mag)
+            if td_name not in ("none", None):
+                grad_a1 = fvc.grad(mesh, alpha).data
+                f_int = f_int + turbulent_dispersion_force(
+                    td_name, td_d, a1, rho2.data, mu_c / rho2.data,
+                    nut2_c, spec1.d, cdre, grad_a1,
+                    residual_alpha=spec1.residual_alpha)
 
             # ---- UEqns.H (laminar)
             c1 = calc(alpha, a1 * rho1.data,
@@ -216,12 +283,14 @@ def make_step(case: Case, setup, ctrl: PimpleControl):
                 (1.0 - alpha_old.bvalues) * rho2_old.bvalues, dim_rho,
                 "a2rho2o").replace(old=None))
             mu1_eff = calc(alpha,
-                           jnp.maximum(a1, 1e-4) * m1.mu(T1.data),
+                           jnp.maximum(a1, 1e-4)
+                           * (m1.mu(T1.data) + rho1.data * nut1_c),
                            jnp.maximum(alpha.bvalues, 1e-4)
                            * m1.mu(T1.bvalues),
                            dim_dynamic_viscosity, "a1mu1")
             mu2_eff = calc(alpha,
-                           jnp.maximum(a2, 1e-4) * m2.mu(T2.data),
+                           jnp.maximum(a2, 1e-4)
+                           * (m2.mu(T2.data) + rho2.data * nut2_c),
                            jnp.maximum(1.0 - alpha.bvalues, 1e-4)
                            * m2.mu(T2.bvalues),
                            dim_dynamic_viscosity, "a2mu2")
@@ -262,6 +331,10 @@ def make_step(case: Case, setup, ctrl: PimpleControl):
 
             U1Eqn = ueqn(U1, c1, alpha_rho_phi1, mu1f, vm, ddt_u2, phi1)
             U2Eqn = ueqn(U2, c2, alpha_rho_phi2, mu2f, vm, ddt_u1, phi2)
+            U1Eqn = U1Eqn.replace(
+                source=U1Eqn.source - mesh.V[:, None] * f_int)
+            U2Eqn = U2Eqn.replace(
+                source=U2Eqn.source + mesh.V[:, None] * f_int)
             # drag diagonal (after relax in reference; transient: none)
             U1Eqn = U1Eqn.replace(diag=U1Eqn.diag + mesh.V * k_drag)
             U2Eqn = U2Eqn.replace(diag=U2Eqn.diag + mesh.V * k_drag)
@@ -436,15 +509,32 @@ def make_step(case: Case, setup, ctrl: PimpleControl):
                 rho2 = eos(alpha, p, T2, m2, rho2.name).replace(
                     old=rho2_old)
 
+        turb_perf = {}
+        if turb is not None:
+            ur_f = U1.data - U2.data
+            ur_mag_f = jnp.linalg.norm(ur_f, axis=-1) + 1e-12
+            k_drag_f = drag_k(drag_name, drag_d, alpha.data, rho2.data,
+                              m2.mu(T2.data), spec1.d, ur_mag_f)
+            cdre_f = cd_re(k_drag_f, alpha.data, m2.mu(T2.data),
+                           spec1.d)
+            core = {k: turb_state[k] for k in ("k", "epsilon", "ct2")}
+            core, nut1_n, nut2_n, turb_perf = turb.correct(
+                mesh, core, alpha, U1, U2, rho1, rho2, phi1, phi2,
+                k_drag_f, cdre_f, spec1.d,
+                m2.mu(T2.data) / rho2.data, m1.mu(T1.data) / rho1.data,
+                dt)
+            turb_state = {**core, "nut1": nut1_n, "nut2": nut2_n}
+
         co_mean, co_max = courant_number(mesh, phi, dt)
         stats = dict(
             p_perf=tuple(p_perf_all), co=(co_mean, co_max),
             alpha=(alpha.data.min(), alpha.data.max(),
                    gsum(alpha.data * mesh.V)),
             ur_max=jnp.abs(U1.data - U2.data).max(),
+            turb=turb_perf,
             p_minmax=(p.data.min(), p.data.max()))
         return (alpha, U1, U2, p, T1, T2, rho1, rho2, phi1, phi2, dgdt,
-                stats)
+                turb_state, stats)
 
     return step
 
@@ -483,7 +573,22 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
         DimensionSet.of(1, -3), f"rho.{names[1]}")
     dgdt = jnp.zeros_like(alpha.data)
     ctrl = PimpleControl(case)
-    step = make_step(case, setup, ctrl)
+    from ..models.phaseturbulence import make_phase_turbulence
+    vm_d = closures["virtual_mass"][1]
+    cvm = float(vm_d.scalar("Cvm", 0.5)) \
+        if vm_d is not None else (0.5 if closures["virtual_mass"][0]
+                                  not in ("none", None) else 0.0)
+    turb = make_phase_turbulence(case, names, cvm=cvm)
+    if turb is not None:
+        info(f"Selecting phase turbulence model {turb.name}\n")
+        turb_state = turb.init_state(case)
+        turb_state = {**turb_state,
+                      "nut1": jnp.zeros_like(alpha.data),
+                      "nut2": jnp.zeros_like(alpha.data)}
+    else:
+        turb_state = {"nut1": jnp.zeros_like(alpha.data),
+                      "nut2": jnp.zeros_like(alpha.data)}
+    step = make_step(case, setup, ctrl, turb=turb)
     timer = ExecutionTimer()
 
     info("\nStarting time loop\n")
@@ -492,8 +597,9 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
         case.time.increment()
         info(f"Time = {case.time.name}\n")
         (alpha, U1, U2, p, T1, T2, rho1, rho2, phi1, phi2, dgdt,
-         stats) = step(alpha, U1, U2, p, T1, T2, rho1, rho2, phi1, phi2,
-                       dgdt, case.time.delta_t)
+         turb_state, stats) = step(alpha, U1, U2, p, T1, T2, rho1,
+                                   rho2, phi1, phi2, dgdt, turb_state,
+                                   case.time.delta_t)
         co_mean, co_max = stats["co"]
         log_courant(co_mean, co_max)
         a_min, a_max, a_int = stats["alpha"]
@@ -502,6 +608,9 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
              f"Min = {float(a_min):.6g}  Max = {float(a_max):.6g}")
         for perf in stats["p_perf"]:
             log_solve(case.solver_controls('p').solver, "p",
+                      perf[0], perf[1], perf[2])
+        for tname, perf in stats.get("turb", {}).items():
+            log_solve(case.solver_controls(tname).solver, tname,
                       perf[0], perf[1], perf[2])
         timer.log()
         if write and case.time.write_time():

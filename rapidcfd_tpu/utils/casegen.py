@@ -1106,11 +1106,17 @@ mixture
 
 
 def bubble_column_case(case_dir: str, nx: int = 12, ny: int = 30,
-                       end_time: float = 0.05, delta_t: float = 1e-3):
+                       end_time: float = 0.05, delta_t: float = 1e-3,
+                       turbulence: str | None = None,
+                       forces: bool = False):
     """twoPhaseEulerFoam bubble column: air initially in the lower half
     of a closed water box rises under buoyancy against SchillerNaumann
     drag (reference tutorial family: multiphase/twoPhaseEulerFoam/
-    bubbleColumn)."""
+    bubbleColumn). turbulence='mixtureKEpsilon'/'LaheyKEpsilon' adds
+    turbulenceProperties.<phase> + k/epsilon fields; forces=True turns
+    on the Tomiyama lift + Frank wall lubrication + Burns turbulent
+    dispersion closures (reference bubbleColumnEvaporatingReacting
+    tutorial set)."""
     from ..mesh.geometry import cell_centres_and_vols, face_centres_and_areas
     from ..fields.io import _body_value
 
@@ -1204,10 +1210,16 @@ water
 drag            { type SchillerNaumann; }
 virtualMass     { type constantCoefficient; Cvm 0.5; }
 heatTransfer    { type RanzMarshall; }
+sigma           sigma [1 0 -2 0 0 0 0] 0.07;
+""" + ("""
+lift            { type Tomiyama; }
+turbulentDispersion { type Burns; sigma 0.9; }
+wallLubrication { type Frank; Cwd 6.8; Cwc 10; p 1.7; }
+""" if forces else """
 lift            { type none; }
 turbulentDispersion { type none; }
 wallLubrication { type none; }
-
+""") + """
 pMin            pMin [1 -1 -2 0 0 0 0] 10000;
 """)
     _write(os.path.join(case_dir, "constant",
@@ -1278,6 +1290,35 @@ mixture
         write_field(case_dir, "0", name, "volVectorField",
                     "[0 1 -1 0 0 0 0]", "uniform (0 0 0)",
                     {"walls": noslip, "frontAndBack": emp})
+    if turbulence:
+        for ph in ("air", "water"):
+            _write(os.path.join(case_dir, "constant",
+                                f"turbulenceProperties.{ph}"),
+                   foamfile_header("dictionary",
+                                   f"turbulenceProperties.{ph}",
+                                   "constant"), f"""
+simulationType  RAS;
+RAS
+{{
+    RASModel        {turbulence};
+    turbulence      on;
+    printCoeffs     on;
+}}
+""")
+        write_field(case_dir, "0", "k.water", "volScalarField",
+                    "[0 2 -2 0 0 0 0]", "uniform 1e-4",
+                    {"walls": zg, "frontAndBack": emp})
+        write_field(case_dir, "0", "epsilon.water", "volScalarField",
+                    "[0 2 -3 0 0 0 0]", "uniform 1e-4",
+                    {"walls": zg, "frontAndBack": emp})
+        # k/epsilon solver controls for the mixture system
+        fvs = os.path.join(case_dir, "system", "fvSolution")
+        txt = open(fvs).read()
+        txt = txt.replace(
+            "solvers\n{", "solvers\n{\n"
+            '    "(k|epsilon)" { solver PBiCGStab; preconditioner '
+            "DILU;\n                    tolerance 1e-08; relTol 0; }")
+        open(fvs, "w").write(txt)
     return mesh
 
 
