@@ -66,6 +66,17 @@ def source_cells(mesh, src: str, d: Dictionary, sets: dict,
         m = (t >= 0) & (t <= 1) \
             & (((C - closest) ** 2).sum(1) <= r * r)
         return np.where(m)[0]
+    if src in ("searchableSurfaceToCell", "surfaceToCell"):
+        # cells whose centre is inside a searchableSurface (reference:
+        # topoSetSources/searchableSurfaceToCell)
+        from .searchable import make_searchable
+        surf_d = d.subdict("surface", required=False)
+        if surf_d is not None:
+            surf = make_searchable(str(surf_d.word("type")), surf_d,
+                                   case_dir)
+        else:
+            surf = make_searchable(str(d.word("surface")), d, case_dir)
+        return np.where(surf.inside(C))[0]
     if src == "cellToCell":
         name = d.word("set")
         return np.asarray(sorted(sets.get(name, set())), np.int64)
