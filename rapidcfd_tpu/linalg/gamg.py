@@ -32,6 +32,28 @@ from ..mesh.mesharrays import MeshArrays, build_ell
 
 _HIERARCHY_CACHE: dict = {}
 
+# TPU-tuned hierarchy shape, used when fvSolution does not set
+# mergeLevels / nCellsInCoarsestLevel explicitly. The reference's
+# CPU-tuned defaults (mergeLevels 1 -> ratio-2 coarsening down to 32
+# cells) give a ~9-level hierarchy whose small levels are pure dispatch
+# latency on TPU. Measured on the 14k-cell unstructured channel
+# (PCG + GAMG preconditioner, fp32): ml=1/nc=32 -> 113ms/solve
+# (23 iters, 4.9 ms/iter); ml=4/nc=1024 -> 15.2ms/solve (10 iters,
+# 1.5 ms/iter). Aggressive 16:1 agglomeration costs nothing in Krylov
+# iterations while the dense MXU coarsest absorbs everything below
+# ~1k rows in one matmul.
+TPU_MERGE_LEVELS = 4
+TPU_N_COARSEST = 1024
+
+
+def gamg_shape(controls):
+    """(n_coarsest, merge_levels) with TPU-tuned defaults for entries
+    not set in fvSolution (SolverControls keeps None for those)."""
+    nc = getattr(controls, "n_coarsest_cells", None)
+    ml = getattr(controls, "merge_levels", None)
+    return (TPU_N_COARSEST if nc is None else nc,
+            TPU_MERGE_LEVELS if ml is None else ml)
+
 
 import dataclasses as _dc
 
@@ -434,10 +456,10 @@ def make_vcycle(mesh: MeshArrays, m, amul_fine, diag, controls,
             return vc
 
     import jax.errors
+    n_coarsest, merge_levels = gamg_shape(controls)
     try:
         levels = build_hierarchy(
-            mesh, n_coarsest=getattr(controls, 'n_coarsest_cells', 32),
-            merge_levels=getattr(controls, 'merge_levels', 1))
+            mesh, n_coarsest=n_coarsest, merge_levels=merge_levels)
     except jax.errors.TracerArrayConversionError as e:
         raise NotImplementedError(
             "GAMG on a traced mesh needs a precomputed hierarchy: call "

@@ -73,11 +73,11 @@ def attach_solver_layouts(mesh, controls=(), case=None):
         structured_covers = (mesh.structured is not None
                              and switches.enabled("STRUCTURED_MG"))
         if cand and not structured_covers:
-            from .gamg import build_hierarchy
-            c = cand[0]
+            from .gamg import build_hierarchy, gamg_shape
+            n_coarsest, merge_levels = gamg_shape(cand[0])
             gamg_levels = tuple(build_hierarchy(
-                mesh, n_coarsest=c.n_coarsest_cells,
-                merge_levels=c.merge_levels))
+                mesh, n_coarsest=n_coarsest,
+                merge_levels=merge_levels))
 
     if band is mesh.band and gamg_levels is mesh.gamg:
         return mesh

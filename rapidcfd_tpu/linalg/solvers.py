@@ -84,12 +84,17 @@ class SolverControls:
     max_iter: int = 1000
     min_iter: int = 0
     n_sweeps: int = 1
-    # GAMG controls (reference: GAMGSolver dict entries)
+    # GAMG controls (reference: GAMGSolver dict entries). None = "not
+    # set in fvSolution": the hierarchy builder then picks the TPU-tuned
+    # shape (shallow aggressive agglomeration + large MXU dense coarsest
+    # — linalg.gamg.gamg_shape) instead of the reference's CPU-tuned
+    # (mergeLevels 1, nCellsInCoarsestLevel 32), which is 5-7x slower
+    # per V-cycle on TPU (deep hierarchies are latency-bound).
     n_pre_sweeps: int = 0
     n_post_sweeps: int = 2
     n_finest_sweeps: int = 2
-    n_coarsest_cells: int = 32
-    merge_levels: int = 1
+    n_coarsest_cells: int | None = None
+    merge_levels: int | None = None
     # fixed coarse-correction over-relaxation for the (linear) GAMG
     # preconditioner; None = auto (2.0 — the near-optimal over-
     # correction for piecewise-constant 4:1 aggregation). Line-search
@@ -112,8 +117,12 @@ class SolverControls:
             n_pre_sweeps=int(d.scalar("nPreSweeps", 0)),
             n_post_sweeps=int(d.scalar("nPostSweeps", 2)),
             n_finest_sweeps=int(d.scalar("nFinestSweeps", 2)),
-            n_coarsest_cells=int(d.scalar("nCellsInCoarsestLevel", 32)),
-            merge_levels=int(d.scalar("mergeLevels", 1)),
+            n_coarsest_cells=(None if d.lookup("nCellsInCoarsestLevel")
+                              is None
+                              else int(d.scalar("nCellsInCoarsestLevel",
+                                                32))),
+            merge_levels=(None if d.lookup("mergeLevels") is None
+                          else int(d.scalar("mergeLevels", 1))),
             vcycle_scale=(None if d.lookup("vCycleScale") is None
                           else d.scalar("vCycleScale", 2.0)),
         )

@@ -285,7 +285,11 @@ def make_structured_vcycle(mesh, m, amul_fine, diag, controls,
     shape = structured_info(mesh)
     if shape is None:
         return None
-    n_coarsest = max(int(getattr(controls, "n_coarsest_cells", 32)), 8)
+    # the reshape-MG levels are gather-free and near-free per level, so
+    # the reference's 32-cell coarsest is the right default here (unlike
+    # the aggregation path's TPU-tuned gamg.gamg_shape)
+    n_coarsest = max(int(getattr(controls, "n_coarsest_cells", None)
+                         or 32), 8)
     n_pre = getattr(controls, "n_pre_sweeps", 0)
     n_post = getattr(controls, "n_post_sweeps", 2)
     n_finest = getattr(controls, "n_finest_sweeps", 2)

@@ -373,7 +373,6 @@ solvers
         preconditioner  GAMG;
         tolerance       1e-06;
         relTol          {p_rel_tol};
-        nCellsInCoarsestLevel 64;
     }}
     "(U|k|omega|epsilon)"
     {{
