@@ -66,7 +66,16 @@ def source_cells(mesh, src: str, d: Dictionary, sets: dict,
         m = (t >= 0) & (t <= 1) \
             & (((C - closest) ** 2).sum(1) <= r * r)
         return np.where(m)[0]
-    if src in ("searchableSurfaceToCell", "surfaceToCell"):
+    if src == "surfaceToCell":
+        # reference surfaceToCell (file/outsidePoints/includeCut/... dict
+        # contract, topoSetSource/surfaceToCell) is NOT implemented —
+        # do not silently alias it to searchableSurfaceToCell semantics
+        raise NotImplementedError(
+            "topoSet source 'surfaceToCell' (triSurface file + "
+            "outsidePoints/includeCut/nearDistance contract) is not "
+            "implemented; use 'searchableSurfaceToCell' with a "
+            "searchableSurface dict instead")
+    if src == "searchableSurfaceToCell":
         # cells whose centre is inside a searchableSurface (reference:
         # topoSetSources/searchableSurfaceToCell)
         from .searchable import make_searchable

@@ -246,8 +246,11 @@ class ChemistryModel:
         iteration advances all unfinished cells by their own h, with
         the embedded first-order error controlling h per cell. The two
         (ns x ns) solves per step are MXU-batched over cells, replacing
-        the reference's per-cell sequential LU. Returns RR: (ns,
-        nCells) net production [kg/m^3/s]."""
+        the reference's per-cell sequential LU. Returns (RR,
+        n_unfinished): RR is (ns, nCells) net production [kg/m^3/s];
+        n_unfinished counts cells that hit max_iters before reaching
+        t == dt (0 on a clean integration) so truncated integrations
+        are visible to the caller."""
         W = self.W
         c0 = (rho * Y / W[:, None]).T            # (nCells, ns)
         Tc = T
@@ -284,22 +287,30 @@ class ChemistryModel:
             c2 = c + hs * (1.5 * k1 + 0.5 * k2)
             # embedded 1st-order error: |c2 - (c + h k1)|
             err = (jnp.abs(c2 - (c + hs * k1)) / c_scale).max(axis=1)
+            # a NaN in the rates makes err NaN -> never accepted AND fac
+            # NaN would freeze h; treat NaN as a hard reject that shrinks
+            # h so the step can recover once out of the bad region
+            bad = ~jnp.isfinite(err)
+            err = jnp.where(bad, jnp.inf, err)
             accept = active & (err <= eps)
             c_new = jnp.where(accept[:, None],
                               jnp.maximum(c2, 0.0), c)
             t_new = jnp.where(accept, t + hh, t)
-            fac = jnp.clip(0.9 * jnp.sqrt(eps / jnp.maximum(err, 1e-30)),
-                           0.2, 5.0)
+            fac = jnp.where(
+                bad, 0.2,
+                jnp.clip(0.9 * jnp.sqrt(eps / jnp.maximum(err, 1e-30)),
+                         0.2, 5.0))
             h_new = jnp.where(active, jnp.maximum(h * fac, 1e-12 * dt),
                               h)
             return t_new, h_new, c_new, it + 1
 
         t0 = jnp.zeros(nC, c0.dtype)
         h0 = jnp.full((nC,), dt * 0.1, c0.dtype)
-        _, _, c_new, _ = jax.lax.while_loop(
+        t_end, _, c_new, _ = jax.lax.while_loop(
             cond, body, (t0, h0, c0, jnp.asarray(0)))
         rr = (c_new - c0).T * W[:, None] / dt              # kg/m3/s
-        return rr
+        n_unfinished = (t_end < dt).sum()
+        return rr, n_unfinished
 
     def qdot(self, rr, T):
         """Heat release rate [W/m^3]: -sum hc_i RR_i (reference:

@@ -52,6 +52,7 @@ _EA_UNITS = {
     "JOULES/MOLE": 1.0 / 8.314462618,
     "KJOULES/MOLE": 1000.0 / 8.314462618,
     "KELVINS": 1.0,
+    "KELVINS": 1.0,
     "EVOLTS": 11604.5,
 }
 
@@ -172,12 +173,26 @@ def parse_reactions_chemkin(body: str, species: list[str]):
     ea_fac = _EA_UNITS["CAL/MOLE"]
     if lines:
         for kw in lines[0].split() if not _RXN_RE.match(lines[0]) else ():
-            if kw.upper() in _EA_UNITS:
-                ea_fac = _EA_UNITS[kw.upper()]
+            kwu = kw.upper()
+            if kwu in _EA_UNITS:
+                ea_fac = _EA_UNITS[kwu]
+            elif kwu in ("REACTIONS", "REAC", "MOLES"):
+                pass  # block keyword / default concentration units
+            else:
+                # MOLECULES (A in molecules/cm3) or anything unrecognised
+                # would silently corrupt every pre-exponential by an
+                # Avogadro-scale factor — reject loudly instead.
+                raise NotImplementedError(
+                    f"chemkinReader: unsupported REACTIONS-line unit "
+                    f"keyword '{kw}' (supported: "
+                    f"{sorted(_EA_UNITS)} + MOLES)")
         if not _RXN_RE.match(lines[0]):
             lines = lines[1:]
     out = []
     last = None            # (lhs, rhs, third, effs) of previous rxn
+    cur = []               # out-indices of the current fwd(+rev) pair —
+    #                        CHEMKIN allows aux lines in any order, so an
+    #                        efficiency line after REV must patch both
     for ln in lines:
         up = ln.upper()
         if up.startswith("DUPLICATE") or up.startswith("DUP"):
@@ -199,20 +214,26 @@ def parse_reactions_chemkin(body: str, species: list[str]):
                 rhs, lhs, a * 1e-3 ** (rev_order - 1), b, ea * ea_fac,
                 reversible=False, third_body=third,
                 efficiencies=fwd.efficiencies))
+            cur.append(len(out) - 1)
             continue
         if "/" in ln and "=" not in ln:
             # third-body efficiency line: "H2O/6.0/ CO2/2.0/"
-            effs = dict(out[-1].efficiencies or ())
+            if not cur:
+                raise ValueError(
+                    "chemkinReader: third-body efficiency line before "
+                    f"any reaction: '{ln}'")
+            effs = dict(out[cur[0]].efficiencies or ())
             for m in re.finditer(r"([A-Za-z][\w()*-]*)\s*/\s*"
                                  r"([\d.eEdD+-]+)\s*/", ln):
                 sp = m.group(1).upper()
                 if sp in index:
                     effs[index[sp]] = _num(m.group(2))
-            r = out[-1]
-            out[-1] = Reaction(r.lhs, r.rhs, r.A, r.beta, r.Ta,
-                               reversible=r.reversible,
-                               third_body=r.third_body,
-                               efficiencies=tuple(sorted(effs.items())))
+            for i in cur:       # patch forward AND explicit reverse
+                r = out[i]
+                out[i] = Reaction(r.lhs, r.rhs, r.A, r.beta, r.Ta,
+                                  reversible=r.reversible,
+                                  third_body=r.third_body,
+                                  efficiencies=tuple(sorted(effs.items())))
             continue
         m = _RXN_RE.match(ln)
         if not m:
@@ -230,6 +251,7 @@ def parse_reactions_chemkin(body: str, species: list[str]):
             _num(m.group("Ea")) * ea_fac, reversible=reversible,
             third_body=third, efficiencies=()))
         last = (lhs, rhs, third, order)
+        cur = [len(out) - 1]
     return out
 
 

@@ -99,10 +99,12 @@ def make_step(case: Case, thermo, chem, ctrl: PimpleControl):
 
         # ---- chemistry.H: batched chemical integration over the
         # solver dt (EulerImplicit or the adaptive `ode` solver)
+        chem_unfinished = jnp.asarray(0)
         if chem_solver in ("none", "noChemistrySolver"):
             rr = jnp.zeros_like(Yst)
         elif chem_solver == "ode":
-            rr = chem.ode(rho.data, Yst, T.data, dt, eps=ode_eps)
+            rr, chem_unfinished = chem.ode(rho.data, Yst, T.data, dt,
+                                           eps=ode_eps)
         else:
             rr = chem.euler_implicit(rho.data, Yst, T.data, dt,
                                      n_sub=n_sub)       # kg/m3/s
@@ -233,6 +235,7 @@ def make_step(case: Case, thermo, chem, ctrl: PimpleControl):
         stats = dict(u_perf=u_perf, h_perf=h_perf, y_perf=y_perfs,
                      p_perf=tuple(p_perf_all),
                      qdot_max=jnp.max(jnp.abs(qdot)),
+                     chem_unfinished=chem_unfinished,
                      cont=(local_err, glob_err), co=co)
         return U, p, T, rho, Ys, phi, stats
 

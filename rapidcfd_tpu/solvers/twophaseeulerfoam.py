@@ -102,7 +102,10 @@ def make_step(case: Case, setup, ctrl: PimpleControl, turb=None):
     from ..fields.field import Dimensioned as _Dim
     sigma_st = _Dim.from_entry(sigma_e).value if sigma_e is not None \
         else 0.07
-    g_mag = float(jnp.linalg.norm(jnp.asarray(g))) or 9.81
+    # |g| as given — an explicit zero-g case must yield Eo = 0 in the
+    # Tomiyama/Frank correlations (the absent-g default is set where g
+    # is read, not here)
+    g_mag = float(jnp.linalg.norm(jnp.asarray(g)))
     # wall geometry for the wall-lubrication force (reference:
     # wallDependentModel yWall/nWall; n points TOWARD the wall =
     # -normalised(grad(yWall)))

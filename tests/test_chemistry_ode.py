@@ -28,7 +28,8 @@ def test_ode_matches_analytic_decay():
     rho = jnp.ones(8)
     Y = jnp.stack([jnp.ones(8), jnp.zeros(8)])
     T = jnp.full(8, 300.0)
-    rr = chem.ode(rho, Y, T, dt, eps=1e-6)
+    rr, unfinished = chem.ode(rho, Y, T, dt, eps=1e-6)
+    assert int(unfinished) == 0
     c0 = 1.0 / 28.0
     exact = (c0 * np.exp(-k * dt) - c0) / dt * 28.0
     be = (c0 / (1 + k * dt) - c0) / dt * 28.0
@@ -62,7 +63,8 @@ reactions
     rho = jnp.ones(2)
     Y = jnp.stack([jnp.full(2, 0.25)] * 4)
     T = jnp.full(2, 300.0)
-    rr = chem.ode(rho, Y, T, dt, eps=1e-5)
+    rr, unfinished = chem.ode(rho, Y, T, dt, eps=1e-5)
+    assert int(unfinished) == 0
     c0 = 0.25 / 28.0
     # fast: fully consumed within dt -> RR ~ -c0/dt
     assert abs(float(rr[0][0]) * dt / 28.0 + c0) < 0.02 * c0
@@ -167,3 +169,41 @@ def test_chemkin_falloff_rejected():
     with pytest.raises(NotImplementedError):
         parse_reactions_chemkin(
             "H+O2(+M)=HO2(+M)   1.0E12 0.44 0\n", ["H", "O2", "HO2"])
+
+
+def test_chemkin_eff_line_after_rev_patches_both():
+    """CHEMKIN allows aux lines in any order: an efficiency line after
+    REV must patch the forward AND the explicit reverse reaction."""
+    rxns = parse_reactions_chemkin(
+        "H2+O2+M=H2O+O2+M   1.0E15  0.0  1000\n"
+        "REV /2.0E14 0.0 500/\n"
+        "H2O/6.0/ N2/0.5/\n",
+        ["H2", "O2", "H2O", "N2"])
+    assert len(rxns) == 2
+    for r in rxns:
+        effs = dict(r.efficiencies)
+        assert effs[2] == 6.0 and effs[3] == 0.5
+
+
+def test_chemkin_eff_line_before_any_reaction_rejected():
+    # clear rejection, not an IndexError on out[-1]: rejected either as
+    # an unknown units keyword (first line) or as a stray aux line
+    import pytest
+    with pytest.raises((ValueError, NotImplementedError)):
+        parse_reactions_chemkin("H2O/6.0/\n", ["H2O"])
+    with pytest.raises(ValueError):
+        parse_reactions_chemkin(
+            "REACTIONS\nH2O/6.0/\nA=B 1.0 0.0 0.0\n", ["A", "B", "H2O"])
+
+
+def test_chemkin_molecules_units_rejected():
+    import pytest
+    with pytest.raises(NotImplementedError):
+        parse_reactions_chemkin(
+            "REACTIONS MOLECULES\nA=B 1.0 0.0 0.0\n", ["A", "B"])
+
+
+def test_chemkin_kelvins_units():
+    (r,) = parse_reactions_chemkin(
+        "REACTIONS KELVINS\nA=B 1.0 0.0 1234.5\n", ["A", "B"])
+    assert abs(r.Ta - 1234.5) < 1e-9
