@@ -196,21 +196,25 @@ def d2dt2(mesh: MeshArrays, vf: VolField, dt) -> FvMatrix:
 
 
 def div(mesh: MeshArrays, phi: SurfaceField, vf: VolField,
-        scheme="linear") -> FvMatrix:
+        scheme="linear", env=None) -> FvMatrix:
     """fvm::div(phi, psi) — Gauss convection (reference:
     gaussConvectionScheme: lower = -w*phi, upper = lower + phi,
     negSumDiag; boundary via the BC value-coefficient hooks). A
     ('bounded', inner) spec applies the boundedConvectionScheme
     correction -Sp(div(phi), psi) (reference: boundedConvectionScheme),
     which keeps transport bounded while the flux is not yet
-    conservative."""
+    conservative. env carries registry fields time-/state-dependent BCs
+    read at assembly time (the reference's updateCoeffs-before-assembly
+    contract); 'phi' is always provided."""
     if isinstance(scheme, tuple) and len(scheme) and scheme[0] == "bounded":
         from . import fvc
-        inner = div(mesh, phi, vf, scheme[1])
+        inner = div(mesh, phi, vf, scheme[1], env)
         div_phi = fvc.surface_sum_faces(mesh, phi.data) / mesh.V
         sp = Sp(mesh, Dimensioned("div(phi)", phi.dims / _VOL, div_phi),
                 vf)
         return inner - sp
+    env = dict(env) if env else {}
+    env.setdefault("phi", phi)
     w = scheme_weights(mesh, vf, scheme, phi)
     phi_i = phi.data[:mesh.n_internal]
     lower = -w * phi_i
@@ -243,7 +247,7 @@ def div(mesh: MeshArrays, phi: SurfaceField, vf: VolField,
             ics.append(jnp.broadcast_to(phi_b * up, shape))
             bcs_.append(jnp.broadcast_to(-phi_b * (1.0 - up), shape))
             continue
-        vic, vbc = bc.value_coeffs(mesh, patch, vf, bd, env={'phi': phi})
+        vic, vbc = bc.value_coeffs(mesh, patch, vf, bd, env=env)
         phi_b = _ext(phi_b, vbc)
         ics.append(phi_b * vic * jnp.ones_like(vbc))
         bcs_.append(-phi_b * vbc)
@@ -270,11 +274,13 @@ def _gamma_faces(mesh, gamma):
 
 
 def laplacian(mesh: MeshArrays, gamma, vf: VolField,
-              scheme: str = "orthogonal") -> FvMatrix:
+              scheme: str = "orthogonal", env=None) -> FvMatrix:
     """fvm::laplacian(gamma, psi) (reference: gaussLaplacianScheme
     fvmLaplacianUncorrected: upper = deltaCoeffs*gamma_f*magSf,
     negSumDiag; boundary via gradient-coefficient hooks). 'corrected'
-    adds the explicit non-orthogonal face-flux correction to the source."""
+    adds the explicit non-orthogonal face-flux correction to the source.
+    env carries registry fields state-dependent BCs read at assembly
+    time (the reference's updateCoeffs-before-assembly contract)."""
     g_f, g_dims = _gamma_faces(mesh, gamma)
     corrected = scheme in ("corrected", "limited")
     dc = mesh.nonorth_delta_coeffs if corrected else mesh.delta_coeffs
@@ -296,12 +302,12 @@ def laplacian(mesh: MeshArrays, gamma, vf: VolField,
             # implicit interface: snGrad = dc*(ghost - psi_c); the
             # ghost part's coefficient (per unit ghost, explicit-sign
             # convention) goes to boundary_coeffs for the SpMV hook
-            gic = bc.gradient_internal_coeff(mesh, patch, vf, bd)
+            gic = bc.gradient_internal_coeff(mesh, patch, vf, bd, env)
             gbx = _ext(gb, gic)
             ics.append(gbx * gic)
             bcs_.append(gbx * gic)      # = -gb*dc
             continue
-        gic, gbc = bc.gradient_coeffs(mesh, patch, vf, bd)
+        gic, gbc = bc.gradient_coeffs(mesh, patch, vf, bd, env)
         gb = _ext(gb, gbc)
         ics.append(gb * gic * jnp.ones_like(gbc))
         bcs_.append(-gb * gbc)

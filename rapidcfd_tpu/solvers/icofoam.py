@@ -47,17 +47,23 @@ def continuity_errors(mesh, phi: SurfaceField):
 def piso_step(mesh, U: VolField, p: VolField, phi: SurfaceField, dt, nu,
               *, div_scheme, lap_corr, u_controls, p_controls,
               p_final_controls, n_correctors: int, n_non_orth: int,
-              p_ref_cell, p_ref_value, p_ref_weight=1.0):
+              p_ref_cell, p_ref_value, p_ref_weight=1.0, t=None):
     """One PISO timestep (pure; works single-chip or inside shard_map —
-    in the latter case p_ref_cell/p_ref_weight are per-shard values)."""
+    in the latter case p_ref_cell/p_ref_weight are per-shard values).
+    t is the (traced) end-of-step time consumed by time-varying BCs
+    (oscillatingFixedValue, uniform tables — reference: updateCoeffs
+    reading db().time())."""
     U = U.store_old()
+    env = {"phi": phi, "dt": dt}
+    if t is not None:
+        env["t"] = t
 
     # momentum predictor (UEqn.H)
     UEqn = (fvm.ddt(mesh, U, dt)
-            + fvm.div(mesh, phi, U, div_scheme)
-            - fvm.laplacian(mesh, nu, U, lap_corr))
+            + fvm.div(mesh, phi, U, div_scheme, env)
+            - fvm.laplacian(mesh, nu, U, lap_corr, env))
     U, u_perf = solve(mesh, UEqn == (-fvc.grad(mesh, p)),
-                      u_controls, env={"phi": phi})
+                      u_controls, env=env)
 
     p_perf_all = []
     for corr in range(n_correctors):
@@ -81,8 +87,9 @@ def piso_step(mesh, U: VolField, p: VolField, phi: SurfaceField, dt, nu,
         phi = phi_hbya - pEqn.replace(psi=p).flux(mesh)
         grad_p = fvc.grad(mesh, p)
         U_star = HbyA - rAU * grad_p
+        env = dict(env, phi=phi)
         U = U.replace(data=U_star.data).correct_boundary_conditions(
-            mesh, env={"phi": phi})
+            mesh, env=env)
 
     local_err, glob_err = continuity_errors(mesh, phi)
     co_mean, co_max = courant_number(mesh, phi, dt)
@@ -119,11 +126,12 @@ def make_step(case: Case, nu, n_correctors: int,
     mesh = jax.device_put(mesh)
 
     @jax.jit
-    def _step(mesh, U: VolField, p: VolField, phi: SurfaceField, dt):
-        return piso_step(mesh, U, p, phi, dt, nu_fn(U), **kw)
+    def _step(mesh, U: VolField, p: VolField, phi: SurfaceField, dt, t):
+        return piso_step(mesh, U, p, phi, dt, nu_fn(U), t=t, **kw)
 
-    def step(U, p, phi, dt):
-        return _step(mesh, U, p, phi, dt)
+    def step(U, p, phi, dt, t=None):
+        return _step(mesh, U, p, phi, dt,
+                     jnp.asarray(0.0) if t is None else t)
 
     return step
 
@@ -154,24 +162,25 @@ def make_chained_step(case: Case, nu, n_correctors: int,
     mesh = jax.device_put(mesh)
 
     @jax.jit
-    def _steps(mesh, U: VolField, p: VolField, phi: SurfaceField, dt):
+    def _steps(mesh, U: VolField, p: VolField, phi: SurfaceField, dt, t0):
         # prime the old-time slot so the scan carry is structurally
         # stable (piso_step's store_old then refreshes it every step)
         if U.old is None:
             U = U.store_old()
 
-        def body(carry, _):
+        def body(carry, k):
             U, p, phi = carry
             U, p, phi, stats = piso_step(mesh, U, p, phi, dt, nu_fn(U),
-                                         **kw)
+                                         t=t0 + (k + 1) * dt, **kw)
             return (U, p, phi), stats
 
-        (U, p, phi), stats = jax.lax.scan(body, (U, p, phi), None,
-                                          length=chain)
+        (U, p, phi), stats = jax.lax.scan(body, (U, p, phi),
+                                          jnp.arange(chain))
         return U, p, phi, stats
 
-    def steps(U, p, phi, dt):
-        return _steps(mesh, U, p, phi, dt)
+    def steps(U, p, phi, dt, t0=None):
+        return _steps(mesh, U, p, phi, dt,
+                      jnp.asarray(0.0) if t0 is None else t0)
 
     return steps
 
@@ -218,7 +227,8 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None,
     n = 0
     while case.time.loop():
         info(f"Time = {case.time.name}\n")
-        U, p, phi, stats = step(U, p, phi, case.time.delta_t)
+        U, p, phi, stats = step(U, p, phi, case.time.delta_t,
+                                jnp.asarray(case.time.value))
 
         co_mean, co_max = stats["co"]
         log_courant(co_mean, co_max)
