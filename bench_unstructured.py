@@ -29,6 +29,9 @@ def main():
                     help="also iterate to residualControl convergence "
                          "and report the iteration count")
     ap.add_argument("--x64", action="store_true")
+    ap.add_argument("--no-gdia", action="store_true",
+                    help="force the generic gather path (the gdia "
+                         "lattice mode is the default)")
     args = ap.parse_args()
 
     import jax
@@ -47,12 +50,14 @@ def main():
 
     d = tempfile.mkdtemp(prefix="bench_unstr_")
     t0 = time.perf_counter()
+    lat = None if args.no_gdia else {}
     pmesh = unstructured_channel_case(
         d, nx=args.nx, ny=args.ny, nz=args.nz, end_time=10**9,
-        perturb=0.12, merge_fraction=0.04, seed=3, write_mesh=False)
-    case = Case(d, pmesh=pmesh)
+        perturb=0.12, merge_fraction=0.04, seed=3, write_mesh=False,
+        lattice_out=lat)
+    case = Case(d, pmesh=pmesh, lattice=lat)
     mesh_s = time.perf_counter() - t0
-    n_cells = case.mesh.n_cells
+    n_cells = pmesh.n_cells   # real cells (gdia pads to the lattice)
 
     p = case.read_field("p")
     U = case.read_field("U")

@@ -59,7 +59,13 @@ def attach_solver_layouts(mesh, controls=(), case=None):
 
     band = mesh.band
     if band is None:
-        band = compute_band_layout(mesh)
+        if getattr(mesh, "gdia", None) is not None:
+            # gdia lattices have their own shift SpMV (mesh/gdia.py);
+            # record "derived, unsuitable" so nothing re-derives
+            from .banded import BandLayout
+            band = BandLayout()
+        else:
+            band = compute_band_layout(mesh)
 
     gamg_levels = mesh.gamg
     if gamg_levels is None:
@@ -70,7 +76,8 @@ def attach_solver_layouts(mesh, controls=(), case=None):
         # geometric MG (linalg/structured_mg.py) — the aggregation
         # hierarchy would be dead weight on them
         from ..utils import switches
-        structured_covers = (mesh.structured is not None
+        structured_covers = ((mesh.structured is not None
+                              or getattr(mesh, "gdia", None) is not None)
                              and switches.enabled("STRUCTURED_MG"))
         if cand and not structured_covers:
             from .gamg import build_hierarchy, gamg_shape

@@ -159,6 +159,17 @@ def _norm_factor(amul, psi, source, apsi, v_ones):
             + _SMALL)
 
 
+def _gdia_sync(mesh, x):
+    """Restore the ghost-synced field invariant after a solve on a gdia
+    lattice mesh (mesh/gdia.py): solver iterations leave ghost slots at
+    their (stale) initial values."""
+    g = getattr(mesh, "gdia", None)
+    if g is None:
+        return x
+    from ..mesh import gdia as gd
+    return gd.sync(g, x)
+
+
 def solve_component(mesh: MeshArrays, m: FvMatrix, cmpt: int | None,
                     controls: SolverControls):
     """Solve one scalar component of the system; returns (psi, perf)."""
@@ -416,6 +427,7 @@ def solve(mesh: MeshArrays, m: FvMatrix, controls: SolverControls,
     if psi.data.ndim == 1:
         x, perf = solve_component(mesh, m, None, controls)
         x = _repin_reference(m, x)
+        x = _gdia_sync(mesh, x)
         new = psi.replace(data=x).correct_boundary_conditions(mesh, env)
         return new, (perf,)
     n_comp = psi.data.shape[1]
@@ -425,7 +437,7 @@ def solve(mesh: MeshArrays, m: FvMatrix, controls: SolverControls,
             x, perf = solve_component(mesh, m, cmpt, controls)
             comps.append(x)
             perfs.append(perf)
-        data = jnp.stack(comps, axis=1)
+        data = _gdia_sync(mesh, jnp.stack(comps, axis=1))
         new = psi.replace(data=data).correct_boundary_conditions(mesh, env)
         return new, tuple(perfs)
 
@@ -447,6 +459,7 @@ def solve(mesh: MeshArrays, m: FvMatrix, controls: SolverControls,
         perf = (z, z, jnp.asarray(0, jnp.int32))
     else:
         raise KeyError(f"unknown linear solver '{name}'")
+    x = _gdia_sync(mesh, x)
     new = psi.replace(data=x).correct_boundary_conditions(mesh, env)
     res0, res, it = perf
     perfs = tuple((res0[c], res[c], it) for c in range(n_comp))

@@ -42,6 +42,8 @@ def structured_info(mesh):
     3D {±1, ±nx, ±nx*ny} (x fastest, natural ordering)."""
     if getattr(mesh, "structured", None) is not None:
         return mesh.structured.shape
+    if getattr(mesh, "gdia", None) is not None:
+        return mesh.gdia.shape
     traced = isinstance(mesh.cell_nbr, jax.core.Tracer)
     key = id(mesh.cell_nbr)
     if not traced:
@@ -306,6 +308,19 @@ def make_structured_vcycle(mesh, m, amul_fine, diag, controls,
         for d in (1, nx, nx * ny):
             planes0.setdefault(d, None)
             planes0.setdefault(-d, None)
+    elif getattr(mesh, "gdia", None) is not None:
+        # gdia lattice: planes are slices of the plane-ordered faces.
+        # The ghost fold/sync coupling of merged cells is NOT in the
+        # planes — the V-cycle preconditions the pure-lattice operator
+        # (exact for ~96% of faces); the Krylov wrapper supplies the
+        # exact matrix. The cycle output is masked to primary slots so
+        # the preconditioner stays SPD on the live subspace.
+        from ..mesh import gdia as gd
+        planes0 = {d: c.reshape(shape) for d, c in
+                   gd.dia_planes(mesh.gdia, m.lower, m.upper)}
+        for d in (1, nx, nx * ny):
+            planes0.setdefault(d, None)
+            planes0.setdefault(-d, None)
     else:
         planes0 = _planes_from_ell(mesh, m.ell_coeffs(mesh), shape)
     lv0 = GridLevel(shape, d0, planes0)
@@ -403,6 +418,12 @@ def make_structured_vcycle(mesh, m, amul_fine, diag, controls,
             xi = xs[i] + corr
             sweeps = n_finest if i == 0 else n_post
             xs[i] = smooth(i, bs[i], xi, sweeps)
+        if getattr(mesh, "gdia", None) is not None:
+            # project onto the live (primary-slot) subspace: keeps the
+            # preconditioner symmetric positive on the folded system
+            prim = mesh.gdia.primary.reshape(
+                (nz, ny, nx) + (1,) * (x.ndim - 1))
+            xs[0] = xs[0] * prim
         return xs[0].reshape(x.shape)
 
     return vcycle

@@ -114,6 +114,18 @@ class MeshArrays:
     # concrete mesh on demand; gather/raise on tracers).
     band: object = None   # linalg.banded.BandLayout | None
     gamg: object = None   # tuple[linalg.gamg.Level, ...] | None
+    # generalized-DIA lattice embedding (mesh/gdia.py GdiaInfo), or None.
+    # When set, cells are lattice SLOTS (n_cells == n_lat, ghost slots
+    # mirror their primary), internal faces are offset planes, and every
+    # hot finite-volume kernel is shift/slice-based (zero gathers).
+    gdia: object = None
+    # per-slot assembly volume (ghost slots 0 so folded cell integrals
+    # are exact); None = use V (ordinary meshes)
+    V_assemble: jax.Array | None = None
+
+    @property
+    def V_asm(self) -> jax.Array:
+        return self.V if self.V_assemble is None else self.V_assemble
 
     # -- helpers -----------------------------------------------------------
     @property
@@ -197,7 +209,11 @@ class MeshMaps:
         return file_order[self.cell_perm]
 
     def cells_to_file(self, dev_order: np.ndarray) -> np.ndarray:
-        out = np.empty_like(dev_order)
+        # gdia meshes are PADDED (n_device >= n_file, ghost slots carry
+        # duplicate cell ids with identical synced values)
+        n_file = int(self.cell_perm.max()) + 1 if self.cell_perm.size \
+            else 0
+        out = np.empty((n_file,) + dev_order.shape[1:], dev_order.dtype)
         out[self.cell_perm] = dev_order
         return out
 
@@ -423,3 +439,178 @@ def _build_ami(mesh: PolyMesh, patches, Cf, b_dc, n_int, dtype):
             w_face=jnp.asarray(w_face, dtype),
             rot=(None if t.rot is None else jnp.asarray(t.rot, dtype))))
     return tuple(out)
+
+
+def build_gdia_mesh_arrays(mesh: PolyMesh, lattice: dict, *, dtype=None
+                           ) -> tuple[MeshArrays, PolyMesh, "MeshMaps"]:
+    """Build MeshArrays in the generalized-DIA lattice mode (mesh/gdia.py).
+
+    `lattice` is the embedding produced by utils.unstructured
+    (unstructured_box(lattice_out=...)): shape (nz,ny,nx), slot_cell
+    (n_lat,) compacted cell per lattice slot, ghost_lead (n_lat,) leader
+    slot per slot, orig_own_int/orig_nei_int (per kept internal face, in
+    face order) and orig_own_bnd.
+
+    Cells become lattice slots (fields padded, ghost slots mirroring
+    their primary); internal faces become up to three full (n_lat,)
+    offset planes with zero-area dummies, so assembly and SpMV are pure
+    slices/shifts (reference gather counterpart:
+    lduAddressing.H:243-252, lduMatrixATmul.C:43-140).
+    """
+    if dtype is None:
+        dtype = default_dtype()
+    from .geometry import (cell_centres_and_vols, face_centres_and_areas,
+                           interpolation_coeffs)
+    from .gdia import GdiaInfo
+
+    nz, ny, nx = lattice["shape"]
+    n_lat = nz * ny * nx
+    slot_cell = np.asarray(lattice["slot_cell"], np.int64)
+    ghost_lead = np.asarray(lattice["ghost_lead"], np.int64)
+    oo = np.asarray(lattice["orig_own_int"], np.int64)
+    on = np.asarray(lattice["orig_nei_int"], np.int64)
+    ob = np.asarray(lattice["orig_own_bnd"], np.int64)
+    flip = np.asarray(lattice.get(
+        "flip_int", np.zeros(oo.size, dtype=bool)))
+    assert slot_cell.size == n_lat, (slot_cell.size, n_lat)
+
+    # geometry on the REAL mesh (compacted cells, real faces)
+    Cf, Sf = face_centres_and_areas(mesh)
+    C, V = cell_centres_and_vols(mesh, Cf, Sf)
+    coeffs = interpolation_coeffs(mesh, C, Cf, Sf)
+    n_int_r = mesh.n_internal_faces
+    nf_r = mesh.n_faces
+    n_bnd = nf_r - n_int_r
+
+    # plane classification: every kept internal face separates two
+    # lattice-adjacent slots (merging only removes faces)
+    steps = []
+    if nx > 1:
+        steps.append(1)
+    if ny > 1:
+        steps.append(nx)
+    if nz > 1:
+        steps.append(nx * ny)
+    d = on - oo
+    plane_of = np.full(n_int_r, -1, np.int64)
+    for pi, st in enumerate(steps):
+        plane_of[d == st] = pi
+    if (plane_of < 0).any():
+        bad = np.nonzero(plane_of < 0)[0][:5]
+        raise ValueError(
+            f"gdia: {int((plane_of < 0).sum())} internal faces are not "
+            f"lattice-adjacent (first offsets {d[bad]})")
+    n_planes = len(steps)
+    n_pl = n_planes * n_lat
+    pos = plane_of * n_lat + oo          # padded slot per real face
+    n_faces_pad = n_pl + n_bnd
+
+    def place_f(real, dummy, width=None):
+        shp = (n_faces_pad,) + real.shape[1:]
+        out = np.full(shp, dummy, real.dtype)
+        out[pos] = real[:n_int_r]
+        out[n_pl:] = real[n_int_r:]
+        return out
+
+    def place_int(real, dummy):
+        shp = (n_pl,) + real.shape[1:]
+        out = np.full(shp, dummy, real.dtype)
+        out[pos] = real
+        return out
+
+    # flipped faces (compact owner order opposite to slot order) are
+    # re-oriented into the slot convention: Sf/corr negate, w -> 1-w
+    sgn_int = np.where(flip, -1.0, 1.0)
+    Sf_slot = Sf.copy()
+    Sf_slot[:n_int_r] *= sgn_int[:, None]
+    w_slot = np.asarray(coeffs["weights"]).copy()
+    w_slot[flip] = 1.0 - w_slot[flip]
+    cv_slot = np.asarray(coeffs["corr_vecs"]).copy()
+    cv_slot[flip] *= -1.0
+    Sf_pad = place_f(Sf_slot, 0.0)
+    Cf_pad = place_f(Cf, 0.0)
+    w_pad = place_int(w_slot, 0.5)
+    dc_pad = place_int(np.asarray(coeffs["delta_coeffs"]), 1.0)
+    ndc_pad = place_int(np.asarray(coeffs["nonorth_delta_coeffs"]), 1.0)
+    cv_pad = place_int(cv_slot, 0.0)
+
+    # slot-space owner/neighbour (edge dummies clipped; their
+    # coefficients are identically zero)
+    slot_ids = np.arange(n_lat, dtype=np.int64)
+    own_pad = np.concatenate([slot_ids] * n_planes + [ob])
+    nei_pad = np.concatenate(
+        [np.minimum(slot_ids + st, n_lat - 1) for st in steps])
+
+    # masks / per-slot info
+    is_ghost = ghost_lead != slot_ids
+    ghost_axis = np.full(n_lat, -1, np.int64)
+    for pi, st in enumerate(steps):
+        ghost_axis[is_ghost & (slot_ids - ghost_lead == st)] = pi
+    if (is_ghost & (ghost_axis < 0)).any():
+        raise ValueError("gdia: ghost slot not lattice-adjacent to its "
+                         "primary (chained merges unsupported)")
+    primary = (~is_ghost).astype(np.float64)
+
+    # ELL fallback over the padded layout (dummies excluded)
+    active = np.zeros(n_faces_pad, dtype=bool)
+    active[pos] = True
+    patches = []
+    for p in mesh.patches:
+        patches.append(Patch(p.name, p.type,
+                             p.start_face - n_int_r + n_pl, p.n_faces,
+                             p.start_face - n_int_r))
+        if p.type == "empty":
+            active[p.start_face - n_int_r + n_pl:
+                   p.start_face - n_int_r + n_pl + p.n_faces] = False
+    active[n_pl:] |= False
+    bactive = np.ones(n_bnd, dtype=bool)
+    for p in patches:
+        if p.is_empty:
+            bactive[p.bstart:p.bstart + p.size] = False
+    active[n_pl:] = bactive
+    ell = build_ell(own_pad, nei_pad, n_lat, n_pl, active)
+
+    ginfo = GdiaInfo(
+        ghost_prev=tuple(
+            jnp.asarray((ghost_axis == pi).astype(np.float64), dtype)
+            for pi in range(n_planes)),
+        dead=jnp.zeros(n_lat, dtype),
+        primary=jnp.asarray(primary, dtype),
+        shape=(nz, ny, nx), sync_iters=1,
+        axes=(nx > 1, ny > 1, nz > 1),
+    )
+
+    V_slot = np.where(primary > 0, V[slot_cell], 0.0)
+    idt = jnp.int32
+    ma = MeshArrays(
+        owner=jnp.asarray(own_pad, idt),
+        neighbour=jnp.asarray(nei_pad, idt),
+        Sf=jnp.asarray(Sf_pad, dtype),
+        mag_sf=jnp.asarray(np.linalg.norm(Sf_pad, axis=1), dtype),
+        Cf=jnp.asarray(Cf_pad, dtype),
+        C=jnp.asarray(C[slot_cell], dtype),
+        V=jnp.asarray(V[slot_cell], dtype),
+        weights=jnp.asarray(w_pad, dtype),
+        delta_coeffs=jnp.asarray(dc_pad, dtype),
+        nonorth_delta_coeffs=jnp.asarray(ndc_pad, dtype),
+        corr_vecs=jnp.asarray(cv_pad, dtype),
+        b_delta_coeffs=jnp.asarray(coeffs["b_delta_coeffs"], dtype),
+        b_nonorth_delta_coeffs=jnp.asarray(
+            coeffs["b_nonorth_delta_coeffs"], dtype),
+        cell_faces=jnp.asarray(ell["cell_faces"], idt),
+        cell_sign=jnp.asarray(ell["cell_sign"], dtype),
+        cell_nbr=jnp.asarray(ell["cell_nbr"], idt),
+        ell_coeff_idx=jnp.asarray(ell["ell_idx"], idt),
+        internal_mask=jnp.asarray(ell["internal_mask"], dtype),
+        n_cells=n_lat, n_faces=n_faces_pad, n_internal=n_pl,
+        K=ell["K"], patches=tuple(patches), structured=None,
+        ami=(), gdia=ginfo,
+        V_assemble=jnp.asarray(V_slot, dtype),
+    )
+    # maps: slot -> real cell (ghosts share their primary's cell, so
+    # reading pads ghost-synced automatically and writing is idempotent);
+    # padded face -> real face (dummies -> sentinel n_faces_real)
+    face_perm = np.full(n_faces_pad, nf_r, np.int64)
+    face_perm[pos] = np.arange(n_int_r)
+    face_perm[n_pl:] = np.arange(n_int_r, nf_r)
+    return ma, mesh, MeshMaps(slot_cell.copy(), face_perm)

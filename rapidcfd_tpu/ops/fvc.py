@@ -49,13 +49,18 @@ def interpolate(mesh: MeshArrays, vf: VolField, scheme: str = "linear",
 # ---------------------------------------------------------------------------
 
 def surface_sum_faces(mesh: MeshArrays, face_data: jnp.ndarray,
-                      signed: bool = True) -> jnp.ndarray:
+                      signed: bool = True, raw: bool = False
+                      ) -> jnp.ndarray:
     """Per-cell sum of face data over the cell's ELL slots.
 
     The TPU equivalent of the reference's cell-gather functor
     (fvcSurfaceIntegrate.C:41-100): out[c] = sum_k sign[c,k]*x[face[c,k]].
     Structured boxes use the gather-free padded-difference kernels
-    (mesh/structured.py)."""
+    (mesh/structured.py); gdia lattice meshes the plane-shift kernels
+    (mesh/gdia.py). On gdia meshes the result is folded to primary slots
+    and ghost-synced (cell-field semantics) unless raw=True, which keeps
+    the per-SLOT partial sums (assembly space: the matrix fold happens
+    later in component_system)."""
     s = mesh.structured
     if s is not None:
         from ..mesh import structured as st
@@ -64,6 +69,20 @@ def surface_sum_faces(mesh: MeshArrays, face_data: jnp.ndarray,
         out = st.add_boundary_to_grid(mesh, s, out,
                                       face_data[mesh.n_internal:])
         return out.reshape((mesh.n_cells,) + face_data.shape[1:])
+    g = mesh.gdia
+    if g is not None:
+        from ..mesh import gdia as gd
+        out = gd.surface_sum_internal(g, face_data[:mesh.n_internal],
+                                      signed)
+        bvals = face_data[mesh.n_internal:]
+        for p in mesh.patches:
+            if p.is_empty or p.size == 0:
+                continue
+            out = out.at[mesh.patch_face_cells(p)].add(
+                bvals[p.bstart:p.bstart + p.size])
+        if raw:
+            return out
+        return gd.sync(g, gd.fold(g, out))
     gathered = jnp.take(face_data, mesh.cell_faces, axis=0)
     w = mesh.cell_sign if signed else jnp.abs(mesh.cell_sign)
     return (gathered * _ext(w, gathered)).sum(axis=1)
@@ -290,6 +309,9 @@ def face_own_nei(mesh: MeshArrays, data: jnp.ndarray):
     if s is not None:
         from ..mesh import structured as st
         return st.own_nei(s, data)
+    if mesh.gdia is not None:
+        from ..mesh import gdia as gd
+        return gd.face_own_nei(mesh.gdia, data)
     own = jnp.take(data, mesh.owner[:mesh.n_internal], axis=0)
     nei = jnp.take(data, mesh.neighbour, axis=0)
     return own, nei

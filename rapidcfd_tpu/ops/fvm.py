@@ -34,10 +34,15 @@ def _pair_gather(mesh: MeshArrays, own_arr, nei_arr):
 def _neg_sum_diag(mesh: MeshArrays, lower, upper):
     """diag[own] -= lower[f]; diag[nei] -= upper[f] (lduMatrix::negSumDiag),
     as a gather: owner slot of face f must read lower[f]. Structured
-    boxes use padded sums (mesh/structured.py)."""
+    boxes use padded sums (mesh/structured.py); gdia lattices use the
+    plane-shift kernels (per-SLOT diag — the matrix fold to primary rows
+    happens in component_system)."""
     if mesh.structured is not None:
         from ..mesh import structured as st
         return st.neg_sum_diag(mesh.structured, lower, upper)
+    if mesh.gdia is not None:
+        from ..mesh import gdia as gd
+        return gd.neg_sum_diag(mesh.gdia, lower, upper)
     return -_pair_gather(mesh, lower, upper).sum(axis=1)
 
 
@@ -117,16 +122,16 @@ def ddt(mesh: MeshArrays, vf: VolField, dt, scheme: str = "Euler",
         coef = jnp_.where(steps > 1, 1.0 + oc, 1.0)
         rdt = coef / dt
         if coeff is None:
-            diag = mesh.V * rdt
-            src = _ext(mesh.V, vf.old.data) * (
+            diag = mesh.V_asm * rdt
+            src = _ext(mesh.V_asm, vf.old.data) * (
                 rdt * vf.old.data + oc * ddt0_d)
         else:
             if coeff.old is None:
                 raise ValueError(
                     f"ddt({coeff.name},{vf.name}): coefficient has no "
                     f"old-time level")
-            diag = mesh.V * rdt * coeff.data
-            src = _ext(mesh.V, vf.old.data) * (
+            diag = mesh.V_asm * rdt * coeff.data
+            src = _ext(mesh.V_asm, vf.old.data) * (
                 _ext(rdt * coeff.old.data, vf.old.data)
                 * vf.old.data + oc * ddt0_d)
         return m.replace(diag=diag, source=src)
@@ -139,15 +144,15 @@ def ddt(mesh: MeshArrays, vf: VolField, dt, scheme: str = "Euler",
             raise ValueError(f"ddt({vf.name}): no old-time field stored")
         rdt = 1.0 / dt
         if coeff is None:
-            diag = mesh.V * rdt
+            diag = mesh.V_asm * rdt
             src = _ext(diag, vf.old.data) * vf.old.data
         else:
             if coeff.old is None:
                 raise ValueError(
                     f"ddt({coeff.name},{vf.name}): coefficient has no "
                     f"old-time level")
-            diag = mesh.V * rdt * coeff.data
-            src = _ext(mesh.V * rdt * coeff.old.data, vf.old.data) \
+            diag = mesh.V_asm * rdt * coeff.data
+            src = _ext(mesh.V_asm * rdt * coeff.old.data, vf.old.data) \
                 * vf.old.data
         return m.replace(diag=diag, source=src)
     if scheme == "backward":
@@ -159,16 +164,16 @@ def ddt(mesh: MeshArrays, vf: VolField, dt, scheme: str = "Euler",
             return ddt(mesh, vf, dt, "Euler", coeff)
         rdt = 1.0 / dt
         if coeff is None:
-            diag = 1.5 * mesh.V * rdt
-            vrdt = _ext(mesh.V * rdt, vf.old.data)
+            diag = 1.5 * mesh.V_asm * rdt
+            vrdt = _ext(mesh.V_asm * rdt, vf.old.data)
             src = 2.0 * vrdt * vf.old.data - 0.5 * vrdt * vf.old.old.data
             return m.replace(diag=diag, source=src)
         # coefficient form (reference backwardDdtScheme::fvmDdt(rho,vf)):
         # diag = 3/2 rho V/dt, source = (2 rho0 psi0 - 1/2 rho00 psi00)V/dt
         if coeff.old is None or coeff.old.old is None:
             return ddt(mesh, vf, dt, "Euler", coeff)
-        diag = 1.5 * mesh.V * rdt * coeff.data
-        vrdt = mesh.V * rdt
+        diag = 1.5 * mesh.V_asm * rdt * coeff.data
+        vrdt = mesh.V_asm * rdt
         src = _ext(2.0 * vrdt * coeff.old.data, vf.old.data) \
             * vf.old.data \
             - _ext(0.5 * vrdt * coeff.old.old.data, vf.old.old.data) \
@@ -189,7 +194,7 @@ def d2dt2(mesh: MeshArrays, vf: VolField, dt) -> FvMatrix:
         raise ValueError(f"d2dt2({vf.name}): needs two old-time levels")
     m = FvMatrix.zeros(mesh, vf, vf.dims * _VOL / (_TIME * _TIME),
                        symmetric=True)
-    diag = mesh.V / (dt * dt)
+    diag = mesh.V_asm / (dt * dt)
     src = _ext(diag, vf.old.data) \
         * (2.0 * vf.old.data - vf.old.old.data)
     return m.replace(diag=diag, source=src)
@@ -329,7 +334,7 @@ def laplacian(mesh: MeshArrays, gamma, vf: VolField,
             [corr, jnp.zeros((mesh.n_boundary,) + corr.shape[1:],
                              corr.dtype)], axis=0)
         # the correction joins the operator E, i.e. leaves the source
-        corr_cells = fvc.surface_sum_faces(mesh, full)
+        corr_cells = fvc.surface_sum_faces(mesh, full, raw=True)
         m = m.replace(source=m.source - corr_cells)
     return m
 
@@ -342,22 +347,22 @@ def Sp(mesh: MeshArrays, sp, vf: VolField) -> FvMatrix:
     """Implicit source fvm::Sp(sp, psi): E += sp*V*psi."""
     sp_data, sp_dims = _coeff(sp)
     m = FvMatrix.zeros(mesh, vf, sp_dims * vf.dims * _VOL, symmetric=True)
-    return m.replace(diag=mesh.V * sp_data)
+    return m.replace(diag=mesh.V_asm * sp_data)
 
 
 def Su(mesh: MeshArrays, su, vf: VolField) -> FvMatrix:
     """Explicit source fvm::Su(su, psi): E += su*V."""
     su_data, su_dims = _coeff(su)
     m = FvMatrix.zeros(mesh, vf, su_dims * _VOL, symmetric=True)
-    return m.replace(source=m.source - _ext(mesh.V, m.source) * su_data)
+    return m.replace(source=m.source - _ext(mesh.V_asm, m.source) * su_data)
 
 
 def SuSp(mesh: MeshArrays, sp, vf: VolField) -> FvMatrix:
     """fvm::SuSp: implicit where stabilizing (sp>0), explicit otherwise."""
     sp_data, sp_dims = _coeff(sp)
     m = FvMatrix.zeros(mesh, vf, sp_dims * vf.dims * _VOL, symmetric=True)
-    diag = mesh.V * jnp.maximum(sp_data, 0.0)
-    src = -_ext(mesh.V * jnp.minimum(sp_data, 0.0), vf.data) * vf.data
+    diag = mesh.V_asm * jnp.maximum(sp_data, 0.0)
+    src = -_ext(mesh.V_asm * jnp.minimum(sp_data, 0.0), vf.data) * vf.data
     return m.replace(diag=diag, source=src)
 
 

@@ -78,7 +78,7 @@ class FvMatrix:
                                   for p in mesh.patches),
             boundary_coeffs=tuple(z((p.size,) + rank, dt)
                                   for p in mesh.patches),
-            psi=psi, V=mesh.V, dims=dims, symmetric=symmetric)
+            psi=psi, V=mesh.V_asm, dims=dims, symmetric=symmetric)
 
     def replace(self, **kw) -> "FvMatrix":
         return dataclasses.replace(self, **kw)
@@ -144,6 +144,9 @@ class FvMatrix:
             from ..mesh import structured as st
             planes = st.dia_planes(s, self.lower, self.upper)
             return st.offdiag_mv_from_planes(planes, mesh.n_cells)
+        if mesh.gdia is not None:
+            from ..mesh import gdia as gd
+            return gd.offdiag_mv(mesh.gdia, self.lower, self.upper)
         from ..linalg.banded import make_offdiag_mv
         ell = self.ell_coeffs(mesh)
         mv = make_offdiag_mv(mesh, ell)
@@ -177,6 +180,7 @@ class FvMatrix:
             diag = mesh.add_at_patch_cells(p, diag, ic)
             if not cpl:
                 src = mesh.add_at_patch_cells(p, src, bc)
+        diag, src = self._gdia_fold_system(mesh, diag, src, None)
         return diag, self._compat_project(src)
 
     def component_system(self, mesh: MeshArrays, cmpt: int | None):
@@ -194,7 +198,27 @@ class FvMatrix:
             diag = mesh.add_at_patch_cells(p, diag, icc)
             if not cpl:
                 src = mesh.add_at_patch_cells(p, src, bcc)
+        diag, src = self._gdia_fold_system(mesh, diag, src, cmpt)
         return diag, self._compat_project(src)
+
+    def _gdia_fold_system(self, mesh, diag, src, cmpt):
+        """gdia lattice meshes: fold per-slot diag/source contributions
+        (ghost rows) into the primary rows and give ghost/dead slots the
+        trivial equation 1*x = psi (zero residual at the current state;
+        mesh/gdia.py fold_diag). No-op on ordinary meshes."""
+        g = mesh.gdia
+        if g is None:
+            return diag, src
+        from ..mesh import gdia as gd
+        psi = self.psi.data
+        if cmpt is not None and psi.ndim > 1:
+            psi = psi[:, cmpt]
+        diag, _ = gd.fold_diag(g, diag)
+        src = gd.fold(g, src)
+        prim = g.primary.reshape(g.primary.shape
+                                 + (1,) * (src.ndim - 1))
+        src = src * prim + (1.0 - prim) * psi
+        return diag, src
 
     def _compat_project(self, src):
         """fp32 compatibility projection for setReference'd (pure-
@@ -252,6 +276,9 @@ class FvMatrix:
                 continue
             icc = ic.mean(axis=-1) if ic.ndim > 1 else ic
             diag = mesh.add_at_patch_cells(p, diag, icc)
+        if mesh.gdia is not None:
+            from ..mesh import gdia as gd
+            diag = gd.sync(mesh.gdia, gd.fold(mesh.gdia, diag))
         return _extrapolated(mesh, diag / mesh.V,
                              self.dims / (self.psi.dims * _VOL_DIMS),
                              f"A({self.psi.name})")
@@ -270,6 +297,9 @@ class FvMatrix:
             if cpl:
                 bc = bc * mesh.ami_ghost(p, psi)
             h = mesh.add_at_patch_cells(p, h, bc)
+        if mesh.gdia is not None:
+            from ..mesh import gdia as gd
+            h = gd.sync(mesh.gdia, gd.fold(mesh.gdia, h))
         h = h / _ext(mesh.V, h)
         return _extrapolated(mesh, h, self.dims / _VOL_DIMS,
                              f"H({self.psi.name})")
@@ -291,6 +321,9 @@ class FvMatrix:
                 continue
             bcc = bc[..., 0] if bc.ndim > 1 else bc
             h = mesh.add_at_patch_cells(p, h, bcc)
+        if mesh.gdia is not None:
+            from ..mesh import gdia as gd
+            h = gd.sync(mesh.gdia, gd.fold(mesh.gdia, h))
         return _extrapolated(mesh, h / mesh.V,
                              self.dims / (self.psi.dims * _VOL_DIMS),
                              f"H1({self.psi.name})")
@@ -308,6 +341,10 @@ class FvMatrix:
         cmv = self.coupled_mv(mesh)
         if cmv is not None:
             val = cmv(psi, val)
+        if mesh.gdia is not None:
+            from ..mesh import gdia as gd
+            rate = gd.sync(mesh.gdia, val - src)
+            return rate / mesh.V
         return (val - src) / self.V
 
     def flux(self, mesh: MeshArrays):
@@ -350,6 +387,13 @@ class FvMatrix:
             sum_off = -st.neg_sum_diag(mesh.structured,
                                        jnp.abs(self.lower),
                                        jnp.abs(self.upper))
+        elif mesh.gdia is not None:
+            # ROW off-diagonal sums (row own holds upper, row nei holds
+            # lower) — note the swapped argument order vs negSumDiag's
+            # column sums
+            from ..mesh import gdia as gd
+            sum_off = -gd.neg_sum_diag(mesh.gdia, jnp.abs(self.upper),
+                                       jnp.abs(self.lower))
         else:
             sum_off = jnp.abs(self.ell_coeffs(mesh)).sum(axis=1)
         for p, ic in zip(mesh.patches, self.internal_coeffs):
@@ -358,6 +402,21 @@ class FvMatrix:
             icc = jnp.abs(ic).mean(axis=-1) if ic.ndim > 1 else jnp.abs(ic)
             sum_off = mesh.add_at_patch_cells(p, sum_off, icc)
         d0 = self.diag
+        if mesh.gdia is not None:
+            # the dominance max must act on the FOLDED (per-cell) row —
+            # per-slot maxes would relax merged-cell rows differently
+            # from the reference. The whole correction lands on the
+            # primary slot (ghost diag untouched), so the folded diag is
+            # exactly the reference's relaxed value.
+            from ..mesh import gdia as gd
+            g = mesh.gdia
+            d0f = gd.fold(g, d0)
+            sof = gd.fold(g, sum_off)
+            df = jnp.where(jnp.abs(d0f) < sof, jnp.sign(d0f) * sof, d0f)
+            delta = (df / alpha - d0f) * g.primary
+            d = d0 + delta
+            src = self.source + _ext(delta, self.source) * self.psi.data
+            return self.replace(diag=d, source=src)
         d = jnp.where(jnp.abs(d0) < sum_off, jnp.sign(d0) * sum_off, d0)
         d = d / alpha
         src = self.source + _ext(d - d0, self.source) * self.psi.data

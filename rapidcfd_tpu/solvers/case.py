@@ -22,13 +22,15 @@ from ..utils.timecontrol import Time
 class Case:
     def __init__(self, case_dir: str, renumber: bool = True, dtype=None,
                  region: str = "", time: "Time | None" = None,
-                 pmesh=None):
+                 pmesh=None, lattice: dict | None = None):
         """region selects a multi-region sub-case (reference:
         chtMultiRegionFoam per-region meshes at constant/<region>/
         polyMesh, fields at <time>/<region>/, dictionaries at
         system/<region>/); a shared Time may be injected so all
         regions advance together. pmesh injects an in-memory PolyMesh
-        (million-cell benches skip the ascii mesh round-trip)."""
+        (million-cell benches skip the ascii mesh round-trip); lattice
+        (from utils.unstructured lattice_out) selects the gather-free
+        generalized-DIA mesh mode (mesh/gdia.py)."""
         self.dir = case_dir
         self.region = region
         self.time = time if time is not None else Time(case_dir)
@@ -37,8 +39,13 @@ class Case:
              f"for time = {self.time.name}\n")
         if pmesh is None:
             pmesh = read_polymesh(case_dir, region)
-        self.mesh, self.pmesh, self.maps = build_mesh_arrays(
-            pmesh, renumber=renumber, dtype=dtype)
+        if lattice is not None:
+            from ..mesh.mesharrays import build_gdia_mesh_arrays
+            self.mesh, self.pmesh, self.maps = build_gdia_mesh_arrays(
+                pmesh, lattice, dtype=dtype)
+        else:
+            self.mesh, self.pmesh, self.maps = build_mesh_arrays(
+                pmesh, renumber=renumber, dtype=dtype)
         self.fv_schemes = parse_file(
             os.path.join(case_dir, "system", region, "fvSchemes"))
         self.fv_solution = parse_file(

@@ -207,7 +207,7 @@ def perturb_points(mesh: PolyMesh, amplitude: float = 0.25,
 
 
 def merge_cells(mesh: PolyMesh, fraction: float = 0.05,
-                seed: int = 0) -> PolyMesh:
+                seed: int = 0, track: dict | None = None) -> PolyMesh:
     """Dissolve a random matching of internal faces, merging cell pairs.
 
     Produces polyhedral cells (10 faces from hex pairs), duplicate
@@ -290,6 +290,23 @@ def merge_cells(mesh: PolyMesh, fraction: float = 0.05,
     for p in mesh.patches:
         patches.append(BoundaryPatch(p.name, p.type, p.start_face - shift,
                                      p.n_faces, p.extra))
+    if track is not None:
+        # lattice embedding for the gdia fast path (mesh/gdia.py): the
+        # INPUT mesh's cell ids are the lattice slots; record, per slot,
+        # its compacted cell and (for merged-away slots) the merge
+        # direction, plus the ORIGINAL slot pair of every kept face in
+        # the final face order (original ids are owner-sorted, so the
+        # pair is (min, max) independent of compact-order flips).
+        orig_own_all = mesh.owner[keep_f]
+        orig_nei_int = mesh.neighbour[keep_f[:n_int]]
+        track["slot_cell"] = cell_map.copy()
+        track["ghost_lead"] = lead.copy()
+        track["orig_own_int"] = orig_own_all[:new_n_int][order]
+        track["orig_nei_int"] = orig_nei_int[order]
+        track["orig_own_bnd"] = orig_own_all[new_n_int:]
+        # faces flipped to restore compact owner<neighbour order point
+        # OPPOSITE to the slot convention (lower slot -> upper slot)
+        track["flip_int"] = flip[order].copy()
     return PolyMesh(mesh.points, face_points2, offsets2, own2, nei2,
                     patches)
 
@@ -311,7 +328,8 @@ def unstructured_channel_case(case_dir: str, nx: int = 40, ny: int = 24,
                               perturb: float = 0.15,
                               merge_fraction: float = 0.04,
                               seed: int = 0, write_mesh: bool = True,
-                              p_rel_tol: float = 0.05) -> PolyMesh:
+                              p_rel_tol: float = 0.05,
+                              lattice_out: dict | None = None) -> PolyMesh:
     """simpleFoam channel on a polyhedral perturbed box (VERDICT #2):
     inlet/outlet in x, walls elsewhere, kOmegaSST + wall functions,
     GAMG pressure. Returns the PolyMesh (pass to Case(pmesh=...) when
@@ -326,6 +344,7 @@ def unstructured_channel_case(case_dir: str, nx: int = 40, ny: int = 24,
     mesh = unstructured_box(
         nx, ny, nz, size=L, perturb=perturb,
         merge_fraction=merge_fraction, seed=seed,
+        lattice_out=lattice_out,
         patch_spec={"xmin": ("inlet", "patch"),
                     "xmax": ("outlet", "patch"),
                     "ymin": ("walls", "wall"), "ymax": ("walls", "wall"),
@@ -453,12 +472,26 @@ def unstructured_box(nx: int, ny: int, nz: int, *,
                      size=(1.0, 1.0, 1.0), origin=(0.0, 0.0, 0.0),
                      patch_spec: dict | None = None,
                      perturb: float = 0.2, merge_fraction: float = 0.04,
-                     seed: int = 0) -> PolyMesh:
-    """Polyhedral perturbed box: the unstructured test-mesh entry point."""
+                     seed: int = 0, lattice_out: dict | None = None
+                     ) -> PolyMesh:
+    """Polyhedral perturbed box: the unstructured test-mesh entry point.
+    Pass lattice_out={} to receive the lattice embedding consumed by the
+    gdia gather-free mesh mode (mesh/gdia.py)."""
     m = box_mesh_fast(nx, ny, nz, size=size, origin=origin,
                       patch_spec=patch_spec)
     if perturb:
         m = perturb_points(m, amplitude=perturb, seed=seed)
     if merge_fraction:
-        m = merge_cells(m, fraction=merge_fraction, seed=seed + 1)
+        m = merge_cells(m, fraction=merge_fraction, seed=seed + 1,
+                        track=lattice_out)
+    elif lattice_out is not None:
+        nc = m.n_cells
+        lattice_out["slot_cell"] = np.arange(nc, dtype=np.int64)
+        lattice_out["ghost_lead"] = np.arange(nc, dtype=np.int64)
+        lattice_out["orig_own_int"] = m.owner[:m.n_internal_faces].copy()
+        lattice_out["orig_nei_int"] = m.neighbour.copy()
+        lattice_out["orig_own_bnd"] = m.owner[m.n_internal_faces:].copy()
+        lattice_out["flip_int"] = np.zeros(m.n_internal_faces, dtype=bool)
+    if lattice_out is not None:
+        lattice_out["shape"] = (nz, ny, nx)
     return m
