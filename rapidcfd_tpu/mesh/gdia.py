@@ -13,19 +13,27 @@ produced by hex-dominant mesh generators:
   grid: one *primary* slot (carrying the DOF) plus *ghost* slots for
   merged-away neighbours; unused slots are *dead*;
 - every internal face separates two lattice-adjacent slots, so faces
-  pack into up to three full (nz, ny, nx) *planes* (offset +1, +nx,
+  pack into up to three full (n_lat,) *planes* (offset +1, +nx,
   +nx*ny), one slot each, with zero-coefficient dummies where the
   lattice has no face;
 - fields are stored PADDED (n_cells == n_lat) with the invariant that
   ghost slots mirror their primary's value ("ghost-synced") — kept by
-  `sync`, a handful of masked axis-shifts (NOT a gather: merges only
-  ever join lattice-adjacent slots, so a ghost's primary is its
-  predecessor along one axis);
+  `sync`, a handful of masked shifts (NOT a gather: merges only ever
+  join lattice-adjacent slots, so a ghost's primary is its predecessor
+  along one flat offset);
 - the matrix off-diagonal product is plane-shifted multiply-adds with
   an `unfold` (ghost := primary) before and a `fold` (primary += ghost,
   ghost := 0) after — both masked shifts;
 - assembly (negSumDiag, dia planes, face own/nei values, surface sums)
-  is reshapes/pads exactly as mesh/structured.py.
+  is flat pads/slices exactly like the banded DIA SpMV.
+
+ALL kernels operate on FLAT (n_lat,) arrays with flat-offset shifts —
+3-D grid reshapes tile poorly on TPU ((8,128) tiling of the trailing
+dims made every slice/pad a ~0.8ms relayout at 115k cells; the flat
+form is a plain memcpy-class op). Shifts wrap across lattice rows; the
+wrapped positions are exactly the always-dummy lattice-edge slots,
+whose coefficients are identically zero, and raw face data is masked by
+`plane_mask` where it could leak (surface sums).
 
 Reference counterpart: the lduAddressing gather machinery
 (src/OpenFOAM/matrices/lduMatrix/lduAddressing/lduAddressing.H:243-252,
@@ -41,9 +49,7 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
-AXIS_OF = {0: 2, 1: 1, 2: 0}   # plane id (x,y,z) -> grid axis (z,y,x)
+from jax import lax
 
 
 @jax.tree_util.register_dataclass
@@ -51,12 +57,13 @@ AXIS_OF = {0: 2, 1: 1, 2: 0}   # plane id (x,y,z) -> grid axis (z,y,x)
 class GdiaInfo:
     """Lattice embedding of a polyhedral mesh (pytree: masks are leaves,
     shape metadata static)."""
-    # (n_lat,) 1.0 where the slot is a ghost whose primary is the
-    # PREVIOUS slot along axis a (one mask per merge axis; zeros when
-    # the mesh has no merges along that axis)
-    ghost_prev: tuple            # tuple of (n_lat,) f32, len = 3 (z,y,x)
+    # (n_lat,) 1.0 where the slot is a ghost whose primary is the slot
+    # `step` BEFORE it along plane axis p (zeros when no merges there)
+    ghost_prev: tuple            # tuple of (n_lat,) f32, one per plane
     dead: jax.Array              # (n_lat,) 1.0 where slot is dead
     primary: jax.Array           # (n_lat,) 1.0 where slot carries a DOF
+    # (n_planes * n_lat,) 1.0 at REAL plane faces, 0.0 at dummies
+    plane_mask: jax.Array | None = None
     shape: tuple = dataclasses.field(default=(), metadata=dict(static=True))
     # number of sync sweeps needed (max merge-chain length; 1 when no
     # cell is merged more than once)
@@ -70,70 +77,87 @@ class GdiaInfo:
         nz, ny, nx = self.shape
         return nz * ny * nx
 
-
-def _grid(info: GdiaInfo, x):
-    return x.reshape(info.shape + x.shape[1:])
-
-
-def _shift_from_prev(g, axis):
-    """result[s] = g[s - 1] along grid axis (zero-filled at the edge)."""
-    n = g.shape[axis]
-    sl = [slice(None)] * g.ndim
-    sl[axis] = slice(0, n - 1)
-    pad = [(0, 0)] * g.ndim
-    pad[axis] = (1, 0)
-    return jnp.pad(g[tuple(sl)], pad)
-
-
-def _shift_to_prev(g, axis):
-    """result[s] = g[s + 1] along grid axis (zero-filled at the edge)."""
-    n = g.shape[axis]
-    sl = [slice(None)] * g.ndim
-    sl[axis] = slice(1, None)
-    pad = [(0, 0)] * g.ndim
-    pad[axis] = (0, 1)
-    return jnp.pad(g[tuple(sl)], pad)
+    @property
+    def steps(self) -> tuple:
+        """Flat offset per present plane, in plane order (x, y, z)."""
+        nz, ny, nx = self.shape
+        out = []
+        if self.axes[0]:
+            out.append(1)
+        if self.axes[1]:
+            out.append(nx)
+        if self.axes[2]:
+            out.append(nx * ny)
+        return tuple(out)
 
 
 def _bcast(mask_flat, x):
     return mask_flat.reshape(mask_flat.shape + (1,) * (x.ndim - 1))
 
 
+def _shift_flat(x, d, n):
+    """result[s] = x[s - d] (flat, zero-filled outside [0, n))."""
+    if d == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    if d > 0:
+        pad[0] = (d, 0)
+        return jnp.pad(x[:n - d], pad)
+    pad[0] = (0, -d)
+    return jnp.pad(x[-d:], pad)
+
+
+def plane_steps(info: GdiaInfo):
+    """(plane_index, flat_step) for each present plane."""
+    return list(enumerate(info.steps))
+
+
+def n_plane_faces(info: GdiaInfo) -> int:
+    return len(info.steps) * info.n_lat
+
+
+def face_planes(info: GdiaInfo, face_data):
+    """Split internal-face data into its per-plane flat arrays."""
+    n = info.n_lat
+    return [face_data[i * n:(i + 1) * n]
+            for i in range(len(info.steps))]
+
+
+# ---------------------------------------------------------------------------
+# ghost sync / fold — masked flat shifts
+# ---------------------------------------------------------------------------
+
 def sync(info: GdiaInfo, x):
-    """Ghost-sync: x[ghost] := x[primary]. Masked axis-shifts only."""
+    """Ghost-sync: x[ghost] := x[primary]. Masked flat shifts only
+    (ghost masks are zero at lattice edges, so wrap is unreachable)."""
+    n = info.n_lat
     for _ in range(info.sync_iters):
-        g = _grid(info, x)
-        for p_ax, m in enumerate(info.ghost_prev):
+        for (pi, step) in plane_steps(info):
+            m = info.ghost_prev[pi]
             if m is None:
                 continue
-            axis = AXIS_OF[p_ax]
-            mm = _grid(info, _bcast(m, x))
-            g = mm * _shift_from_prev(g, axis) + (1.0 - mm) * g
-        x = g.reshape(x.shape)
+            mm = _bcast(m, x)
+            x = mm * _shift_flat(x, step, n) + (1.0 - mm) * x
     return x
 
 
 def fold(info: GdiaInfo, y):
     """Fold ghost rows into primaries: y[primary] += y[ghost];
-    y[ghost] := 0. Inverse-transpose of sync's broadcast."""
-    # exact transpose of sync: axes applied in REVERSE order per sweep
+    y[ghost] := 0. Exact transpose of sync (axes reversed per sweep)."""
+    n = info.n_lat
     for _ in range(info.sync_iters):
-        g = _grid(info, y)
-        for p_ax in reversed(range(len(info.ghost_prev))):
-            m = info.ghost_prev[p_ax]
+        for (pi, step) in reversed(plane_steps(info)):
+            m = info.ghost_prev[pi]
             if m is None:
                 continue
-            axis = AXIS_OF[p_ax]
-            mm = _grid(info, _bcast(m, y))
-            # add each ghost's value to its predecessor, zero the ghost
-            g = g + _shift_to_prev(mm * g, axis) - mm * g
-        y = g.reshape(y.shape)
+            mm = _bcast(m, y)
+            y = y + _shift_flat(mm * y, -step, n) - mm * y
     return y
 
 
 def unfold(info: GdiaInfo, x):
-    """x with ghost entries replaced by their primary's value (the
-    adjoint companion of fold; identical to sync)."""
+    """x with ghost entries replaced by their primary's value (identical
+    to sync)."""
     return sync(info, x)
 
 
@@ -142,80 +166,60 @@ def unfold(info: GdiaInfo, x):
 # boundary], each plane (n_lat,) with slot s = face between s and s+step
 # ---------------------------------------------------------------------------
 
-def plane_steps(info: GdiaInfo):
-    """(plane_id, grid_axis, flat_step) for each present plane."""
-    nz, ny, nx = info.shape
-    steps = []
-    if info.axes[0]:
-        steps.append((0, 2, 1))
-    if info.axes[1]:
-        steps.append((1, 1, nx))
-    if info.axes[2]:
-        steps.append((2, 0, nx * ny))
-    return steps
-
-
-def n_plane_faces(info: GdiaInfo) -> int:
-    return len(plane_steps(info)) * info.n_lat
-
-
-def face_planes(info: GdiaInfo, face_data):
-    """Split internal-face data into its per-plane grids."""
-    n = info.n_lat
-    out = []
-    for i, (pid, axis, step) in enumerate(plane_steps(info)):
-        out.append(_grid(info, face_data[i * n:(i + 1) * n]))
-    return out
-
-
 def face_own_nei(info: GdiaInfo, x):
     """(own, nei) cell values on the plane faces (x ghost-synced).
-    own[plane p, slot s] = x[s]; nei = x[s + step]."""
+    own[plane p, slot s] = x[s]; nei = x[s + step]. Values at dummy
+    faces are garbage-but-finite; every consumer multiplies them by a
+    zero coefficient (Sf/magSf/phi are zero at dummies)."""
+    n = info.n_lat
     xs = sync(info, x)
-    g = _grid(info, xs)
     owns, neis = [], []
-    for pid, axis, step in plane_steps(info):
+    for (pi, step) in plane_steps(info):
         owns.append(xs)
-        neis.append(_shift_to_prev(g, axis).reshape(xs.shape))
-    own = jnp.concatenate(owns, axis=0)
-    nei = jnp.concatenate(neis, axis=0)
-    return own, nei
+        neis.append(_shift_flat(xs, -step, n))
+    return jnp.concatenate(owns, axis=0), jnp.concatenate(neis, axis=0)
 
 
 def surface_sum_internal(info: GdiaInfo, face_data, signed: bool):
-    """Per-slot sum over plane faces: out[own] += f, out[nei] -+= f;
-    folded to primaries and ghost-synced by the caller if needed."""
+    """Per-slot sum over plane faces: out[own] += f, out[nei] -+= f.
+    face_data is masked at dummy faces so edge wrap cannot leak."""
     sgn = -1.0 if signed else 1.0
+    n = info.n_lat
+    if info.plane_mask is not None:
+        face_data = face_data * _bcast(info.plane_mask, face_data)
     out = None
-    planes = face_planes(info, face_data)
-    for (pid, axis, step), f in zip(plane_steps(info), planes):
-        contrib = f + sgn * _shift_from_prev(f, axis)
+    for (pi, step), f in zip(plane_steps(info),
+                             face_planes(info, face_data)):
+        contrib = f + sgn * _shift_flat(f, step, n)
         out = contrib if out is None else out + contrib
-    return out.reshape((info.n_lat,) + face_data.shape[1:])
+    return out
 
 
 def neg_sum_diag(info: GdiaInfo, lower, upper):
-    """-(row sum of off-diagonals) per slot: diag[own] -= lower[f],
-    diag[nei] -= upper[f]."""
+    """-(column sums of the off-diagonals): diag[own] -= lower[f],
+    diag[nei] -= upper[f] (lduMatrix::negSumDiag). Coefficients are
+    zero at dummies by construction."""
+    n = info.n_lat
     out = None
-    lps = face_planes(info, lower)
-    ups = face_planes(info, upper)
-    for (pid, axis, step), lp, up in zip(plane_steps(info), lps, ups):
-        contrib = lp + _shift_from_prev(up, axis)
+    for (pi, step), lp, up in zip(plane_steps(info),
+                                  face_planes(info, lower),
+                                  face_planes(info, upper)):
+        contrib = lp + _shift_flat(up, step, n)
         out = contrib if out is None else out + contrib
-    return -out.reshape(-1)
+    return -out
 
 
 def dia_planes(info: GdiaInfo, lower, upper):
     """[(offset, coeff plane flat (n_lat,))] for the shift SpMV:
     c_{+step}[s] = upper[face at slot s]; c_{-step}[s] = lower[face at
     slot s-step]."""
+    n = info.n_lat
     planes = []
-    lps = face_planes(info, lower)
-    ups = face_planes(info, upper)
-    for (pid, axis, step), lp, up in zip(plane_steps(info), lps, ups):
-        planes.append((step, up.reshape(-1)))
-        planes.append((-step, _shift_from_prev(lp, axis).reshape(-1)))
+    for (pi, step), lp, up in zip(plane_steps(info),
+                                  face_planes(info, lower),
+                                  face_planes(info, upper)):
+        planes.append((step, up))
+        planes.append((-step, _shift_flat(lp, step, n)))
     return planes
 
 
@@ -236,7 +240,7 @@ def offdiag_mv(info: GdiaInfo, lower, upper):
         xp = jnp.concatenate([zpad, vec, zpad])
         y = jnp.zeros_like(vec)
         for d, c_d in planes:
-            y = y + c_d[:, None] * jax.lax.dynamic_slice_in_dim(
+            y = y + c_d[:, None] * lax.dynamic_slice_in_dim(
                 xp, max_off + d, n)
         y = fold(info, y)
         return y if two_d else y[:, 0]

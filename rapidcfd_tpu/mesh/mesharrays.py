@@ -570,12 +570,15 @@ def build_gdia_mesh_arrays(mesh: PolyMesh, lattice: dict, *, dtype=None
     active[n_pl:] = bactive
     ell = build_ell(own_pad, nei_pad, n_lat, n_pl, active)
 
+    plane_mask = np.zeros(n_pl)
+    plane_mask[pos] = 1.0
     ginfo = GdiaInfo(
         ghost_prev=tuple(
             jnp.asarray((ghost_axis == pi).astype(np.float64), dtype)
             for pi in range(n_planes)),
         dead=jnp.zeros(n_lat, dtype),
         primary=jnp.asarray(primary, dtype),
+        plane_mask=jnp.asarray(plane_mask, dtype),
         shape=(nz, ny, nx), sync_iters=1,
         axes=(nx > 1, ny > 1, nz > 1),
     )
