@@ -555,8 +555,14 @@ class TotalPressure(BC):
     preserves_type = True
     fixes_level = True
 
+    def _p0(self, mesh, patch, field, bd, env=None):
+        """Reference total pressure (hook for fanPressure's fan-curve
+        offset)."""
+        return bd["p0"]
+
     def evaluate(self, mesh, patch, field, bd, env=None):
-        p0 = jnp.broadcast_to(bd["p0"], (patch.size,))
+        p0 = jnp.broadcast_to(self._p0(mesh, patch, field, bd, env),
+                              (patch.size,))
         if env is None or "U" not in env or "phi" not in env:
             return p0
         sl = slice(patch.bstart, patch.bstart + patch.size)

@@ -25,7 +25,7 @@ from .field import VolField
 _BC_DATA_KEYS = ("value", "gradient", "refValue", "refGradient",
                  "valueFraction", "inletValue", "outletValue", "p0",
                  "volumetricFlowRate", "uniformValue", "freestreamValue",
-                 "emissivity")
+                 "emissivity", "jump")
 
 #: word entries stored as 0/1 switches so they stay jit-safe pytree leaves
 _BC_SWITCH_KEYS = ("relative",)
@@ -55,6 +55,39 @@ def _capture_bc_entry(entry, dtype):
             return None
         return ("table", times, vals)
     return None
+
+
+def _capture_jump_table(pd, bd, dtype, case_dir):
+    """jumpTable DataEntry (fan/uniformJump) and fanCurve fileName
+    (fanPressure) into jit-safe bd leaves: jump_times/jump_values
+    (table), jump_poly ((n,2) coeff/exponent rows), or jump_const."""
+    npdt = np.dtype(str(np.dtype(dtype)))
+    e = pd.lookup("jumpTable")
+    if isinstance(e, tuple) and len(e) >= 2:
+        kind = e[0]
+        if kind == "constant":
+            bd["jump_const"] = jnp.asarray(float(e[1]), npdt)
+        elif kind == "table":
+            rows = e[1]
+            bd["jump_times"] = jnp.asarray([r[0] for r in rows], npdt)
+            bd["jump_values"] = jnp.asarray([r[1] for r in rows], npdt)
+        elif kind == "polynomial":
+            bd["jump_poly"] = jnp.asarray(e[1], npdt)
+        else:
+            raise NotImplementedError(
+                f"jumpTable DataEntry type '{kind}' not supported "
+                "(constant|table|polynomial)")
+    elif isinstance(e, (int, float)):
+        bd["jump_const"] = jnp.asarray(float(e), npdt)
+    fn = pd.lookup("fileName")
+    if fn is not None and "jump_times" not in bd:
+        from ..utils.function1 import _read_foam_table
+        path = str(fn).strip('"').replace("$FOAM_CASE", case_dir)
+        if not os.path.isabs(path):
+            path = os.path.join(case_dir, "constant", path)
+        t, v = _read_foam_table(path)
+        bd["jump_times"] = jnp.asarray(t, npdt)
+        bd["jump_values"] = jnp.asarray(v, npdt)
 
 
 def _parse_value(entry, n: int, dtype):
@@ -149,6 +182,9 @@ def read_vol_field(case_dir: str, time: str, name: str, mesh: MeshArrays,
                 bd["table_values"] = jnp.asarray(cap[2])
             else:
                 bd[key] = jnp.asarray(cap)
+        if bc_type in ("fan", "fanPressure", "uniformJump",
+                       "uniformJumpAMI"):
+            _capture_jump_table(pd, bd, dtype, case_dir)
         if bc_type == "timeVaryingMappedFixedValue":
             _load_boundary_data(case_dir, name, patch, mesh, bd, dtype)
         bcs.append(bc)

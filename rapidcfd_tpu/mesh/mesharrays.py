@@ -65,6 +65,14 @@ class AmiDevTable:
     dc: jax.Array             # (size,) owner<->ghost delta coefficient
     w_face: jax.Array         # (size,) owner weight for face interp
     rot: jax.Array | None = None   # (3,3) vector transform or None
+    # owner side of the pair (the patch whose dict lists neighbourPatch
+    # first) — jump-cyclic BCs apply +jump here, -jump on the slave
+    # (reference: cyclicPolyPatch::owner())
+    owner: bool = dataclasses.field(default=True,
+                                    metadata=dict(static=True))
+    # partner patch index (for jump lookup across the pair)
+    partner: int = dataclasses.field(default=-1,
+                                     metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -278,16 +286,50 @@ def build_ell(own: np.ndarray, nei: np.ndarray, nc: int, n_int: int,
 
 
 def build_mesh_arrays(mesh: PolyMesh, *, renumber: bool = True,
-                      dtype=None
+                      dtype=None, keep_cyclic=()
                       ) -> tuple[MeshArrays, PolyMesh, "MeshMaps"]:
     """Host preprocessing pipeline: renumber -> geometry -> ELL -> device.
 
     Returns (MeshArrays, renumbered PolyMesh, MeshMaps). MeshMaps carries
     cell_perm/face_perm with perm[new] = old so field IO can translate
     between on-disk (original) and device (renumbered) orderings.
+
+    keep_cyclic: patch names whose cyclic pairs must NOT be merged into
+    internal faces — they carry jump BCs (fan/fixedJump/uniformJump,
+    reference: jumpCyclicFvPatchField with `patchType cyclic`) and stay
+    coupled patches via the conformal-AMI machinery (overlap weights are
+    exact 1:1 for matching faces).
     """
     if dtype is None:
         dtype = default_dtype()
+
+    if keep_cyclic:
+        keep = set(keep_cyclic)
+        # convert BOTH sides of each named pair to cyclicAMI
+        for p in list(mesh.patches):
+            if p.name in keep and p.type == "cyclic":
+                keep.add(p.extra.word("neighbourPatch", ""))
+        # plain cyclic pairs carry no transform spec — the merge path
+        # matches by mean-translation (cyclic.py merge_cyclic); give the
+        # AMI overlap the same rule by inferring the translational
+        # separation from the patch face-centre means (exact for
+        # conformal pairs; a coincident fan baffle infers sep=0)
+        Cf0, _ = face_centres_and_areas(mesh)
+        by_name = {p.name: p for p in mesh.patches}
+        new_patches = []
+        for p in mesh.patches:
+            if p.name not in keep or p.type != "cyclic":
+                new_patches.append(p)
+                continue
+            if p.extra.word("transform", "none") == "none":
+                nbr = by_name[p.extra.word("neighbourPatch", "")]
+                ca = Cf0[p.start_face:p.start_face + p.n_faces]
+                cb = Cf0[nbr.start_face:nbr.start_face + nbr.n_faces]
+                sep = cb.mean(0) - ca.mean(0)
+                p.extra["transform"] = "translational"
+                p.extra["separationVector"] = tuple(float(x) for x in sep)
+            new_patches.append(dataclasses.replace(p, type="cyclicAMI"))
+        mesh = dataclasses.replace(mesh, patches=new_patches)
 
     # cyclic patches: merge matched pairs into coupled internal faces
     # BEFORE renumbering so the periodic edges inform the bandwidth
@@ -437,7 +479,8 @@ def _build_ami(mesh: PolyMesh, patches, Cf, b_dc, n_int, dtype):
             w=jnp.asarray(t.weights, dtype),
             dc=jnp.asarray(dc, dtype),
             w_face=jnp.asarray(w_face, dtype),
-            rot=(None if t.rot is None else jnp.asarray(t.rot, dtype))))
+            rot=(None if t.rot is None else jnp.asarray(t.rot, dtype)),
+            owner=(i < t.tgt), partner=t.tgt))
     return tuple(out)
 
 

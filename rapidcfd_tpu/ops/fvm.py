@@ -46,6 +46,26 @@ def _neg_sum_diag(mesh: MeshArrays, lower, upper):
     return -_pair_gather(mesh, lower, upper).sum(axis=1)
 
 
+def _apply_jumps(mesh: MeshArrays, vf: VolField, m: FvMatrix, env):
+    """Fold jump-cyclic offsets into the matrix source (reference:
+    jumpCyclicFvPatchField::updateInterfaceMatrix — the ghost value is
+    shifted by the signed jump, `pnf -= jf`). coupled_mv adds
+    -bc_coeffs*ghost into M*x, so the constant part moves to the RHS as
+    source -= bc_coeffs*jump."""
+    src, changed = m.source, False
+    for i, (patch, bc, bd) in enumerate(
+            zip(mesh.patches, vf.bcs, vf.bcdata)):
+        if not getattr(bc, "has_jump", False) or patch.size == 0:
+            continue
+        jf = bc.jump(mesh, patch, vf, bd, env)
+        cc = m.boundary_coeffs[i]
+        if cc.ndim > jf.ndim:
+            jf = jf[:, None]
+        src = mesh.add_at_patch_cells(patch, src, -cc * jf)
+        changed = True
+    return m.replace(source=src) if changed else m
+
+
 # ---------------------------------------------------------------------------
 # time derivatives
 # ---------------------------------------------------------------------------
@@ -256,9 +276,10 @@ def div(mesh: MeshArrays, phi: SurfaceField, vf: VolField,
         phi_b = _ext(phi_b, vbc)
         ics.append(phi_b * vic * jnp.ones_like(vbc))
         bcs_.append(-phi_b * vbc)
-    return m.replace(diag=diag, lower=lower, upper=upper,
-                     internal_coeffs=tuple(ics),
-                     boundary_coeffs=tuple(bcs_))
+    m = m.replace(diag=diag, lower=lower, upper=upper,
+                  internal_coeffs=tuple(ics),
+                  boundary_coeffs=tuple(bcs_))
+    return _apply_jumps(mesh, vf, m, env)
 
 
 # ---------------------------------------------------------------------------
@@ -336,7 +357,7 @@ def laplacian(mesh: MeshArrays, gamma, vf: VolField,
         # the correction joins the operator E, i.e. leaves the source
         corr_cells = fvc.surface_sum_faces(mesh, full, raw=True)
         m = m.replace(source=m.source - corr_cells)
-    return m
+    return _apply_jumps(mesh, vf, m, env)
 
 
 # ---------------------------------------------------------------------------

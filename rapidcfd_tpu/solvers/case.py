@@ -19,6 +19,42 @@ from ..utils.logging import info
 from ..utils.timecontrol import Time
 
 
+#: fvPatchField types that need their underlying cyclic pair kept as a
+#: coupled interface instead of merged (reference: jumpCyclic family,
+#: `patchType cyclic`)
+_JUMP_BC_TYPES = ("fan", "fixedJump", "uniformJump")
+
+
+def _scan_jump_patches(pmesh, case_dir, region, time_name):
+    """Patch names carrying jump-family BCs in the start-time field
+    dicts — these cyclic pairs must stay coupled patches (fan curves and
+    pressure jumps live on the interface, which merging would erase)."""
+    if not any(p.type == "cyclic" for p in pmesh.patches):
+        return ()
+    tdir = os.path.join(case_dir, time_name, region)
+    if not os.path.isdir(tdir):
+        return ()
+    names = set()
+    cyc = {p.name for p in pmesh.patches if p.type == "cyclic"}
+    for fn in sorted(os.listdir(tdir)):
+        path = os.path.join(tdir, fn)
+        if not os.path.isfile(path):
+            continue
+        try:
+            d = parse_file(path)
+            bf = d.subdict("boundaryField")
+        except Exception:
+            continue
+        if bf is None:
+            continue
+        for pname in cyc:
+            pd = bf.lookup(pname)   # regex-aware ("(inlet|outlet)" keys)
+            if isinstance(pd, Dictionary) \
+                    and pd.word("type", "") in _JUMP_BC_TYPES:
+                names.add(pname)
+    return tuple(sorted(names))
+
+
 class Case:
     def __init__(self, case_dir: str, renumber: bool = True, dtype=None,
                  region: str = "", time: "Time | None" = None,
@@ -45,7 +81,9 @@ class Case:
                 pmesh, lattice, dtype=dtype)
         else:
             self.mesh, self.pmesh, self.maps = build_mesh_arrays(
-                pmesh, renumber=renumber, dtype=dtype)
+                pmesh, renumber=renumber, dtype=dtype,
+                keep_cyclic=_scan_jump_patches(pmesh, case_dir, region,
+                                               self.time.name))
         self.fv_schemes = parse_file(
             os.path.join(case_dir, "system", region, "fvSchemes"))
         self.fv_solution = parse_file(
