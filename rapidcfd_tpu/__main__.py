@@ -113,9 +113,14 @@ SOLVERS = {
 # Thermo-based solvers carry absolute SI pressures (~1e5 Pa) whose
 # dynamic part is below fp32 resolution; they default to fp64 (the
 # reference is all-double). Override with -precision fp32.
+#: solvers still DEFAULTING to emulated fp64 on TPU (-precision fp32
+#: overrides). rhoSimpleFoam/rhoSimplecFoam and sonicFoam run fp32 by
+#: default: deviation-form pressure (fields.field.shift_level) +
+#: delta-form Krylov (linalg/solvers.py) hold them to fp64-trajectory
+#: agreement (tests/test_compressible_fp32.py).
 X64_DEFAULT = {
-    "rhoSimpleFoam", "rhoSimplecFoam", "rhoPimpleFoam", "rhoPimplecFoam",
-    "rhoPimpleDyMFoam", "sonicFoam", "sonicDyMFoam", "sonicLiquidFoam",
+    "rhoPimpleFoam", "rhoPimplecFoam",
+    "rhoPimpleDyMFoam", "sonicDyMFoam", "sonicLiquidFoam",
     "rhoCentralFoam", "rhoCentralDyMFoam",
     "buoyantSimpleFoam", "buoyantPimpleFoam", "thermoFoam",
     "compressibleInterFoam", "compressibleInterDyMFoam",

@@ -240,3 +240,31 @@ def mag(x):
             jnp.linalg.norm(x.data, axis=-1)
         return SurfaceField(d, x.dims, f"mag({x.name})")
     return jnp.abs(x)
+
+
+#: bcdata entries that carry the solution LEVEL (additive under a
+#: constant shift of the field); gradient/fraction/flux entries are
+#: shift-invariant
+_LEVEL_KEYS = ("value", "p0", "inletValue", "outletValue", "refValue",
+               "uniformValue", "freestreamValue")
+
+
+def shift_level(f: VolField, delta) -> VolField:
+    """f + delta as a SOLUTION-LEVEL shift: internal and boundary values
+    plus every level-carrying BC parameter move together, so the shifted
+    field satisfies the same problem re-based at a new origin.
+
+    TPU mixed-precision keystone (SURVEY §7.2.5): SI absolute pressure
+    (~1e5 Pa) stored in fp32 quantizes at ~0.008 Pa — above the
+    cell-to-cell dynamic differences of low-Mach flows — so compressible
+    solvers run p in DEVIATION form (shift_level(p, -pRef) on entry,
+    +pRef for thermo/EoS evaluations and on write)."""
+    new_bd = []
+    for bd in f.bcdata:
+        d2 = dict(bd)
+        for k in _LEVEL_KEYS:
+            if k in d2:
+                d2[k] = d2[k] + delta
+        new_bd.append(d2)
+    return f.replace(data=f.data + delta, bvalues=f.bvalues + delta,
+                     bcdata=tuple(new_bd))

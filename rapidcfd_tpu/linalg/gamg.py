@@ -753,7 +753,10 @@ def gamg_solve(mesh: MeshArrays, m, amul_fine, diag, source,
     v_ones = jnp.ones_like(psi0)
     apsi = amul_fine(psi0)
     nf = _norm_factor(amul_fine, psi0, source, apsi, v_ones)
-    res0 = gsum(jnp.abs(source - apsi)) / nf
+    # delta form (see solvers._pcg): cycle on A*delta = r0 from zero so
+    # fp32 V-cycle corrections never quantize against a large |psi0|
+    b = source - apsi
+    res0 = gsum(jnp.abs(b)) / nf
 
     # stall guard: stop when the residual hasn't improved for a few
     # cycles instead of burning maxIter. fp32 floors sit well above
@@ -770,14 +773,14 @@ def gamg_solve(mesh: MeshArrays, m, amul_fine, diag, source,
 
     def body(carry):
         x, it, res, best, since_best = carry
-        x = vcycle(x, source)
-        res = gsum(jnp.abs(source - amul_fine(x))) / nf
+        x = vcycle(x, b)
+        res = gsum(jnp.abs(b - amul_fine(x))) / nf
         improved = res < 0.97 * best
         best = jnp.minimum(best, res)
         since_best = jnp.where(improved, 0, since_best + 1)
         return x, it + 1, res, best, since_best
 
     x, it, res, _, _ = lax.while_loop(
-        cond, body, (psi0, jnp.asarray(0, jnp.int32), res0, res0,
-                     jnp.asarray(0, jnp.int32)))
-    return x, (res0, res, it)
+        cond, body, (jnp.zeros_like(psi0), jnp.asarray(0, jnp.int32),
+                     res0, res0, jnp.asarray(0, jnp.int32)))
+    return psi0 + x, (res0, res, it)

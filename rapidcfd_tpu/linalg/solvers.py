@@ -239,6 +239,16 @@ def _pcg(mesh, amul, m, diag, source, psi0, c: SolverControls):
     nf = _norm_factor(amul, psi0, source, apsi, v_ones)
     r0 = source - apsi
     res0 = gsum(jnp.abs(r0)) / nf
+    # DELTA FORM: iterate on the correction delta (A*delta = r0 from
+    # delta=0) and add psi0 once at the end. With a large static offset
+    # in the solution (SI absolute pressure ~1e5 Pa), per-iteration
+    # updates smaller than eps*|psi| would quantize away against psi —
+    # in fp32 the pressure then never improves below the 0.01 Pa/update
+    # floor and SIMPLE slowly diverges. Residual values are IDENTICAL
+    # to the direct form (r = r0 - A*delta = source - A*psi), so
+    # reported (initial, final) residuals and the normFactor semantics
+    # are unchanged.
+    b = r0
     # the stagnation guard exists ONLY for fp32 floors sitting above the
     # requested tolerance; fp64 converges past any practical tolerance,
     # and long (legitimate) CG plateaus must not be cut short there
@@ -267,7 +277,7 @@ def _pcg(mesh, amul, m, diag, source, psi0, c: SolverControls):
         # an explicitly recomputed residual every _RESTART iterations
         # (one extra SpMV amortized 1/_RESTART).
         r = lax.cond((it + 1) % _RESTART == 0,
-                     lambda psi, r, wa: source - amul(psi),
+                     lambda psi, r, wa: b - amul(psi),
                      lambda psi, r, wa: r - alpha * wa,
                      psi, r, wa)
         res = gsum(jnp.abs(r)) / nf
@@ -276,11 +286,11 @@ def _pcg(mesh, amul, m, diag, source, psi0, c: SolverControls):
         since_best = jnp.where(improved, 0, since_best + 1)
         return psi, r, p, wr, it + 1, res, best, since_best
 
-    init = (psi0, r0, jnp.zeros_like(psi0), jnp.zeros_like(res0),
-            jnp.asarray(0, jnp.int32), res0, res0,
+    init = (jnp.zeros_like(psi0), r0, jnp.zeros_like(psi0),
+            jnp.zeros_like(res0), jnp.asarray(0, jnp.int32), res0, res0,
             jnp.asarray(0, jnp.int32))
     out = lax.while_loop(cond, body, init)
-    psi, it, res = out[0], out[4], out[5]
+    psi, it, res = psi0 + out[0], out[4], out[5]
     return psi, (res0, res, it)
 
 
@@ -299,7 +309,8 @@ def _pbicgstab(mesh, amul, m, diag, source, psi0, c: SolverControls):
     apsi = amul(psi0)
     nf = _norm_factor(amul, psi0, source, apsi, v_ones)
     r0 = source - apsi
-    rr0 = r0  # shadow residual
+    b = r0     # delta form (see _pcg): iterate on A*delta = r0
+    rr0 = r0   # shadow residual
     res0 = gsum(jnp.abs(r0)) / nf
     # same fp32 stagnation guard as _pcg: an absolute tolerance below
     # the fp32 floor must not spin the loop to maxIter
@@ -330,7 +341,7 @@ def _pbicgstab(mesh, amul, m, diag, source, psi0, c: SolverControls):
         psi = psi + alpha * ph + omega * sh
         # periodic true-residual replacement (see _RESTART)
         r = lax.cond((it + 1) % _RESTART == 0,
-                     lambda psi, s, t: source - amul(psi),
+                     lambda psi, s, t: b - amul(psi),
                      lambda psi, s, t: s - omega * t,
                      psi, s, t)
         res = gsum(jnp.abs(r)) / nf
@@ -340,12 +351,13 @@ def _pbicgstab(mesh, amul, m, diag, source, psi0, c: SolverControls):
         return (psi, r, p, v, rho, alpha, omega, it + 1, res,
                 best, since_best)
 
-    init = (psi0, r0, jnp.zeros_like(psi0), jnp.zeros_like(psi0),
+    init = (jnp.zeros_like(psi0), r0, jnp.zeros_like(psi0),
+            jnp.zeros_like(psi0),
             jnp.ones_like(res0), jnp.ones_like(res0),
             jnp.ones_like(res0), jnp.asarray(0, jnp.int32), res0,
             res0, jnp.asarray(0, jnp.int32))
     out = lax.while_loop(cond, body, init)
-    psi, r, it, res = out[0], out[1], out[7], out[8]
+    psi, r, it, res = psi0 + out[0], out[1], out[7], out[8]
     return psi, (res0, res, it)
 
 
@@ -367,7 +379,8 @@ def _smooth_solver(mesh, amul, m, diag, source, psi0, c: SolverControls):
     v_ones = jnp.ones_like(psi0)
     apsi = amul(psi0)
     nf = _norm_factor(amul, psi0, source, apsi, v_ones)
-    res0 = gsum(jnp.abs(source - apsi)) / nf
+    b = source - apsi    # delta form (see _pcg)
+    res0 = gsum(jnp.abs(b)) / nf
     n_sweeps = max(1, c.n_sweeps)
 
     stall = 12 * n_sweeps if psi0.dtype == jnp.float32 else c.max_iter
@@ -382,17 +395,17 @@ def _smooth_solver(mesh, amul, m, diag, source, psi0, c: SolverControls):
 
     def body(carry):
         psi, it, res, best, since_best = carry
-        psi = jacobi_sweeps(mesh, amul, diag, source, psi, n_sweeps)
-        res = gsum(jnp.abs(source - amul(psi))) / nf
+        psi = jacobi_sweeps(mesh, amul, diag, b, psi, n_sweeps)
+        res = gsum(jnp.abs(b - amul(psi))) / nf
         improved = jnp.any(res < (1.0 - 1e-6) * best)
         best = jnp.minimum(best, res)
         since_best = jnp.where(improved, 0, since_best + n_sweeps)
         return psi, it + n_sweeps, res, best, since_best
 
     psi, it, res, _, _ = lax.while_loop(
-        cond, body, (psi0, jnp.asarray(0, jnp.int32), res0, res0,
-                     jnp.asarray(0, jnp.int32)))
-    return psi, (res0, res, it)
+        cond, body, (jnp.zeros_like(psi0), jnp.asarray(0, jnp.int32),
+                     res0, res0, jnp.asarray(0, jnp.int32)))
+    return psi0 + psi, (res0, res, it)
 
 
 def _repin_reference(m: FvMatrix, x):

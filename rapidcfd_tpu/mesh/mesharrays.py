@@ -130,6 +130,13 @@ class MeshArrays:
     # per-slot assembly volume (ghost slots 0 so folded cell integrals
     # are exact); None = use V (ordinary meshes)
     V_assemble: jax.Array | None = None
+    # batched boundary scatter (all non-empty patches concatenated):
+    # every TPU scatter costs a full copy of the target array, so the
+    # boundary fold of a 1M-cell field must be ONE scatter, not one per
+    # patch. bnd_cells[i] = face-cell of boundary face bnd_sel[i]
+    # (bstart order). None = fall back to per-patch scatters.
+    bnd_cells: jax.Array | None = None
+    bnd_sel: jax.Array | None = None
 
     @property
     def V_asm(self) -> jax.Array:
@@ -179,6 +186,22 @@ class MeshArrays:
             return st.add_at_patch_cells(self, self.structured, p, segs,
                                          data, vals)
         return data.at[self.patch_face_cells(p)].add(vals)
+
+    def add_at_boundary_cells(self, data: jax.Array,
+                              bvals: jax.Array) -> jax.Array:
+        """data[faceCells] += bvals over EVERY non-empty patch in ONE
+        scatter (bvals in bstart order). A TPU scatter pays a full copy
+        of `data`, so per-patch scatters over a 1M-cell field cost
+        n_patches copies; this is the batched form."""
+        if self.bnd_cells is None:
+            for p in self.patches:
+                if p.is_empty or p.size == 0:
+                    continue
+                data = self.add_at_patch_cells(
+                    p, data, bvals[p.bstart:p.bstart + p.size])
+            return data
+        return data.at[self.bnd_cells].add(
+            jnp.take(bvals, self.bnd_sel, axis=0))
 
     def patch_mag_sf(self, p: Patch) -> jax.Array:
         return self.mag_sf[p.start:p.start + p.size]
@@ -418,6 +441,7 @@ def build_mesh_arrays(mesh: PolyMesh, *, renumber: bool = True,
     internal_mask = ell["internal_mask"]
 
     idt = jnp.int32
+    bnd_cells, bnd_sel = _bnd_batch(own, patches)
     ma = MeshArrays(
         owner=jnp.asarray(own, idt),
         neighbour=jnp.asarray(nei, idt),
@@ -443,8 +467,25 @@ def build_mesh_arrays(mesh: PolyMesh, *, renumber: bool = True,
         patches=tuple(patches), structured=sinfo,
         ami=_build_ami(mesh, patches, Cf,
                        coeffs["b_delta_coeffs"], n_int, dtype),
+        bnd_cells=bnd_cells, bnd_sel=bnd_sel,
     )
     return ma, mesh, MeshMaps(cell_perm, face_perm)
+
+
+def _bnd_batch(own: np.ndarray, patches) -> tuple:
+    """(bnd_cells, bnd_sel) device arrays for the single-scatter
+    boundary fold (MeshArrays.add_at_boundary_cells), or (None, None)
+    when every patch is empty."""
+    cells, sel = [], []
+    for p in patches:
+        if p.is_empty or p.size == 0:
+            continue
+        cells.append(np.asarray(own[p.start:p.start + p.size]))
+        sel.append(np.arange(p.bstart, p.bstart + p.size))
+    if not cells:
+        return None, None
+    return (jnp.asarray(np.concatenate(cells), jnp.int32),
+            jnp.asarray(np.concatenate(sel), jnp.int32))
 
 
 def _build_ami(mesh: PolyMesh, patches, Cf, b_dc, n_int, dtype):
@@ -628,6 +669,7 @@ def build_gdia_mesh_arrays(mesh: PolyMesh, lattice: dict, *, dtype=None
 
     V_slot = np.where(primary > 0, V[slot_cell], 0.0)
     idt = jnp.int32
+    bnd_cells, bnd_sel = _bnd_batch(own_pad, patches)
     ma = MeshArrays(
         owner=jnp.asarray(own_pad, idt),
         neighbour=jnp.asarray(nei_pad, idt),
@@ -652,6 +694,7 @@ def build_gdia_mesh_arrays(mesh: PolyMesh, lattice: dict, *, dtype=None
         K=ell["K"], patches=tuple(patches), structured=None,
         ami=(), gdia=ginfo,
         V_assemble=jnp.asarray(V_slot, dtype),
+        bnd_cells=bnd_cells, bnd_sel=bnd_sel,
     )
     # maps: slot -> real cell (ghosts share their primary's cell, so
     # reading pads ghost-synced automatically and writing is idempotent);

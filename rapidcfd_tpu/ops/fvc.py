@@ -74,12 +74,10 @@ def surface_sum_faces(mesh: MeshArrays, face_data: jnp.ndarray,
         from ..mesh import gdia as gd
         out = gd.surface_sum_internal(g, face_data[:mesh.n_internal],
                                       signed)
-        bvals = face_data[mesh.n_internal:]
-        for p in mesh.patches:
-            if p.is_empty or p.size == 0:
-                continue
-            out = out.at[mesh.patch_face_cells(p)].add(
-                bvals[p.bstart:p.bstart + p.size])
+        # ONE batched scatter for all non-empty patches (bnd_sel skips
+        # empty-patch faces, matching the per-patch loop this replaces)
+        out = mesh.add_at_boundary_cells(out,
+                                         face_data[mesh.n_internal:])
         if raw:
             return out
         return gd.sync(g, gd.fold(g, out))

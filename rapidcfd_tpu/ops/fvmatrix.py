@@ -165,6 +165,23 @@ class FvMatrix:
         return tuple(getattr(bc, "coupled", False)
                      for bc in self.psi.bcs)
 
+    @staticmethod
+    def _fold_patches(mesh, data, items):
+        """data[faceCells] += vals over a list of (patch, vals): slab
+        adds on structured boxes, otherwise ONE concatenated scatter —
+        each TPU scatter pays a full copy of `data`, so per-patch
+        scatters over large fields dominate assembly cost."""
+        if not items:
+            return data
+        if mesh.structured is not None or len(items) == 1:
+            for p, v in items:
+                data = mesh.add_at_patch_cells(p, data, v)
+            return data
+        cells = jnp.concatenate(
+            [mesh.patch_face_cells(p) for p, _ in items])
+        vals = jnp.concatenate([v for _, v in items], axis=0)
+        return data.at[cells].add(vals)
+
     def component_system_all(self, mesh: MeshArrays):
         """(diag (n,m), source (n,m)) for a column-batched vector solve
         (patch internal coeffs differ per component, e.g. symmetry)."""
@@ -172,14 +189,17 @@ class FvMatrix:
         diag = jnp.broadcast_to(self.diag[:, None],
                                 (self.diag.shape[0], m_comp))
         src = self.source
+        d_items, s_items = [], []
         for p, ic, bc, cpl in zip(mesh.patches, self.internal_coeffs,
                                   self.boundary_coeffs,
                                   self._coupled_flags()):
             if p.is_empty or p.size == 0:
                 continue
-            diag = mesh.add_at_patch_cells(p, diag, ic)
+            d_items.append((p, ic))
             if not cpl:
-                src = mesh.add_at_patch_cells(p, src, bc)
+                s_items.append((p, bc))
+        diag = self._fold_patches(mesh, diag, d_items)
+        src = self._fold_patches(mesh, src, s_items)
         diag, src = self._gdia_fold_system(mesh, diag, src, None)
         return diag, self._compat_project(src)
 
@@ -188,6 +208,7 @@ class FvMatrix:
         in (reference: addBoundaryDiag/addBoundarySource before solve)."""
         diag = self.diag
         src = self.source if cmpt is None else self.source[:, cmpt]
+        d_items, s_items = [], []
         for p, ic, bc, cpl in zip(mesh.patches, self.internal_coeffs,
                                   self.boundary_coeffs,
                                   self._coupled_flags()):
@@ -195,9 +216,11 @@ class FvMatrix:
                 continue
             icc = ic if cmpt is None else ic[:, cmpt]
             bcc = bc if cmpt is None else bc[:, cmpt]
-            diag = mesh.add_at_patch_cells(p, diag, icc)
+            d_items.append((p, icc))
             if not cpl:
-                src = mesh.add_at_patch_cells(p, src, bcc)
+                s_items.append((p, bcc))
+        diag = self._fold_patches(mesh, diag, d_items)
+        src = self._fold_patches(mesh, src, s_items)
         diag, src = self._gdia_fold_system(mesh, diag, src, cmpt)
         return diag, self._compat_project(src)
 
@@ -271,11 +294,12 @@ class FvMatrix:
         diag)."""
         from .fvc import _extrapolated
         diag = self.diag
+        items = []
         for p, ic in zip(mesh.patches, self.internal_coeffs):
             if p.is_empty or p.size == 0:
                 continue
-            icc = ic.mean(axis=-1) if ic.ndim > 1 else ic
-            diag = mesh.add_at_patch_cells(p, diag, icc)
+            items.append((p, ic.mean(axis=-1) if ic.ndim > 1 else ic))
+        diag = self._fold_patches(mesh, diag, items)
         if mesh.gdia is not None:
             from ..mesh import gdia as gd
             diag = gd.sync(mesh.gdia, gd.fold(mesh.gdia, diag))
@@ -290,13 +314,15 @@ class FvMatrix:
         psi = self.psi.data
         off = self.offdiag_mv(mesh)(halo(psi))
         h = self.source - off
+        items = []
         for p, bc, cpl in zip(mesh.patches, self.boundary_coeffs,
                               self._coupled_flags()):
             if p.is_empty or p.size == 0:
                 continue
             if cpl:
                 bc = bc * mesh.ami_ghost(p, psi)
-            h = mesh.add_at_patch_cells(p, h, bc)
+            items.append((p, bc))
+        h = self._fold_patches(mesh, h, items)
         if mesh.gdia is not None:
             from ..mesh import gdia as gd
             h = gd.sync(mesh.gdia, gd.fold(mesh.gdia, h))
@@ -313,14 +339,15 @@ class FvMatrix:
         from ..parallel.hooks import halo
         ones = jnp.ones(self.diag.shape, self.diag.dtype)
         h = -self.offdiag_mv(mesh)(halo(ones))
+        items = []
         for p, bc, cpl in zip(mesh.patches, self.boundary_coeffs,
                               self._coupled_flags()):
             # only coupled patches contribute (reference adds
             # boundaryCoeffs.component(0) at coupled patches only)
             if not cpl or p.is_empty or p.size == 0:
                 continue
-            bcc = bc[..., 0] if bc.ndim > 1 else bc
-            h = mesh.add_at_patch_cells(p, h, bcc)
+            items.append((p, bc[..., 0] if bc.ndim > 1 else bc))
+        h = self._fold_patches(mesh, h, items)
         if mesh.gdia is not None:
             from ..mesh import gdia as gd
             h = gd.sync(mesh.gdia, gd.fold(mesh.gdia, h))

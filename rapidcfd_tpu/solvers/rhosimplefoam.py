@@ -25,7 +25,8 @@ from .simplefoam import relax_field
 
 
 def make_step(case: Case, thermo: PsiThermo, simple: SimpleControl,
-              turb=None, consistent: bool = False):
+              turb=None, consistent: bool = False,
+              p_offset: float = 0.0):
     """turb: optional CompressibleTurbulence adapter; when present the
     momentum uses muEff = mu + rho*nut (+ explicit dev2 stress) and the
     energy alphaEff = alpha + rho*nut/Prt (reference: compressible RAS
@@ -53,7 +54,11 @@ def make_step(case: Case, thermo: PsiThermo, simple: SimpleControl,
     p_relax = case.relaxation_factor("p", "fields", 0.3)
     rho_relax = case.relaxation_factor("rho", "fields", 1.0)
     n_non_orth = simple.n_non_orth
-    p_ref_cell, p_ref_value = simple.p_ref_cell, simple.p_ref_value
+    # p may run in DEVIATION form (fields.field.shift_level): the solver
+    # sees p - p_offset everywhere; only EoS evaluations and the
+    # reference pin need the absolute level back
+    p_ref_cell = simple.p_ref_cell
+    p_ref_value = simple.p_ref_value - p_offset
 
     has_turb = turb is not None and not turb.laminar
 
@@ -109,8 +114,9 @@ def make_step(case: Case, thermo: PsiThermo, simple: SimpleControl,
         hEqn = hEqn.relax(mesh, h_relax)
         h, h_perf = solve(mesh, hEqn, h_controls)
         T = thermo.update_t(mesh, T, h)
-        rho_eos = rho.replace(data=m.rho(p.data, T.data),
-                              bvalues=m.rho(p.bvalues, T.bvalues))
+        rho_eos = rho.replace(
+            data=m.rho(p.data + p_offset, T.data),
+            bvalues=m.rho(p.bvalues + p_offset, T.bvalues))
         rho = relax_field(rho_eos, rho, rho_relax)
 
         # ---- pEqn.H (subsonic SIMPLE / SIMPLEC)
@@ -149,8 +155,9 @@ def make_step(case: Case, thermo: PsiThermo, simple: SimpleControl,
         p = relax_field(p, p_prev, p_relax)
         U_star = HbyA - rAtU * fvc.grad(mesh, p)
         U = U.replace(data=U_star.data).correct_boundary_conditions(mesh)
-        rho = rho.replace(data=m.rho(p.data, T.data),
-                          bvalues=m.rho(p.bvalues, T.bvalues))
+        rho = rho.replace(
+            data=m.rho(p.data + p_offset, T.data),
+            bvalues=m.rho(p.bvalues + p_offset, T.bvalues))
 
         if has_turb:
             nu_lam = T.with_calculated_bcs(
@@ -188,12 +195,28 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None,
     phi = SurfaceField(rho_f * fvc.flux(mesh, U).data,
                        DimensionSet.of(1, 0, -1), "phi")
 
+    # fp32: SI absolute pressure quantizes at eps32*1e5 ~ 0.01 Pa —
+    # above the cell-to-cell differences of low-Mach flows. Run p in
+    # deviation form (shift_level) when the static level dominates the
+    # dynamic range; fp64 stays absolute (bit-identical to before).
+    import numpy as np
+    p_offset = 0.0
+    if p.data.dtype == jnp.float32:
+        pa = np.asarray(p.data)
+        lvl, dyn = float(np.mean(pa)), float(pa.max() - pa.min())
+        if abs(lvl) > 100.0 * max(dyn, 1e-30):
+            p_offset = lvl
+            from ..fields.field import shift_level
+            p = shift_level(p, -p_offset)
+            info(f"rhoSimpleFoam: solving p in deviation form "
+                 f"(p_offset = {p_offset:g})\n")
+
     simple = SimpleControl(case)
     from ..models.turbulence import CompressibleTurbulence
     turb = CompressibleTurbulence(case, U)
     turb_state = turb.init_state(U)
     step = make_step(case, thermo, simple, turb=turb,
-                     consistent=consistent)
+                     consistent=consistent, p_offset=p_offset)
     timer = ExecutionTimer()
     cumulative_err = 0.0
 
@@ -227,12 +250,17 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None,
         timer.log()
 
         if write and case.time.write_time():
-            case.write_fields([U, p, T, rho.replace(name="rho")]
+            from ..fields.field import shift_level
+            p_abs = shift_level(p, p_offset) if p_offset else p
+            case.write_fields([U, p_abs, T, rho.replace(name="rho")]
                               + list(turb_state.values()))
         n += 1
         if max_steps and n >= max_steps:
             break
     info("End\n")
+    if p_offset:
+        from ..fields.field import shift_level
+        p = shift_level(p, p_offset)
     return case, U, p, T, rho, phi
 
 
