@@ -695,9 +695,10 @@ def manipulate_matrix_bcs(mesh, m):
     n = m.diag.shape[0]
     mask = jnp.zeros(n, m.diag.dtype)
     vals = jnp.zeros(m.source.shape, m.source.dtype)
+    from .bcs_mapped import internal_pin_values
     for patch, bc, bd in items:
         cells = mesh.patch_face_cells(patch)
-        pv = field.patch_values(mesh, patch)
+        pv = internal_pin_values(bc, mesh, patch, field, bd)
         mask = mask.at[cells].set(1.0)
         vals = vals.at[cells].set(pv)
     if m.source.ndim > 1:

@@ -28,10 +28,18 @@ _BC_DATA_KEYS = ("value", "gradient", "refValue", "refGradient",
                  "emissivity", "jump")
 
 #: word entries stored as 0/1 switches so they stay jit-safe pytree leaves
-_BC_SWITCH_KEYS = ("relative",)
+_BC_SWITCH_KEYS = ("relative", "setAverage")
 
 #: entries that are configuration words consumed by from_dict, not data
-_BC_WORD_KEYS = ("type", "mode", "patchType", "neighbourPatch")
+_BC_WORD_KEYS = ("type", "mode", "patchType", "neighbourPatch",
+                 "fieldName", "sampleMode", "samplePatch", "sampleRegion",
+                 "offsetMode", "interpolationScheme")
+
+#: BC types using mappedPatchBase-style sampling (bcs_mapped.py)
+_MAPPED_TYPES = ("mappedFixedValue", "mappedField",
+                 "mappedFixedInternalValue",
+                 "mappedFixedPushedInternalValue", "mappedFlowRate",
+                 "mappedVelocityFluxFixedValue")
 
 
 def _capture_bc_entry(entry, dtype):
@@ -187,6 +195,8 @@ def read_vol_field(case_dir: str, time: str, name: str, mesh: MeshArrays,
             _capture_jump_table(pd, bd, dtype, case_dir)
         if bc_type == "timeVaryingMappedFixedValue":
             _load_boundary_data(case_dir, name, patch, mesh, bd, dtype)
+        if bc_type in _MAPPED_TYPES:
+            _setup_mapped(name, patch, mesh, pd, bd)
         bcs.append(bc)
         bcdata.append(bd)
         if "value" in bd:
@@ -200,6 +210,67 @@ def read_vol_field(case_dir: str, time: str, name: str, mesh: MeshArrays,
     # one jitted program instead of ~3 eager ops per patch
     import jax as _jax
     return _jax.jit(lambda ff: ff.correct_boundary_conditions(mesh))(f)
+
+
+def _setup_mapped(field_name, patch, mesh, pd, bd):
+    """Resolve the mappedPatchBase sampling map host-side into static
+    index tables (see fields/bcs_mapped.py): map_cells (nearestCell),
+    or map_bfaces/map_faces/map_bcells (nearestPatchFace(/AMI)/
+    nearestFace). Cross-region sampling is left unresolved (the BC then
+    holds its stored value)."""
+    region = pd.word("sampleRegion") if pd.lookup("sampleRegion") \
+        is not None else None
+    if region not in (None, "region0"):
+        import sys
+        print(f"mapped BC on '{patch.name}' ({field_name}): "
+              f"sampleRegion '{region}' is not this mesh — mapping "
+              "left unresolved (holds stored value)", file=sys.stderr)
+        return
+    mode = pd.word("sampleMode") if pd.lookup("sampleMode") is not None \
+        else "nearestPatchFace"
+    offset_mode = pd.word("offsetMode") if pd.lookup("offsetMode") \
+        is not None else None
+    cf = np.asarray(mesh.patch_cf(patch), np.float64)
+    sample = cf.copy()
+    if offset_mode == "normal" or (offset_mode is None
+                                   and pd.lookup("distance") is not None):
+        dist = float(pd.scalar("distance", 0.0))
+        nf = np.asarray(mesh.patch_normals(patch), np.float64)
+        sample += dist * nf
+    else:
+        off = pd.lookup("offsets")
+        if off is not None:
+            sample += np.asarray(off, np.float64).reshape(-1, 3)
+        else:
+            off = pd.lookup("offset")
+            if off is not None:
+                sample += np.asarray(off, np.float64)
+    from scipy.spatial import cKDTree
+    if mode == "nearestCell":
+        _, idx = cKDTree(np.asarray(mesh.C, np.float64)).query(sample)
+        bd["map_cells"] = jnp.asarray(idx, jnp.int32)
+        return
+    # face modes: search the sample patch (nearestPatchFace(/AMI)) or
+    # every boundary face (nearestFace)
+    sp = pd.word("samplePatch") if pd.lookup("samplePatch") is not None \
+        else None
+    pts, faces, bfaces, cells = [], [], [], []
+    for q in mesh.patches:
+        if q.is_empty or q.size == 0:
+            continue
+        if mode in ("nearestPatchFace", "nearestPatchFaceAMI") \
+                and sp is not None and q.name != sp:
+            continue
+        pts.append(np.asarray(mesh.patch_cf(q), np.float64))
+        faces.append(np.arange(q.start, q.start + q.size))
+        bfaces.append(np.arange(q.bstart, q.bstart + q.size))
+        cells.append(np.asarray(mesh.owner[q.start:q.start + q.size]))
+    if not pts:
+        return
+    _, idx = cKDTree(np.concatenate(pts)).query(sample)
+    bd["map_faces"] = jnp.asarray(np.concatenate(faces)[idx], jnp.int32)
+    bd["map_bfaces"] = jnp.asarray(np.concatenate(bfaces)[idx], jnp.int32)
+    bd["map_bcells"] = jnp.asarray(np.concatenate(cells)[idx], jnp.int32)
 
 
 def _read_raw_numbers(path: str) -> np.ndarray:
