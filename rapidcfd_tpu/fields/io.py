@@ -98,11 +98,13 @@ def _capture_jump_table(pd, bd, dtype, case_dir):
         bd["jump_values"] = jnp.asarray(v, npdt)
 
 
-def _parse_value(entry, n: int, dtype):
+def _parse_value(entry, n: int, dtype, stash=None):
     """Parse `uniform v`, `uniform (x y z)`, `nonuniform List<T> N (...)`.
-    Returns NUMPY (field construction stays host-side; a single jitted
-    boundary correction materializes on device — avoids the per-eager-op
-    dispatch cost of remote TPU backends)."""
+    Binary files put a `__binK__` placeholder word where the payload was
+    (utils/foambin.decode_binary_dict); stash resolves it. Returns NUMPY
+    (field construction stays host-side; a single jitted boundary
+    correction materializes on device — avoids the per-eager-op dispatch
+    cost of remote TPU backends)."""
     npdt = np.dtype(str(np.dtype(dtype)))
     if isinstance(entry, (int, float)):
         return np.full((n,), float(entry), npdt)
@@ -116,6 +118,9 @@ def _parse_value(entry, n: int, dtype):
             return np.full((n,), float(v), npdt)
         if items[0] == "nonuniform":
             payload = items[-1]
+            if isinstance(payload, str) and stash is not None \
+                    and payload in stash:
+                payload = stash[payload]
             if isinstance(payload, int):  # `nonuniform List<scalar> 0 ()`
                 payload = []
             arr = np.asarray(payload, dtype=float)
@@ -140,8 +145,9 @@ def read_vol_field(case_dir: str, time: str, name: str, mesh: MeshArrays,
     d = parse_file(os.path.join(case_dir, time, name))
     dims = d.lookup("dimensions", required=True)
     assert isinstance(dims, DimensionSet)
+    stash = getattr(d, "binstash", None)
     data = _parse_value(d.lookup("internalField", required=True),
-                        mesh.n_cells, dtype)
+                        mesh.n_cells, dtype, stash)
     # file order -> device (renumbered) order (numpy, host-side)
     data = data[maps.cell_perm]
 
@@ -164,7 +170,8 @@ def read_vol_field(case_dir: str, time: str, name: str, mesh: MeshArrays,
         for key in _BC_DATA_KEYS:
             if pd.lookup(key) is not None:
                 try:
-                    v = _parse_value(pd.lookup(key), patch.size, dtype)
+                    v = _parse_value(pd.lookup(key), patch.size, dtype,
+                                     stash)
                 except ValueError:
                     continue  # e.g. `uniformValue table (...)`: generic
                 bd[key] = jnp.asarray(v)
@@ -331,7 +338,15 @@ def _fmt_scalar(v: float, prec: int = 8) -> str:
     return f"{v:.{prec}g}"
 
 
-def _body_value(arr: np.ndarray, prec: int = 8) -> str:
+def _body_value(arr: np.ndarray, prec: int = 8, binary: bool = False):
+    if binary and arr.size:
+        # binary nonuniform list: ascii prefix + raw-double block
+        # (utils/foambin.fmt_list matches the reference framing)
+        from ..utils import foambin
+        comp = "scalar" if arr.ndim == 1 else (
+            "vector" if arr.shape[1] == 3 else f"Type{arr.shape[1]}")
+        return (f"nonuniform List<{comp}>".encode("latin-1")
+                + foambin.fmt_list(arr))
     if arr.ndim == 1:
         if np.all(arr == arr[0] if arr.size else True) and arr.size:
             return f"uniform {_fmt_scalar(float(arr[0]), prec)}"
@@ -352,14 +367,41 @@ def _dims_str(dims: DimensionSet) -> str:
                           for e in dims.as_tuple()) + "]"
 
 
+def _emit(path: str, parts, compress: bool):
+    """Join str/bytes parts and write, gzipping to <path>.gz when
+    compress (reference: writeCompression compressed)."""
+    import gzip
+    payload = b"".join(p if isinstance(p, bytes) else p.encode("latin-1")
+                       for p in parts)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if compress:
+        with gzip.open(path + ".gz", "wb") as f:
+            f.write(payload)
+        if os.path.isfile(path):
+            os.remove(path)
+    else:
+        with open(path, "wb") as f:
+            f.write(payload)
+        stale = path + ".gz"
+        if os.path.isfile(stale):
+            os.remove(stale)
+
+
 def write_vol_field(field: VolField, case_dir: str, time: str,
-                    mesh: MeshArrays, maps: MeshMaps, prec: int = 8):
+                    mesh: MeshArrays, maps: MeshMaps, prec: int = 8,
+                    fmt: str = "ascii", compress: bool = False):
+    """fmt='binary' writes every nonuniform list as a raw-double block
+    (the reference's `writeFormat binary`); a binary-format file must
+    not contain ascii nonuniform lists, so the flag threads through all
+    values. compress gzips the file (`writeCompression compressed`)."""
     from ..utils.registry import _TABLES
+    binary = fmt == "binary"
     cls = ("volScalarField" if field.data.ndim == 1 else "volVectorField")
     data = maps.cells_to_file(np.asarray(field.data))
-    lines = [f"\ndimensions      {_dims_str(field.dims)};\n\n",
-             f"internalField   {_body_value(data, prec)};\n\n",
-             "boundaryField\n{\n"]
+    lines = [foamfile_header(cls, field.name, time, fmt=fmt),
+             f"\ndimensions      {_dims_str(field.dims)};\n\n",
+             "internalField   ", _body_value(data, prec, binary),
+             ";\n\n", "boundaryField\n{\n"]
     # reverse lookup BC class -> dictionary word
     word_of = {}
     for w, c in _TABLES.get("fvPatchField", {}).items():
@@ -374,9 +416,11 @@ def write_vol_field(field: VolField, case_dir: str, time: str,
                      f"        type            {w};\n")
         pb = bvals[patch.bstart:patch.bstart + patch.size]
         if isinstance(bc, Calculated) or "value" in bd:
-            lines.append(f"        value           {_body_value(pb, prec)};\n")
+            lines += ["        value           ",
+                      _body_value(pb, prec, binary), ";\n"]
         for key, v in bd.items():
-            if key == "value" or key.startswith(("tvm_", "table_")):
+            if key == "value" or key.startswith(("tvm_", "table_",
+                                                 "map_", "jump_")):
                 continue
             arr = np.asarray(v)
             if arr.ndim == 0:
@@ -386,14 +430,11 @@ def write_vol_field(field: VolField, case_dir: str, time: str,
                 body = "(" + " ".join(
                     _fmt_scalar(float(x), prec) for x in arr) + ")"
             else:
-                body = _body_value(arr, prec)
-            lines.append(f"        {key}           {body};\n")
+                body = _body_value(arr, prec, binary)
+            lines += [f"        {key}           ", body, ";\n"]
         lines.append("    }\n")
     lines.append("}\n")
-    path = os.path.join(case_dir, time, field.name)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "w") as f:
-        f.write(foamfile_header(cls, field.name, time) + "".join(lines))
+    _emit(os.path.join(case_dir, time, field.name), lines, compress)
 
 
 # ---------------------------------------------------------------------------
@@ -401,26 +442,27 @@ def write_vol_field(field: VolField, case_dir: str, time: str,
 # ---------------------------------------------------------------------------
 
 def write_surface_field(sf, case_dir: str, time: str, mesh: MeshArrays,
-                        maps: MeshMaps, prec: int = 8):
+                        maps: MeshMaps, prec: int = 8,
+                        fmt: str = "ascii", compress: bool = False):
     """Write a SurfaceField (e.g. phi) as a surfaceScalarField file
     (reference: restart reads phi if present; createPhi.H otherwise)."""
+    binary = fmt == "binary"
     data = maps.faces_to_file(np.asarray(sf.data))
     n_int = mesh.n_internal
-    lines = [f"\ndimensions      {_dims_str(sf.dims)};\n\n",
-             f"internalField   {_body_value(data[:n_int], prec)};\n\n",
-             "boundaryField\n{\n"]
+    lines = [foamfile_header("surfaceScalarField", sf.name or "phi",
+                             time, fmt=fmt),
+             f"\ndimensions      {_dims_str(sf.dims)};\n\n",
+             "internalField   ", _body_value(data[:n_int], prec, binary),
+             ";\n\n", "boundaryField\n{\n"]
     for patch in mesh.patches:
         pb = data[patch.start:patch.start + patch.size]
-        lines.append(f"    {patch.name}\n    {{\n"
-                     f"        type            calculated;\n"
-                     f"        value           {_body_value(pb, prec)};\n"
-                     "    }\n")
+        lines += [f"    {patch.name}\n    {{\n"
+                  "        type            calculated;\n"
+                  "        value           ",
+                  _body_value(pb, prec, binary), ";\n    }\n"]
     lines.append("}\n")
-    path = os.path.join(case_dir, time, sf.name or "phi")
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "w") as f:
-        f.write(foamfile_header("surfaceScalarField", sf.name or "phi",
-                                time) + "".join(lines))
+    _emit(os.path.join(case_dir, time, sf.name or "phi"), lines,
+          compress)
 
 
 def read_surface_field(case_dir: str, time: str, name: str,
@@ -433,8 +475,10 @@ def read_surface_field(case_dir: str, time: str, name: str,
         dtype = default_dtype()
     d = parse_file(os.path.join(case_dir, time, name))
     dims = d.lookup("dimensions", required=True)
+    stash = getattr(d, "binstash", None)
     internal = np.asarray(_parse_value(
-        d.lookup("internalField", required=True), mesh.n_internal, dtype))
+        d.lookup("internalField", required=True), mesh.n_internal, dtype,
+        stash))
     data = np.zeros(mesh.n_faces, internal.dtype)
     data[:mesh.n_internal] = internal
     bfield = d.subdict("boundaryField")
@@ -443,6 +487,6 @@ def read_surface_field(case_dir: str, time: str, name: str,
         if pd is None or pd.lookup("value") is None:
             continue
         data[patch.start:patch.start + patch.size] = np.asarray(
-            _parse_value(pd.lookup("value"), patch.size, dtype))
+            _parse_value(pd.lookup("value"), patch.size, dtype, stash))
     data = maps.faces_to_device(data)
     return SurfaceField(jnp.asarray(data), dims, name)

@@ -157,16 +157,62 @@ class PolyMesh:
         return self.face_points[self.face_offsets[i]:self.face_offsets[i + 1]]
 
 
+def _bin_header_end(raw: bytes) -> int:
+    i = raw.find(b"FoamFile")
+    return raw.find(b"}", i) + 1
+
+
+def _bin_class(raw: bytes) -> str:
+    m = re.search(rb"class\s+(\w+)\s*;", raw[:2048])
+    return m.group(1).decode() if m else ""
+
+
+def _read_points(path: str) -> np.ndarray:
+    from ..utils import foambin
+    raw = foambin.read_raw(path)
+    if foambin.is_binary(raw):
+        pts, _ = foambin.scan_list(raw, _bin_header_end(raw), 3, "f")
+        return np.asarray(pts, np.float64)
+    _, body = _strip_header(raw.decode("latin-1"))
+    return _parse_scalar_list(body, 3)
+
+
+def _read_faces(path: str) -> tuple[np.ndarray, np.ndarray]:
+    from ..utils import foambin
+    raw = foambin.read_raw(path)
+    if foambin.is_binary(raw):
+        # binary faces are CompactIOList: offsets labelList then the
+        # flattened labelList (reference: CompactIOList.C:operator<<)
+        cls = _bin_class(raw)
+        if "Compact" not in cls:
+            raise NotImplementedError(
+                f"binary faces class '{cls}': only faceCompactIOList "
+                "is supported (the reference's binary write format)")
+        offsets, pos = foambin.scan_list(raw, _bin_header_end(raw), 1,
+                                         "i")
+        flat, _ = foambin.scan_list(raw, pos, 1, "i")
+        return (np.asarray(flat, np.int64),
+                np.asarray(offsets, np.int64))
+    _, body = _strip_header(raw.decode("latin-1"))
+    return _parse_face_list(body)
+
+
+def _read_labels(path: str) -> np.ndarray:
+    from ..utils import foambin
+    raw = foambin.read_raw(path)
+    if foambin.is_binary(raw):
+        arr, _ = foambin.scan_list(raw, _bin_header_end(raw), 1, "i")
+        return np.asarray(arr, np.int64)
+    _, body = _strip_header(raw.decode("latin-1"))
+    return _parse_label_list(body)
+
+
 def read_polymesh(case_dir: str, region: str = "") -> PolyMesh:
     d = os.path.join(case_dir, "constant", region, "polyMesh")
-    _, pts_body = _strip_header(_read_text(os.path.join(d, "points")))
-    points = _parse_scalar_list(pts_body, 3)
-    _, faces_body = _strip_header(_read_text(os.path.join(d, "faces")))
-    face_points, face_offsets = _parse_face_list(faces_body)
-    _, own_body = _strip_header(_read_text(os.path.join(d, "owner")))
-    owner = _parse_label_list(own_body)
-    _, nei_body = _strip_header(_read_text(os.path.join(d, "neighbour")))
-    neighbour = _parse_label_list(nei_body)
+    points = _read_points(os.path.join(d, "points"))
+    face_points, face_offsets = _read_faces(os.path.join(d, "faces"))
+    owner = _read_labels(os.path.join(d, "owner"))
+    neighbour = _read_labels(os.path.join(d, "neighbour"))
 
     btext = _read_text(os.path.join(d, "boundary"))
     _, bbody = _strip_header(btext)
@@ -201,32 +247,61 @@ def _parse_boundary(body: str) -> list[BoundaryPatch]:
 # Writing (casegen / decomposition output)
 # ---------------------------------------------------------------------------
 
-def write_polymesh(mesh: PolyMesh, case_dir: str, region: str = ""):
+def write_polymesh(mesh: PolyMesh, case_dir: str, region: str = "",
+                   fmt: str = "ascii", compress: bool = False):
+    """fmt='binary' writes the reference's binary polyMesh contract
+    (points/owner/neighbour as binary lists, faces as
+    faceCompactIOList); compress gzips the data files. The boundary
+    file stays ascii (it is a dictionary either way)."""
+    import gzip as _gzip
     from ..utils.dictionary import foamfile_header
+    from ..utils import foambin
     d = os.path.join(case_dir, "constant", region, "polyMesh")
     os.makedirs(d, exist_ok=True)
+    loc = (f"constant/{region}/polyMesh" if region
+           else "constant/polyMesh")
 
-    def wr(name, cls, body):
-        with open(os.path.join(d, name), "w") as f:
-            f.write(foamfile_header(cls, name, f"constant/{region}/polyMesh"
-                                    if region else "constant/polyMesh"))
-            f.write(body)
+    def wr(name, cls, body, binary=False):
+        hdr = foamfile_header(cls, name, loc,
+                              fmt="binary" if binary else "ascii")
+        payload = hdr.encode("latin-1") + body if binary \
+            else (hdr + body).encode("latin-1")
+        if compress and name != "boundary":
+            with _gzip.open(os.path.join(d, name + ".gz"), "wb") as f:
+                f.write(payload)
+            stale = os.path.join(d, name)
+            if os.path.isfile(stale):
+                os.remove(stale)
+        else:
+            with open(os.path.join(d, name), "wb") as f:
+                f.write(payload)
 
-    pts = "\n".join(f"({p[0]:.12g} {p[1]:.12g} {p[2]:.12g})"
-                    for p in mesh.points)
-    wr("points", "vectorField", f"\n{mesh.n_points}\n(\n{pts}\n)\n")
+    if fmt == "binary":
+        wr("points", "vectorField", foambin.fmt_list(mesh.points) + b"\n",
+           binary=True)
+        wr("faces", "faceCompactIOList",
+           foambin.fmt_list(mesh.face_offsets)
+           + foambin.fmt_list(mesh.face_points) + b"\n", binary=True)
+        wr("owner", "labelList", foambin.fmt_list(mesh.owner) + b"\n",
+           binary=True)
+        wr("neighbour", "labelList",
+           foambin.fmt_list(mesh.neighbour) + b"\n", binary=True)
+    else:
+        pts = "\n".join(f"({p[0]:.12g} {p[1]:.12g} {p[2]:.12g})"
+                        for p in mesh.points)
+        wr("points", "vectorField", f"\n{mesh.n_points}\n(\n{pts}\n)\n")
 
-    lines = []
-    for i in range(mesh.n_faces):
-        fp = mesh.face(i)
-        lines.append(f"{len(fp)}({' '.join(map(str, fp))})")
-    wr("faces", "faceList", f"\n{mesh.n_faces}\n(\n" + "\n".join(lines)
-       + "\n)\n")
+        lines = []
+        for i in range(mesh.n_faces):
+            fp = mesh.face(i)
+            lines.append(f"{len(fp)}({' '.join(map(str, fp))})")
+        wr("faces", "faceList", f"\n{mesh.n_faces}\n(\n"
+           + "\n".join(lines) + "\n)\n")
 
-    wr("owner", "labelList", f"\n{mesh.n_faces}\n(\n"
-       + "\n".join(map(str, mesh.owner)) + "\n)\n")
-    wr("neighbour", "labelList", f"\n{mesh.n_internal_faces}\n(\n"
-       + "\n".join(map(str, mesh.neighbour)) + "\n)\n")
+        wr("owner", "labelList", f"\n{mesh.n_faces}\n(\n"
+           + "\n".join(map(str, mesh.owner)) + "\n)\n")
+        wr("neighbour", "labelList", f"\n{mesh.n_internal_faces}\n(\n"
+           + "\n".join(map(str, mesh.neighbour)) + "\n)\n")
 
     pb = [f"\n{len(mesh.patches)}\n("]
     for p in mesh.patches:

@@ -110,8 +110,14 @@ class Case:
         consume the step's write trigger."""
         t = time or self.time.name
         td = self._time_dir(time)
+        fmt = self.control_dict.word("writeFormat", "ascii")
+        compress = self.control_dict.word(
+            "writeCompression", "uncompressed") in ("compressed", "on",
+                                                    "yes", "true")
+        prec = int(self.control_dict.scalar("writePrecision", 8))
         for f in fields:
-            write_vol_field(f, self.dir, td, self.mesh, self.maps)
+            write_vol_field(f, self.dir, td, self.mesh, self.maps,
+                            prec=prec, fmt=fmt, compress=compress)
         os.makedirs(os.path.join(self.dir, t, "uniform"), exist_ok=True)
         with open(os.path.join(self.dir, t, "uniform", "time"), "w") as fh:
             fh.write(self.time.uniform_time_dict())

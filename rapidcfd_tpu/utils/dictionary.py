@@ -358,12 +358,24 @@ def parse_dictionary(text: str, *, path: str | None = None,
 
 
 def parse_file(path: str, *, include_dirs: tuple[str, ...] = ()) -> Dictionary:
-    with open(path) as f:
-        text = f.read()
+    """Parse a dictionary file: ascii, gzip-compressed (.gz fallback),
+    or `format binary` (list payloads extracted into a stash of numpy
+    arrays reachable as d.binstash, placeholder words `__binK__` in the
+    parsed entries — reference: IFstream/gzstream + binary list blocks,
+    gpuListIO.C:15-35)."""
+    from . import foambin
+    raw = foambin.read_raw(path)
+    stash = None
+    if foambin.is_binary(raw):
+        text, stash = foambin.decode_binary_dict(raw)
+    else:
+        text = raw.decode("latin-1")
     case_dir = os.path.dirname(os.path.dirname(os.path.abspath(path)))
     dirs = tuple(include_dirs) or (case_dir,)
     d = parse_dictionary(text, path=path, include_dirs=dirs)
     d.pop("FoamFile", None)
+    if stash:
+        d.binstash = stash
     return d
 
 
