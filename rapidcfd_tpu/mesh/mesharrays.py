@@ -232,9 +232,13 @@ class MeshArrays:
 
 @dataclass(frozen=True)
 class MeshMaps:
-    """Orderings between on-disk and device layouts (perm[new] = old)."""
+    """Orderings between on-disk and device layouts (perm[new] = old).
+    cell_primary (gdia meshes): bool mask of device slots that uniquely
+    own a file cell — ghost slots mirror their primary (idempotent
+    writes) but DEAD slots carry garbage and must not write back."""
     cell_perm: np.ndarray
     face_perm: np.ndarray
+    cell_primary: np.ndarray | None = None
 
     def cells_to_device(self, file_order: np.ndarray) -> np.ndarray:
         return file_order[self.cell_perm]
@@ -242,10 +246,14 @@ class MeshMaps:
     def cells_to_file(self, dev_order: np.ndarray) -> np.ndarray:
         # gdia meshes are PADDED (n_device >= n_file, ghost slots carry
         # duplicate cell ids with identical synced values)
-        n_file = int(self.cell_perm.max()) + 1 if self.cell_perm.size \
-            else 0
+        if self.cell_primary is not None:
+            perm = self.cell_perm[self.cell_primary]
+            dev = dev_order[self.cell_primary]
+        else:
+            perm, dev = self.cell_perm, dev_order
+        n_file = int(perm.max()) + 1 if perm.size else 0
         out = np.empty((n_file,) + dev_order.shape[1:], dev_order.dtype)
-        out[self.cell_perm] = dev_order
+        out[perm] = dev
         return out
 
     def faces_to_device(self, file_order: np.ndarray) -> np.ndarray:
@@ -625,15 +633,18 @@ def build_gdia_mesh_arrays(mesh: PolyMesh, lattice: dict, *, dtype=None
     nei_pad = np.concatenate(
         [np.minimum(slot_ids + st, n_lat - 1) for st in steps])
 
-    # masks / per-slot info
-    is_ghost = ghost_lead != slot_ids
+    # masks / per-slot info. Dead slots (masked-out lattice cells —
+    # forward steps, T-junctions, obstacles) carry no DOF: they get
+    # identity rows (fold_diag) and never write back (cell_primary).
+    dead = np.asarray(lattice.get("dead", np.zeros(n_lat, bool)), bool)
+    is_ghost = (ghost_lead != slot_ids) & ~dead
     ghost_axis = np.full(n_lat, -1, np.int64)
     for pi, st in enumerate(steps):
         ghost_axis[is_ghost & (slot_ids - ghost_lead == st)] = pi
     if (is_ghost & (ghost_axis < 0)).any():
         raise ValueError("gdia: ghost slot not lattice-adjacent to its "
                          "primary (chained merges unsupported)")
-    primary = (~is_ghost).astype(np.float64)
+    primary = (~is_ghost & ~dead).astype(np.float64)
 
     # ELL fallback over the padded layout (dummies excluded)
     active = np.zeros(n_faces_pad, dtype=bool)
@@ -660,7 +671,7 @@ def build_gdia_mesh_arrays(mesh: PolyMesh, lattice: dict, *, dtype=None
         ghost_prev=tuple(
             jnp.asarray((ghost_axis == pi).astype(np.float64), dtype)
             for pi in range(n_planes)),
-        dead=jnp.zeros(n_lat, dtype),
+        dead=jnp.asarray(dead.astype(np.float64), dtype),
         primary=jnp.asarray(primary, dtype),
         plane_mask=jnp.asarray(plane_mask, dtype),
         shape=(nz, ny, nx), sync_iters=1,
@@ -702,4 +713,5 @@ def build_gdia_mesh_arrays(mesh: PolyMesh, lattice: dict, *, dtype=None
     face_perm = np.full(n_faces_pad, nf_r, np.int64)
     face_perm[pos] = np.arange(n_int_r)
     face_perm[n_pl:] = np.arange(n_int_r, nf_r)
-    return ma, mesh, MeshMaps(slot_cell.copy(), face_perm)
+    return ma, mesh, MeshMaps(slot_cell.copy(), face_perm,
+                              cell_primary=primary > 0)

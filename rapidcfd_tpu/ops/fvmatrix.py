@@ -303,6 +303,10 @@ class FvMatrix:
         if mesh.gdia is not None:
             from ..mesh import gdia as gd
             diag = gd.sync(mesh.gdia, gd.fold(mesh.gdia, diag))
+            # DEAD slots have no equation (zero diag): pin A=1 there so
+            # rAU stays finite — every dummy-face coefficient it meets
+            # is identically zero, but 0*inf would poison surface sums
+            diag = diag + mesh.gdia.dead * mesh.V
         return _extrapolated(mesh, diag / mesh.V,
                              self.dims / (self.psi.dims * _VOL_DIMS),
                              f"A({self.psi.name})")

@@ -75,6 +75,19 @@ class Case:
              f"for time = {self.time.name}\n")
         if pmesh is None:
             pmesh = read_polymesh(case_dir, region)
+        if lattice is None:
+            # lattice-derived meshes (masked grids: forward steps,
+            # T-junctions) auto-route onto the gather-free gdia mode —
+            # TPU gathers run ~1000x off HBM speed (mesh/gdia.py).
+            # RCFD_GDIA_AUTO=0 disables.
+            from ..utils.switches import enabled
+            if enabled("GDIA_AUTO"):
+                from ..utils.unstructured import detect_lattice
+                lattice = detect_lattice(pmesh)
+                if lattice is not None:
+                    nz_, ny_, nx_ = lattice["shape"]
+                    info(f"gdia: lattice {nx_}x{ny_}x{nz_} detected "
+                         f"({int(lattice['dead'].sum())} dead slots)\n")
         if lattice is not None:
             from ..mesh.mesharrays import build_gdia_mesh_arrays
             self.mesh, self.pmesh, self.maps = build_gdia_mesh_arrays(

@@ -237,8 +237,16 @@ def make_step(case: Case, setup, ctrl: PimpleControl, turb=None):
             ur = U1.data - U2.data
             ur_mag = jnp.linalg.norm(ur, axis=-1) + 1e-12
             mu_c = m2.mu(T2.data)
-            k_drag = drag_k(drag_name, drag_d, a1, rho2.data, mu_c,
-                            spec1.d, ur_mag)
+            if drag_name == "segregated":
+                from ..models.eulerian import segregated_drag_k
+                k_drag = segregated_drag_k(
+                    mesh, drag_d, a1, a2, rho1.data, rho2.data,
+                    m1.mu(T1.data) / rho1.data,
+                    m2.mu(T2.data) / rho2.data, ur_mag)
+            else:
+                k_drag = drag_k(drag_name, drag_d, a1, rho2.data, mu_c,
+                                spec1.d, ur_mag, rho_d=rho1.data,
+                                sigma=sigma_st, g_mag=g_mag)
             vm = virtual_mass_coeff(vm_name, vm_d, a1, rho2.data)
             cdre = cd_re(k_drag, a1, mu_c, spec1.d)
             nut1_c = turb_state["nut1"] if turb is not None \
@@ -516,8 +524,11 @@ def make_step(case: Case, setup, ctrl: PimpleControl, turb=None):
         if turb is not None:
             ur_f = U1.data - U2.data
             ur_mag_f = jnp.linalg.norm(ur_f, axis=-1) + 1e-12
-            k_drag_f = drag_k(drag_name, drag_d, alpha.data, rho2.data,
-                              m2.mu(T2.data), spec1.d, ur_mag_f)
+            k_drag_f = drag_k(
+                drag_name if drag_name != "segregated"
+                else "SchillerNaumann", drag_d, alpha.data, rho2.data,
+                m2.mu(T2.data), spec1.d, ur_mag_f, rho_d=rho1.data,
+                sigma=sigma_st, g_mag=g_mag)
             cdre_f = cd_re(k_drag_f, alpha.data, m2.mu(T2.data),
                            spec1.d)
             core = {k: turb_state[k] for k in ("k", "epsilon", "ct2")}

@@ -81,3 +81,6 @@ register("FORCE_RCM", "",
 register("STRUCTURED_MG", "1",
          "use the gather-free structured geometric multigrid for "
          "V-cycles on structured boxes (0 = aggregation GAMG)")
+register("GDIA_AUTO", "1",
+         "auto-detect masked-lattice meshes and route them onto the "
+         "gather-free generalized-DIA mode (mesh/gdia.py)")
