@@ -59,15 +59,20 @@ def drag_k(model: str, coeffs: Dictionary | None, alpha_d, rho_c, mu_c,
         return 0.75 * cdre * a * mu_c / (d * d)
 
     if model == "SchillerNaumann":
-        cd = jnp.where(re <= 1000.0,
-                       24.0 / re * (1.0 + 0.15 * re ** 0.687), 0.44)
-        return 0.75 * cd * a * rho_c * ur_mag / d
+        # CdRe form: K = 0.75*CdRe*a*muC/d^2 — exact for all Re and
+        # Stokes-correct at ur -> 0 (K -> 18 mu a / d^2). The cd*|ur|
+        # form with a floored Re loses the Stokes limit: K -> 0 as
+        # ur -> 0, leaving the dilute dispersed-phase momentum singular
+        # (freeboard rAU blow-up in packed-bed cases).
+        cdre = jnp.where(re <= 1000.0,
+                         24.0 * (1.0 + 0.15 * re ** 0.687), 0.44 * re)
+        return from_cdre(cdre)
     if model == "WenYu":
-        # voidage-corrected Schiller-Naumann (reference: WenYu.C)
-        res = a2 * re
-        cd = jnp.where(res <= 1000.0,
-                       24.0 / res * (1.0 + 0.15 * res ** 0.687), 0.44)
-        return 0.75 * cd * a * rho_c * ur_mag / d * a2 ** -2.65
+        # voidage-corrected Schiller-Naumann (reference: WenYu.C —
+        # CdsRe(Re) * alpha_c^-2.65 * alpha_c)
+        cdsre = jnp.where(re <= 1000.0,
+                          24.0 * (1.0 + 0.15 * re ** 0.687), 0.44 * re)
+        return from_cdre(cdsre * a2 ** -1.65)
     if model == "Ergun":
         # dense packed-bed drag (reference: Ergun.C)
         return (150.0 * a / a2 * mu_c / (d * d)

@@ -220,8 +220,8 @@ class PhaseRhoThermo:
         # (reference: specie equationOfState CpMCv implementations)
         if self.eos == "perfectGas":
             return self.cp - self.r
-        if self.eos == "perfectFluid":
-            return self.cp - self.r_eos
+        # perfectFluid/rhoConst: cpMcv = 0 (reference:
+        # perfectFluidI.H/rhoConstI.H cpMcv)
         return self.cp
 
     def psi(self, T):
@@ -378,7 +378,9 @@ class SpecieThermo:
         if self.eos in ("perfectGas", "incompressiblePerfectGas"):
             return self.r
         if self.eos == "perfectFluid":
-            return self.r_eos
+            # reference: perfectFluidI.H:cpMcv returns 0 (the EoS R is
+            # a compressibility parameter, not a gas constant)
+            return 0.0
         if self.eos == "PengRobinsonGas":
             import numpy as np
             z = np.asarray(self.z_pr(jnp.asarray(self.p_ref),

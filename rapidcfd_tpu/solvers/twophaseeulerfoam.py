@@ -82,12 +82,20 @@ def _row_scale(mesh, m, s, dims=None):
         symmetric=False)
 
 
-def make_step(case: Case, setup, ctrl: PimpleControl, turb=None):
+def make_step(case: Case, setup, ctrl: PimpleControl, turb=None,
+              kt=None):
     """turb: optional phase-aware RAS model (models/phaseturbulence:
     mixtureKEpsilon/LaheyKEpsilon). With turb, the effective phase
     viscosities include rho*nut and the turbulent-dispersion force uses
     the continuous-phase nut (reference: twoPhaseEulerFoam UEqns.H
-    lift/wallLubrication/turbulentDispersion forces)."""
+    lift/wallLubrication/turbulentDispersion forces).
+
+    kt: optional KTConfig (models/kinetictheory) — kinetic theory of
+    granular flow on the dispersed phase: granular viscosity replaces
+    nut1, the bulk-stress divergence enters U1's momentum, and the
+    phase-pressure derivative pPrime drives an implicit alpha
+    correction after MULES (reference: kineticTheoryModel.C +
+    twoPhaseSystem.C:531 implicitPhasePressure)."""
     mesh = case.mesh
     names, specs, closures, m1, m2, p_min, g = setup
     spec1, spec2 = specs
@@ -213,6 +221,26 @@ def make_step(case: Case, setup, ctrl: PimpleControl, turb=None):
                     mesh, alpha, phi, phi_alpha,
                     dt / n_alpha_sub, psi_max=spec1.alpha_max,
                     sp=sp, su=su)
+            if kt is not None:
+                # implicit phase-pressure correction (reference:
+                # twoPhaseSystem.C:525-545 — ddt(alpha1) - ddt_MULES -
+                # laplacian(alpha1f*pPrimeByA, alpha1) == 0, using the
+                # pPrimeByA saved from the previous pressure stage)
+                pprime_f = turb_state["kt_pprime_f"]
+                gamma_pp = Dimensioned("pPrimeByA",
+                                       _DN.of(0, 2, -1), pprime_f)
+                a_corr = alpha.replace(old=alpha.replace(old=None))
+                aEqn = fvm.ddt(mesh, a_corr, dt) \
+                    - fvm.laplacian(mesh, gamma_pp, a_corr, lap_corr)
+                from ..linalg.solvers import SolverControls
+                alpha_s, _ = solve(mesh, aEqn, SolverControls(
+                    solver="PCG", preconditioner="DIC", tolerance=1e-9,
+                    rel_tol=0.0, max_iter=100))
+                alpha_phi1 = SurfaceField(
+                    alpha_phi1.data
+                    + aEqn.replace(psi=alpha_s).flux(mesh).data,
+                    phi.dims, "alphaPhi1")
+                alpha = alpha_s.replace(old=alpha.old)
             alpha_phi2 = SurfaceField(phi.data - alpha_phi1.data,
                                       phi.dims, "alphaPhi2")
             rho1f = fvc.face_values(mesh, rho1)
@@ -249,7 +277,25 @@ def make_step(case: Case, setup, ctrl: PimpleControl, turb=None):
                                 sigma=sigma_st, g_mag=g_mag)
             vm = virtual_mass_coeff(vm_name, vm_d, a1, rho2.data)
             cdre = cd_re(k_drag, a1, mu_c, spec1.d)
-            nut1_c = turb_state["nut1"] if turb is not None \
+            if kt is not None:
+                # kinetic theory closures on the dispersed phase
+                # (equilibrium Theta: production = dissipation,
+                # kineticTheoryModel.C equilibrium branch)
+                from ..models.kinetictheory import (equilibrium_theta,
+                                                    kt_closures)
+                g1 = fvc.grad(mesh, U1).data
+                D_sym = 0.5 * (g1 + jnp.swapaxes(g1, -1, -2))
+                div_u1 = fvc.div(mesh, phi1).data
+                a1_pos = jnp.maximum(a1, 0.0)
+                kt_theta = equilibrium_theta(kt, a1_pos, rho1.data,
+                                             spec1.d, div_u1, D_sym)
+                (kt_nut, kt_lambda, kt_pprime, kt_kappa,
+                 kt_ps) = kt_closures(kt, a1_pos, kt_theta, rho1.data,
+                                      spec1.d, D_sym)
+                turb_state = {**turb_state, "nut1": kt_nut,
+                              "kt_theta": kt_theta}
+            nut1_c = turb_state["nut1"] if (turb is not None
+                                            or kt is not None) \
                 else jnp.zeros_like(a1)
             nut2_c = turb_state["nut2"] if turb is not None \
                 else jnp.zeros_like(a1)
@@ -342,6 +388,19 @@ def make_step(case: Case, setup, ctrl: PimpleControl, turb=None):
 
             U1Eqn = ueqn(U1, c1, alpha_rho_phi1, mu1f, vm, ddt_u2, phi1)
             U2Eqn = ueqn(U2, c2, alpha_rho_phi2, mu2f, vm, ddt_u1, phi2)
+            if kt is not None:
+                # bulk part of the granular stress: div(a1 rho1
+                # (lambda - 2/3 nut) tr(D) I) = grad(s) (the shear part
+                # rides the mu1_eff laplacian)
+                s_bulk = calc(
+                    alpha,
+                    a1 * rho1.data * (kt_lambda - (2.0 / 3.0) * kt_nut)
+                    * div_u1,
+                    jnp.zeros_like(alpha.bvalues),
+                    _DN.of(1, -1, -2), "ktBulk")
+                U1Eqn = U1Eqn.replace(
+                    source=U1Eqn.source
+                    + mesh.V[:, None] * fvc.grad(mesh, s_bulk).data)
             U1Eqn = U1Eqn.replace(
                 source=U1Eqn.source - mesh.V[:, None] * f_int)
             U2Eqn = U2Eqn.replace(
@@ -415,6 +474,23 @@ def make_step(case: Case, setup, ctrl: PimpleControl, turb=None):
                 a2f = 1.0 - a1f
                 rAU1 = 1.0 / U1E.A(mesh)
                 rAU2 = 1.0 / U2E.A(mesh)
+                if kt is not None:
+                    # pPrimeByA for the NEXT alpha solve (reference
+                    # saves it from this stage: twoPhaseSystem.C:385)
+                    pp = calc(alpha, rAU1.data * kt_pprime,
+                              jnp.zeros_like(alpha.bvalues),
+                              _DN.of(0, 2, -1), "rAUpPrime")
+                    ppf = fvc.face_values(mesh, pp)
+                    turb_state = {**turb_state,
+                                  "kt_pprime_f": a1f * ppf}
+                    # phase-pressure flux at the pressure predictor
+                    # (reference pEqn.H: phiP1 = interp(rAU1*pPrime)
+                    # *snGrad(alpha1)*magSf, boundary zeroed) — THE
+                    # stabilizer of sharp packing fronts
+                    phiP1 = (ppf * fvc.sn_grad(mesh, alpha).data
+                             * mesh.mag_sf).at[mesh.n_internal:].set(0.0)
+                else:
+                    phiP1 = 0.0
                 ra1f = fvc.face_values(mesh, rAU1 * c1)
                 ra2f = fvc.face_values(mesh, rAU2 * c2)
                 HbyA1 = fvc.constrain_hbya(mesh, rAU1 * U1E.H(mesh), U1)
@@ -435,19 +511,34 @@ def make_step(case: Case, setup, ctrl: PimpleControl, turb=None):
                     mesh, calc(alpha, rAU2.data * k_drag,
                                jnp.zeros_like(alpha.bvalues),
                                rAU2.dims * _DN.of(1, -3, -1), "rAUK2"))
-                # body-force + drag-coupled predicted fluxes; boundary
-                # body-force flux zeroed (fixedFluxPressure pairing)
-                gflux1 = (ra1f * g_sf).at[mesh.n_internal:].set(0.0)
-                gflux2 = (ra2f * g_sf).at[mesh.n_internal:].set(0.0)
+                # body-force + drag-coupled predicted fluxes; the
+                # boundary body-force flux is KEPT on fixedFluxPressure
+                # patches (their snGrad balances it below, matching the
+                # reference's setSnGrad<fixedFluxPressure> in pEqn.H)
+                # and zeroed on legacy zeroGradient p patches
+                from ..fields.bcs import (
+                    fixed_flux_pressure_mask,
+                    set_fixed_flux_pressure_gradient)
+                ffp_mask = fixed_flux_pressure_mask(mesh, p)
+                gflux1 = (ra1f * g_sf).at[mesh.n_internal:].multiply(
+                    ffp_mask)
+                gflux2 = (ra2f * g_sf).at[mesh.n_internal:].multiply(
+                    ffp_mask)
                 phi_hbya1 = fvc.flux(mesh, HbyA1).data \
                     + ra1f * ddt_corr(U1, phi1_old) \
-                    + drag1f * phi2.data + gflux1
+                    + drag1f * phi2.data + gflux1 - phiP1
                 phi_hbya2 = fvc.flux(mesh, HbyA2).data \
                     + ra2f * ddt_corr(U2, phi2_old) \
                     + drag2f * phi1.data + gflux2
                 phi_hbya = SurfaceField(
                     a1f * phi_hbya1 + a2f * phi_hbya2, phi.dims,
                     "phiHbyA")
+                n_int = mesh.n_internal
+                sngrad_b = (phi_hbya.data[n_int:]
+                            - (a1f[n_int:]
+                               * (mesh.Sf[n_int:] * U1.bvalues).sum(-1)
+                               + a2f[n_int:]
+                               * (mesh.Sf[n_int:] * U2.bvalues).sum(-1)))
                 HbyA1 = HbyA1 + rAU1 * calc(
                     alpha, k_drag, jnp.zeros_like(alpha.bvalues),
                     _DN.of(1, -3, -1), "K") * U2
@@ -459,6 +550,12 @@ def make_step(case: Case, setup, ctrl: PimpleControl, turb=None):
                 rauf = SurfaceField(rauf_face,
                                     rAU1.dims * _DN.of(1, -3)
                                     / dim_rho, "rAUf")
+                # setSnGrad<fixedFluxPressure> (reference pEqn.H):
+                # gradient = (phiHbyA_b - Sf_b & U_b)/(magSf_b*rAUf_b)
+                p = set_fixed_flux_pressure_gradient(
+                    mesh, p, sngrad_b
+                    / (jnp.maximum(mesh.mag_sf[n_int:], 1e-30)
+                       * jnp.maximum(rauf_face[n_int:], 1e-30)))
 
                 # compressibility parts
                 rate1 = cont_err1 / rho1.data \
@@ -502,7 +599,7 @@ def make_step(case: Case, setup, ctrl: PimpleControl, turb=None):
                 dgdt = a1 * r2 - a2 * r1
 
                 corr1 = SurfaceField(
-                    ra1f * (g_sf + msf_gradp / rho1f),
+                    ra1f * (g_sf + msf_gradp / rho1f) - phiP1,
                     phi.dims, "c1f")
                 corr2 = SurfaceField(
                     ra2f * (g_sf + msf_gradp / rho2f),
@@ -551,6 +648,25 @@ def make_step(case: Case, setup, ctrl: PimpleControl, turb=None):
                 turb_state, stats)
 
     return step
+
+
+def _read_kinetic_theory(case: Case, phase1: str):
+    """KTConfig when constant/turbulenceProperties.<phase1> selects
+    RASModel kineticTheory (reference: the dispersed-phase
+    phaseCompressibleTurbulenceModel); None otherwise."""
+    import os as _os
+    path = _os.path.join(case.dir, "constant",
+                         f"turbulenceProperties.{phase1}")
+    if not _os.path.isfile(path):
+        return None
+    d = parse_file(path)
+    ras = d.subdict("RAS", required=False)
+    if ras is None or str(ras.word("RASModel", "laminar")) \
+            != "kineticTheory":
+        return None
+    from ..models.kinetictheory import read_kt_config
+    return read_kt_config(ras.subdict("kineticTheoryCoeffs",
+                                      required=False))
 
 
 def run(case_dir: str, write: bool = True, max_steps: int | None = None):
@@ -602,7 +718,15 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None):
     else:
         turb_state = {"nut1": jnp.zeros_like(alpha.data),
                       "nut2": jnp.zeros_like(alpha.data)}
-    step = make_step(case, setup, ctrl, turb=turb)
+    kt = _read_kinetic_theory(case, names[0])
+    if kt is not None:
+        info("Selecting turbulence model kineticTheory for phase "
+             f"{names[0]} (equilibrium "
+             f"{'on' if kt.equilibrium else 'off'})\n")
+        turb_state = {**turb_state,
+                      "kt_theta": jnp.zeros_like(alpha.data),
+                      "kt_pprime_f": jnp.zeros_like(mesh.mag_sf)}
+    step = make_step(case, setup, ctrl, turb=turb, kt=kt)
     timer = ExecutionTimer()
 
     info("\nStarting time loop\n")

@@ -1627,3 +1627,266 @@ DT              DT [0 2 -1 0 0 0 0] 0.05;
                  "walls": "        type            zeroGradient;\n",
                  "fb": "        type            empty;\n",
                  '"(ami1|ami2)"': "        type            cyclicAMI;\n"})
+
+
+def fluidized_bed_case(case_dir: str, nx: int = 15, ny: int = 45,
+                       end_time: float = 0.02, delta_t: float = 5e-4,
+                       u_gas: float = 0.3, alpha_pack: float = 0.55,
+                       equilibrium: str = "on",
+                       drag: str = "GidaspowErgunWenYu"):
+    """twoPhaseEulerFoam gas-solid fluidized bed with kinetic theory on
+    the particle phase (reference tutorial: multiphase/
+    twoPhaseEulerFoam/fluidisedBed — Gidaspow drag, kineticTheory
+    RASModel with JohnsonJackson frictional stress). Air blows upward
+    through a packed particle bed occupying the lower third."""
+    from ..mesh.geometry import cell_centres_and_vols, face_centres_and_areas
+    from ..fields.io import _body_value
+
+    W, H = 0.15, 0.7
+    mesh = box_mesh(nx, ny, 1, size=(W, H, 0.01), patch_spec={
+        "xmin": ("walls", "wall"), "xmax": ("walls", "wall"),
+        "ymin": ("inlet", "patch"), "ymax": ("outlet", "patch"),
+        "zmin": ("frontAndBack", "empty"),
+        "zmax": ("frontAndBack", "empty"),
+    })
+    write_polymesh(mesh, case_dir)
+    Cf, Sf = face_centres_and_areas(mesh)
+    C, V = cell_centres_and_vols(mesh, Cf, Sf)
+    alpha0 = np.where(C[:, 1] < 0.28 * H, alpha_pack, 0.0)
+    # hydrostatic initial p (mixture column weight): starting from
+    # uniform p slams the packed bed with a ~kPa pressure shock that
+    # fixed-dt runs cannot survive (the reference tutorial relies on
+    # adjustable maxCo during the same transient)
+    rho_mix = alpha0 * 2500.0 + (1.0 - alpha0) * 1.2
+    y = C[:, 1]
+    order = np.argsort(-y)
+    p0 = np.full(C.shape[0], 1e5)
+    # integrate downward column weight per x-column
+    xcol = np.floor(C[:, 0] / (W / nx)).astype(int)
+    dy = H / ny
+    for col in np.unique(xcol):
+        sel = np.nonzero(xcol == col)[0]
+        s = sel[np.argsort(-y[sel])]
+        p0[s] = 1e5 + 9.81 * np.cumsum(rho_mix[s] * dy) \
+            - 0.5 * 9.81 * rho_mix[s] * dy
+
+    _write(os.path.join(case_dir, "system", "controlDict"),
+           foamfile_header("dictionary", "controlDict", "system"), f"""
+application     twoPhaseEulerFoam;
+startFrom       startTime;
+startTime       0;
+stopAt          endTime;
+endTime         {end_time};
+deltaT          {delta_t};
+writeControl    runTime;
+writeInterval   {end_time};
+writeFormat     ascii;
+adjustTimeStep  no;
+maxCo           0.5;
+""")
+    _write(os.path.join(case_dir, "system", "fvSchemes"),
+           foamfile_header("dictionary", "fvSchemes", "system"), """
+ddtSchemes      { default Euler; }
+gradSchemes     { default Gauss linear; }
+divSchemes      { default Gauss upwind;
+                  div(phi,alpha.particles) Gauss vanLeer; }
+laplacianSchemes { default Gauss linear orthogonal; }
+interpolationSchemes { default linear; }
+snGradSchemes   { default orthogonal; }
+""")
+    _write(os.path.join(case_dir, "system", "fvSolution"),
+           foamfile_header("dictionary", "fvSolution", "system"), """
+solvers
+{
+    "alpha.particles.*" { nAlphaSubCycles 2; nAlphaCorr 1; }
+    p
+    {
+        solver          PCG;
+        preconditioner  DIC;
+        tolerance       1e-08;
+        relTol          0.01;
+    }
+    pFinal
+    {
+        solver          PCG;
+        preconditioner  DIC;
+        tolerance       1e-08;
+        relTol          0;
+    }
+    T
+    {
+        solver          PBiCGStab;
+        preconditioner  DILU;
+        tolerance       1e-08;
+        relTol          0;
+    }
+}
+PIMPLE
+{
+    nOuterCorrectors 2;
+    nCorrectors      2;
+    nNonOrthogonalCorrectors 0;
+}
+""")
+    _write(os.path.join(case_dir, "constant", "phaseProperties"),
+           foamfile_header("dictionary", "phaseProperties",
+                           "constant"), f"""
+phases          (particles air);
+
+particles
+{{
+    diameterModel   constant;
+    constantCoeffs  {{ d  d [0 1 0 0 0 0 0] 3e-4; }}
+    alphaMax        0.62;
+    residualAlpha   1e-6;
+}}
+air
+{{
+    diameterModel   constant;
+    constantCoeffs  {{ d  d [0 1 0 0 0 0 0] 1; }}
+    residualAlpha   0;
+}}
+
+drag            {{ type {drag}; }}
+virtualMass     {{ type none; }}
+heatTransfer    {{ type RanzMarshall; }}
+lift            {{ type none; }}
+turbulentDispersion {{ type none; }}
+wallLubrication {{ type none; }}
+sigma           sigma [1 0 -2 0 0 0 0] 0;
+pMin            pMin [1 -1 -2 0 0 0 0] 10000;
+""")
+    _write(os.path.join(case_dir, "constant",
+                        "turbulenceProperties.particles"),
+           foamfile_header("dictionary",
+                           "turbulenceProperties.particles",
+                           "constant"), f"""
+simulationType  RAS;
+RAS
+{{
+    RASModel        kineticTheory;
+    turbulence      on;
+    printCoeffs     on;
+
+    kineticTheoryCoeffs
+    {{
+        equilibrium             {equilibrium};
+        e                       0.8;
+        alphaMax                0.62;
+        alphaMinFriction        0.5;
+        residualAlpha           1e-4;
+        viscosityModel          Gidaspow;
+        conductivityModel       Gidaspow;
+        granularPressureModel   Lun;
+        frictionalStressModel   JohnsonJackson;
+        radialModel             SinclairJackson;
+
+        JohnsonJacksonCoeffs
+        {{
+            Fr                      0.05;
+            eta                     2;
+            p                       5;
+            phi                     28.5;
+        }}
+    }}
+}}
+""")
+    _write(os.path.join(case_dir, "constant",
+                        "turbulenceProperties.air"),
+           foamfile_header("dictionary", "turbulenceProperties.air",
+                           "constant"), """
+simulationType  laminar;
+""")
+    _write(os.path.join(case_dir, "constant",
+                        "thermophysicalProperties.air"),
+           foamfile_header("dictionary",
+                           "thermophysicalProperties.air",
+                           "constant"), """
+thermoType
+{
+    type            hePsiThermo;
+    mixture         pureMixture;
+    transport       const;
+    thermo          hConst;
+    equationOfState perfectGas;
+    specie          specie;
+    energy          sensibleInternalEnergy;
+}
+mixture
+{
+    specie          { nMoles 1; molWeight 28.9; }
+    thermodynamics  { Cp 1007; Hf 0; }
+    transport       { mu 1.84e-5; Pr 0.7; }
+}
+""")
+    _write(os.path.join(case_dir, "constant",
+                        "thermophysicalProperties.particles"),
+           foamfile_header("dictionary",
+                           "thermophysicalProperties.particles",
+                           "constant"), """
+thermoType
+{
+    type            heRhoThermo;
+    mixture         pureMixture;
+    transport       const;
+    thermo          hConst;
+    equationOfState perfectFluid;
+    specie          specie;
+    energy          sensibleInternalEnergy;
+}
+mixture
+{
+    specie          { nMoles 1; molWeight 100; }
+    equationOfState { R 1e10; rho0 2500; }
+    thermodynamics  { Cp 800; Hf 0; }
+    transport       { mu 0; Pr 1; }
+}
+""")
+    _write(os.path.join(case_dir, "constant", "g"),
+           foamfile_header("uniformDimensionedVectorField", "g",
+                           "constant"),
+           "\ndimensions      [0 1 -2 0 0 0 0];\n"
+           "value           (0 -9.81 0);\n")
+
+    zg = "        type            zeroGradient;\n"
+    emp = "        type            empty;\n"
+    noslip = ("        type            fixedValue;\n"
+              "        value           uniform (0 0 0);\n")
+    io0 = ("        type            inletOutlet;\n"
+           "        inletValue      uniform 0;\n"
+           "        value           uniform 0;\n")
+    write_field(case_dir, "0", "alpha.particles", "volScalarField",
+                "[0 0 0 0 0 0 0]", _body_value(alpha0),
+                {"inlet": ("        type            fixedValue;\n"
+                           "        value           uniform 0;\n"),
+                 "outlet": io0, "walls": zg, "frontAndBack": emp})
+    ffp = ("        type            fixedFluxPressure;\n"
+           "        value           uniform 1e5;\n")
+    write_field(case_dir, "0", "p", "volScalarField",
+                "[1 -1 -2 0 0 0 0]", _body_value(p0),
+                {"inlet": ffp,
+                 "outlet": ("        type            fixedValue;\n"
+                            "        value           uniform 1e5;\n"),
+                 "walls": ffp, "frontAndBack": emp})
+    for name in ("T.particles", "T.air"):
+        write_field(case_dir, "0", name, "volScalarField",
+                    "[0 0 0 1 0 0 0]", "uniform 300",
+                    {"inlet": zg, "outlet": zg, "walls": zg,
+                     "frontAndBack": emp})
+    write_field(case_dir, "0", "U.air", "volVectorField",
+                "[0 1 -1 0 0 0 0]", "uniform (0 0 0)",
+                {"inlet": (f"        type            fixedValue;\n"
+                           f"        value           uniform "
+                           f"(0 {u_gas} 0);\n"),
+                 "outlet": ("        type            inletOutlet;\n"
+                            "        inletValue      uniform (0 0 0);\n"
+                            "        value           uniform (0 0 0);\n"),
+                 "walls": noslip, "frontAndBack": emp})
+    write_field(case_dir, "0", "U.particles", "volVectorField",
+                "[0 1 -1 0 0 0 0]", "uniform (0 0 0)",
+                {"inlet": noslip,
+                 "outlet": ("        type            inletOutlet;\n"
+                            "        inletValue      uniform (0 0 0);\n"
+                            "        value           uniform (0 0 0);\n"),
+                 "walls": noslip, "frontAndBack": emp})
+    return mesh
