@@ -133,6 +133,11 @@ def _limited_weights(mesh, phi, limiter_psi):
     return limiter_psi * mesh.weights + (1.0 - limiter_psi) * up
 
 
+#: named TVD limiter functions (r -> limiter), shared by limitWith and
+#: the multivariate coupled limiter (populated by _make_limited)
+_LIMITERS: dict = {}
+
+
 def _make_limited(name, limiter):
     # the reference's "V" variants (vanLeerV, ...) limit all components
     # with one scalar limiter; _face_r already contracts vectors that
@@ -145,6 +150,7 @@ def _make_limited(name, limiter):
             raise ValueError(f"{name} interpolation requires a flux field")
         r = _face_r(mesh, vf, phi)
         return _limited_weights(mesh, phi, limiter(r, *args))
+    _LIMITERS[name] = limiter
     return _scheme
 
 
@@ -408,3 +414,152 @@ def _cubic(mesh, vf, phi):
     the explicit cubic correction term is dropped (deferred-correction
     path not kept in the weights contract)."""
     return mesh.weights
+
+
+# ---------------------------------------------------------------------------
+# scheme-zoo tail: CoBlended, localBlended, Phi, limitWith, multivariate
+# (reference: schemes/CoBlended, schemes/localBlended,
+# limitedSchemes/Phi, limitedSchemes/limitWith,
+# finiteVolume/convectionSchemes/multivariateGaussConvectionScheme)
+# ---------------------------------------------------------------------------
+
+#: the running solver's current time step (a traced value set INSIDE the
+#: jitted step via set_current_dt) — CoBlended's face Courant number
+#: needs it, and schemes receive only (mesh, vf, phi)
+_CURRENT_DT = None
+
+
+def set_current_dt(dt):
+    """Expose dt to Courant-based schemes (CoBlended). Call inside the
+    jitted step before assembling convection terms."""
+    global _CURRENT_DT
+    _CURRENT_DT = dt
+
+
+#: face blending-factor fields for localBlended, keyed by field name
+#: (the reference looks up '<field>BlendingFactor' from the registry)
+_BLENDING_FACTORS: dict = {}
+
+
+def set_blending_factor(field_name: str, face_values):
+    """Provide the (n_internal,) or (n_faces,) blending factor consumed
+    by `localBlended` on <field_name> (1 = scheme1, 0 = scheme2)."""
+    _BLENDING_FACTORS[field_name] = face_values
+
+
+def _weights_of(mesh, vf, phi, name, *args):
+    return lookup("surfaceInterpolation", str(name))(mesh, vf, phi,
+                                                     *args)
+
+
+@register("surfaceInterpolation", "CoBlended")
+def _co_blended(mesh, vf, phi, co1=1.0, s1="linear", co2=10.0,
+                s2="upwind"):
+    """Courant-blended scheme (reference: CoBlended.H): bf = 1 -
+    clip((Co - Co1)/(Co2 - Co1), 0, 1) with Co = dt*deltaCoeffs*|phi|/
+    magSf; weights = bf*w1 + (1-bf)*w2. Requires set_current_dt."""
+    if phi is None:
+        raise ValueError("CoBlended requires a flux field")
+    if _CURRENT_DT is None:
+        raise ValueError("CoBlended requires interpolation."
+                         "set_current_dt(dt) inside the solver step")
+    n = mesh.n_internal
+    co = _CURRENT_DT * mesh.delta_coeffs * jnp.abs(phi.data[:n]) \
+        / jnp.maximum(mesh.mag_sf[:n], 1e-30)
+    bf = 1.0 - jnp.clip((co - float(co1)) / max(float(co2) - float(co1),
+                                                1e-30), 0.0, 1.0)
+    w1 = _weights_of(mesh, vf, phi, s1)
+    w2 = _weights_of(mesh, vf, phi, s2)
+    return bf * w1 + (1.0 - bf) * w2
+
+
+@register("surfaceInterpolation", "localBlended")
+def _local_blended(mesh, vf, phi, s1="linear", s2="upwind"):
+    """Face-local blending by a provided factor field (reference:
+    localBlended.H looks up '<field>BlendingFactor'); here set via
+    interpolation.set_blending_factor(field_name, faces)."""
+    bf = _BLENDING_FACTORS.get(vf.name)
+    if bf is None:
+        raise ValueError(
+            f"localBlended on '{vf.name}': no blending factor set "
+            "(interpolation.set_blending_factor)")
+    bf = bf[:mesh.n_internal]
+    w1 = _weights_of(mesh, vf, phi, s1)
+    w2 = _weights_of(mesh, vf, phi, s2)
+    return bf * w1 + (1.0 - bf) * w2
+
+
+@register("surfaceInterpolation", "Phi")
+def _phi_scheme(mesh, vf, phi, k=1.0):
+    """Phi limiter for vector fields (reference: limitedSchemes/Phi):
+    compares the face flux against the Sf-projected owner/neighbour
+    values; PLimiter = (faceFlux - phiU)/stabilise(phiCD - phiU) + k,
+    clipped to [0, 1]."""
+    if phi is None:
+        raise ValueError("Phi interpolation requires a flux field")
+    if vf.data.ndim != 2:
+        raise ValueError("Phi scheme applies to vector fields (U)")
+    from . import fvc
+    from ..parallel.hooks import halo
+    n = mesh.n_internal
+    v_o, v_n = fvc.face_own_nei(mesh, halo(vf.data))
+    sf = mesh.Sf[:n]
+    phi_p = (sf * v_o).sum(-1)
+    phi_n = (sf * v_n).sum(-1)
+    f = phi.data[:n]
+    phi_u = jnp.where(f > 0, phi_p, phi_n)
+    cd = mesh.weights
+    phi_cd = cd * phi_p + (1.0 - cd) * phi_n
+    lim = (f - phi_u) / _stabilise(phi_cd - phi_u) + float(k)
+    return _limited_weights(mesh, phi, jnp.clip(lim, 0.0, 1.0))
+
+
+@register("surfaceInterpolation", "limitWith")
+def _limit_with(mesh, vf, phi, s1="linear", s2="vanLeer", *args):
+    """Interpolate with scheme1, limited by scheme2's TVD limiter
+    (reference: limitedSchemes/limitWith): face = upwind + lim2*(w1 -
+    upwind) in weight space."""
+    if phi is None:
+        raise ValueError("limitWith requires a flux field")
+    lim_fn = _LIMITERS.get(str(s2))
+    if lim_fn is None:
+        raise ValueError(f"limitWith: unknown limiter '{s2}' "
+                         f"(available: {sorted(_LIMITERS)})")
+    r = _face_r(mesh, vf, phi)
+    lim = jnp.clip(lim_fn(r, *[float(a) for a in args]), 0.0, 1.0)
+    w1 = _weights_of(mesh, vf, phi, s1)
+    up = (phi.data[:mesh.n_internal] >= 0.0).astype(mesh.weights.dtype)
+    return up + lim * (w1 - up)
+
+
+def multivariate_weights(mesh, fields, phi, limiter_name="vanLeer",
+                         *args):
+    """ONE shared set of owner weights for a coupled species system:
+    the per-face limiter is the MINIMUM over every transported field
+    (reference: multivariateGaussConvectionScheme +
+    multivariateScheme.H — the coupled limiter keeps sum(Yi) bounded
+    because every species uses identical weights)."""
+    lim_fn = _LIMITERS.get(str(limiter_name))
+    if lim_fn is None:
+        # scheme names like limitedLinear01 map onto their base limiter
+        base = str(limiter_name).replace("01", "").replace("V", "")
+        lim_fn = _LIMITERS.get(base)
+    if lim_fn is None:
+        raise ValueError(
+            f"multivariate: unknown limiter '{limiter_name}'")
+    lim = None
+    for f in fields:
+        r = _face_r(mesh, f, phi)
+        li = jnp.clip(lim_fn(r, *[float(a) for a in args]), 0.0, 2.0)
+        lim = li if lim is None else jnp.minimum(lim, li)
+    return _limited_weights(mesh, phi, lim)
+
+
+@register("surfaceInterpolation", "fixedWeights")
+def _fixed_weights(mesh, vf, phi, w=None):
+    """Internal pseudo-scheme: owner weights supplied directly (the
+    multivariate coupled limiter computes ONE shared weight set and
+    every specie's fvm.div consumes it)."""
+    if w is None:
+        raise ValueError("fixedWeights requires a weights array")
+    return w

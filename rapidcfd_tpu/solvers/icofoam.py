@@ -130,6 +130,8 @@ def make_step(case: Case, nu, n_correctors: int,
         return piso_step(mesh, U, p, phi, dt, nu_fn(U), t=t, **kw)
 
     def step(U, p, phi, dt, t=None):
+        from ..ops.interpolation import set_current_dt
+        set_current_dt(dt)
         return _step(mesh, U, p, phi, dt,
                      jnp.asarray(0.0) if t is None else t)
 

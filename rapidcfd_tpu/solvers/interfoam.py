@@ -291,6 +291,8 @@ def make_step(case: Case, consts, ctrl: PimpleControl,
     zb = jnp.zeros((mesh.n_boundary, 3), mesh.C.dtype)
 
     def step(alpha, U, p_rgh, phi, dt):
+        from ..ops.interpolation import set_current_dt
+        set_current_dt(dt)
         return _step(mesh_a, alpha, U, p_rgh, phi, dt, zf, zb)
 
     return step

@@ -54,6 +54,8 @@ def make_step(case: Case, transport, turb, ctrl, piso_mode: bool,
 
     @jax.jit
     def step(U: VolField, p: VolField, phi: SurfaceField, turb_state, dt):
+        from ..ops.interpolation import set_current_dt
+        set_current_dt(dt)
         U = U.store_old(levels=2 if cn else 1)
         if cn:
             U = fvm.cn_advance(mesh, U, dt, dt, ddt_scheme[1])

@@ -40,6 +40,22 @@ def make_step(case: Case, thermo, chem, ctrl: PimpleControl):
         div_y = case.div_scheme("div(phi,Yi_h)")
     except KeyError:
         div_y = div_u
+    # multivariateSelection: ONE coupled limiter across all species
+    # (reference: multivariateGaussConvectionScheme — shared weights
+    # keep sum(Yi) bounded under limiting); the per-specie table picks
+    # the limiter, min-combined over species at evaluation time
+    multivariate = None
+    if isinstance(div_y, tuple) and div_y \
+            and str(div_y[0]) == "multivariateSelection":
+        lim_name, lim_args = "vanLeer", ()
+        if len(div_y) > 1 and hasattr(div_y[1], "items"):
+            for _k, _v in div_y[1].items():
+                if isinstance(_v, str):
+                    lim_name, lim_args = _v, ()
+                elif isinstance(_v, tuple):
+                    lim_name, lim_args = str(_v[0]), tuple(_v[1:])
+                break
+        multivariate = (lim_name, lim_args)
     lap_corr = case.laplacian_scheme()
     ddt_scheme = case.ddt_scheme()
     u_controls = case.solver_controls("U")
@@ -131,6 +147,14 @@ def make_step(case: Case, thermo, chem, ctrl: PimpleControl):
             # ---- YEqn.H: transport every non-inert specie
             new_ys = list(Ys)
             y_perfs = []
+            if multivariate is not None:
+                from ..ops.interpolation import multivariate_weights
+                w_mv = multivariate_weights(
+                    mesh, [new_ys[i] for i in range(ns)], phi,
+                    multivariate[0], *multivariate[1])
+                div_y_eff = ("fixedWeights", w_mv)
+            else:
+                div_y_eff = div_y
             for i in range(ns):
                 if i == inert:
                     continue
@@ -139,7 +163,7 @@ def make_step(case: Case, thermo, chem, ctrl: PimpleControl):
                     rr[i], jnp.zeros_like(yi.bvalues),
                     dim_density / DimensionSet.of(0, 0, 1))
                 yEqn = (fvm.ddt(mesh, yi, dt, ddt_scheme, coeff=rho)
-                        + fvm.div(mesh, phi, yi, div_y)
+                        + fvm.div(mesh, phi, yi, div_y_eff)
                         - fvm.laplacian(mesh, mu_f, yi, lap_corr))
                 yi, perf = solve(mesh, yEqn.equals(rhs), y_controls,
                                  env={"phi": phi})

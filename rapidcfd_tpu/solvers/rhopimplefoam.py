@@ -246,6 +246,8 @@ def make_step(case: Case, thermo: PsiThermo, ctrl: PimpleControl,
 
         def step(mesh_new, U, p, T, rho, phi_rel, turb_state, dt,
                  mesh_phi, mesh_ub):
+            from ..ops.interpolation import set_current_dt
+            set_current_dt(dt)
             # motion preserves topology: carry the precomputed solver
             # layouts across geometry updates
             m2 = _dc.replace(mesh_new, band=mesh0.band, gamg=mesh0.gamg)
@@ -260,6 +262,8 @@ def make_step(case: Case, thermo: PsiThermo, ctrl: PimpleControl,
     zb = jnp.zeros((mesh.n_boundary, 3), mesh.C.dtype)
 
     def step(U, p, T, rho, phi, turb_state, dt):
+        from ..ops.interpolation import set_current_dt
+        set_current_dt(dt)
         return _step(mesh_a, U, p, T, rho, phi, turb_state, dt, zf, zb)
 
     return step

@@ -193,6 +193,8 @@ def make_step(case: Case, thermo: PsiThermo, ctrl: PisoControl,
 
         def step(mesh_new, U, p, T, rho, phi_rel, dt, mesh_phi,
                  mesh_ub):
+            from ..ops.interpolation import set_current_dt
+            set_current_dt(dt)
             m2 = _dc.replace(mesh_new, band=mesh0.band, gamg=mesh0.gamg)
             return _step(m2, U, p, T, rho, phi_rel, dt, mesh_phi,
                          mesh_ub)
@@ -204,6 +206,8 @@ def make_step(case: Case, thermo: PsiThermo, ctrl: PisoControl,
     zb = jnp.zeros((mesh.n_boundary, 3), mesh.C.dtype)
 
     def step(U, p, T, rho, phi, dt):
+        from ..ops.interpolation import set_current_dt
+        set_current_dt(dt)
         return _step(mesh_a, U, p, T, rho, phi, dt, zf, zb)
 
     return step

@@ -1350,7 +1350,8 @@ def wedge_mesh(nx: int = 10, nr: int = 12, r0: float = 0.5,
 
 
 def reacting_box_case(case_dir: str, n: int = 16, end_time: float = 2e-3,
-                      delta_t: float = 1e-4):
+                      delta_t: float = 1e-4,
+                      y_scheme: str = "Gauss upwind"):
     """reactingFoam ignition box: a closed 2D box of premixed fuel F +
     inert N2 with a hot kernel in the middle; one irreversible
     Arrhenius reaction F = P releases heat (reference tutorial family:
@@ -1384,19 +1385,19 @@ writeInterval   {end_time};
 writeFormat     ascii;
 """)
     _write(os.path.join(case_dir, "system", "fvSchemes"),
-           foamfile_header("dictionary", "fvSchemes", "system"), """
-ddtSchemes      { default Euler; }
-gradSchemes     { default Gauss linear; }
+           foamfile_header("dictionary", "fvSchemes", "system"), f"""
+ddtSchemes      {{ default Euler; }}
+gradSchemes     {{ default Gauss linear; }}
 divSchemes
-{
+{{
     default         none;
     div(phi,U)      Gauss upwind;
-    div(phi,Yi_h)   Gauss upwind;
+    div(phi,Yi_h)   {y_scheme};
     div(phi,K)      Gauss upwind;
-}
-laplacianSchemes { default Gauss linear orthogonal; }
-interpolationSchemes { default linear; }
-snGradSchemes   { default orthogonal; }
+}}
+laplacianSchemes {{ default Gauss linear orthogonal; }}
+interpolationSchemes {{ default linear; }}
+snGradSchemes   {{ default orthogonal; }}
 """)
     _write(os.path.join(case_dir, "system", "fvSolution"),
            foamfile_header("dictionary", "fvSolution", "system"), """
