@@ -202,3 +202,62 @@ class DirectionMixed(BC):
         dc = _bcast(mesh.patch_delta_coeffs(patch), psi_c)
         eye = jnp.eye(3, dtype=psi_c.dtype)
         return -jnp.diagonal(f, axis1=-2, axis2=-1) * dc
+
+
+@register("fvPatchField", "thermalBaffle1D",
+          "compressible::thermalBaffle1D")
+@dataclass(frozen=True)
+class ThermalBaffle1D(BC):
+    """Quasi-steady 1-D thermal baffle wall (reference:
+    turbulenceModels/.../thermalBaffle1DFvPatchScalarField): the patch
+    behaves as a thin solid of conductance G = kappa_s/thickness in
+    series with the far-side fluid, sampled through the mappedWall
+    pairing (samplePatch). Heat balance at the surface:
+    h_own (T_c - T_s) = G (T_s - T_nbr)  ->
+    T_s = (h_own T_c + G T_nbr) / (h_own + G), with h_own = kappa_f *
+    deltaCoeffs from env['kappa'] (falls back to G, i.e. the midpoint).
+    The transient multi-layer shell lives in models/thermalbaffle.py
+    (regionModels counterpart); this BC is its steady limit."""
+    preserves_type = True
+
+    def _t_nbr(self, mesh, patch, field, bd):
+        if "map_bcells" in bd:
+            return field.data[bd["map_bcells"]]
+        return field.patch_internal(mesh, patch)
+
+    def _g(self, bd, psi_c):
+        kappa_s = bd.get("kappa", jnp.asarray(1.0))
+        thick = jnp.maximum(bd.get("thickness", jnp.asarray(1e-3)),
+                            1e-12)
+        return jnp.broadcast_to(kappa_s / thick, psi_c.shape)
+
+    def _h_own(self, mesh, patch, field, bd, env, psi_c):
+        dc = mesh.patch_delta_coeffs(patch)
+        kf = None
+        if env is not None:
+            kf = env.get("kappa")
+        if kf is not None and hasattr(kf, "data"):
+            return kf.data[jnp.asarray(
+                mesh.owner[patch.start:patch.start + patch.size])] * dc
+        return self._g(bd, psi_c)   # midpoint fallback
+
+    def evaluate(self, mesh, patch, field, bd, env=None):
+        psi_c = field.patch_internal(mesh, patch)
+        g = self._g(bd, psi_c)
+        h = self._h_own(mesh, patch, field, bd, env, psi_c)
+        qs = bd.get("Qs", jnp.asarray(0.0))
+        t_nbr = self._t_nbr(mesh, patch, field, bd)
+        return (h * psi_c + g * t_nbr + qs) / (h + g)
+
+    def value_internal_coeff(self, mesh, patch, field, bd, env=None):
+        psi_c = field.patch_internal(mesh, patch)
+        g = self._g(bd, psi_c)
+        h = self._h_own(mesh, patch, field, bd, env, psi_c)
+        return h / (h + g)
+
+    def gradient_internal_coeff(self, mesh, patch, field, bd, env=None):
+        psi_c = field.patch_internal(mesh, patch)
+        g = self._g(bd, psi_c)
+        h = self._h_own(mesh, patch, field, bd, env, psi_c)
+        dc = _bcast(mesh.patch_delta_coeffs(patch), psi_c)
+        return -(g / (h + g)) * dc

@@ -39,7 +39,8 @@ _BC_WORD_KEYS = ("type", "mode", "patchType", "neighbourPatch",
 _MAPPED_TYPES = ("mappedFixedValue", "mappedField",
                  "mappedFixedInternalValue",
                  "mappedFixedPushedInternalValue", "mappedFlowRate",
-                 "mappedVelocityFluxFixedValue")
+                 "mappedVelocityFluxFixedValue", "thermalBaffle1D",
+                 "compressible::thermalBaffle1D")
 
 
 def _capture_bc_entry(entry, dtype):
