@@ -172,17 +172,34 @@ def build_hierarchy(mesh: MeshArrays, n_coarsest: int = 32,
     reference's per-mesh GAMGAgglomeration cache)."""
     if mesh.gamg is not None:
         return list(mesh.gamg)
-    key = (id(mesh.ell_coeff_idx), n_coarsest, merge_levels)
+    # Keyed by the identity of the mesh's addressing array, with the
+    # value holding only a WEAK reference to it: a weakref.finalize
+    # evicts the entry the moment the array is collected, so a recycled
+    # id can never alias a stale hierarchy (r2/r4 advice) and the cache
+    # cannot leak across cases in a long-running process. If the array
+    # type is not weakref-able we fall back to pinning it in the entry,
+    # which is alias-safe (the `is` check) but unbounded.
+    import weakref
+    anchor = mesh.ell_coeff_idx
+    key = (id(anchor), n_coarsest, merge_levels)
     hit = _HIERARCHY_CACHE.get(key)
-    if hit is not None and hit[0] is mesh.ell_coeff_idx:
-        return hit[1]
+    if hit is not None:
+        ref, levels = hit
+        live = ref() if isinstance(ref, weakref.ref) else ref
+        if live is anchor:
+            return levels
 
     own = np.asarray(mesh.owner)[:mesh.n_internal].astype(np.int64)
     nei = np.asarray(mesh.neighbour).astype(np.int64)
     weights = np.asarray(mesh.mag_sf)[:mesh.n_internal].astype(float)
     levels, _ = _graph_hierarchy(own, nei, weights, mesh.n_cells,
                                  n_coarsest, max_levels, merge_levels)
-    _HIERARCHY_CACHE[key] = (mesh.ell_coeff_idx, levels)
+    try:
+        ref = weakref.ref(anchor)
+        weakref.finalize(anchor, _HIERARCHY_CACHE.pop, key, None)
+    except TypeError:
+        ref = anchor  # not weakref-able: pin (alias-safe, unbounded)
+    _HIERARCHY_CACHE[key] = (ref, levels)
     return levels
 
 
@@ -731,7 +748,7 @@ def gamg_solve(mesh: MeshArrays, m, amul_fine, diag, source,
     from .solvers import _converged, _norm_factor, gsum
 
     from ..parallel import hooks as _ph
-    if _ph.gamg_block() is not None:
+    if _ph.gamg_block() is not None or getattr(mesh, "gdia", None) is not None:
         # distributed: the block V-cycle alone has no cut-face coupling
         # on its coarse levels (parallel/dist_gamg.py), so plain cycling
         # stalls once interface error dominates. Krylov-wrap it instead:
@@ -740,6 +757,13 @@ def gamg_solve(mesh: MeshArrays, m, amul_fine, diag, source,
         # the reference's converged result, if not its exact iteration
         # path (processorGAMGInterface per-level comms,
         # src/OpenFOAM/matrices/lduMatrix/solvers/GAMG/interfaces/).
+        # gdia lattice meshes take the same route: their V-cycle
+        # preconditions the pure-lattice operator (the ghost fold/sync
+        # coupling of merged cells is not in the coefficient planes —
+        # linalg/structured_mg.py), so plain V-cycling converges to the
+        # WRONG fixed point on meshes with merged/dead slots (the r4
+        # masked-grid regression); the Krylov wrapper supplies the exact
+        # folded operator and the cycle stays a preconditioner.
         import dataclasses
 
         from .solvers import _pbicgstab, _pcg

@@ -299,6 +299,18 @@ def make_structured_vcycle(mesh, m, amul_fine, diag, controls,
     nz, ny, nx = shape
     rank = diag.ndim - 1  # trailing comp axes (column-batched system)
 
+    if getattr(mesh, "gdia", None) is not None:
+        # lattice-preconditioner diag hygiene: the folded system gives
+        # ghost/dead slots identity rows (diag 1.0 — mesh/gdia.py
+        # fold_diag) whose scale is arbitrary against ~V*deltaCoeff FV
+        # coefficients; summed into 2x2(x2) coarse block diagonals they
+        # crush the coarse correction near masked regions. Ghost slots
+        # get their primary's diag (their plane couplings are real);
+        # dead slots get 0 (no couplings, zero residual — the rd guard
+        # in the smoother handles the division).
+        from ..mesh import gdia as gd
+        g = mesh.gdia
+        diag = gd.sync(g, diag) * gd._bcast(1.0 - g.dead, diag)
     d0 = diag.reshape((nz, ny, nx) + diag.shape[1:])
     if getattr(mesh, "structured", None) is not None:
         # gather-free plane construction from the axis-blocked faces

@@ -256,18 +256,21 @@ def internal_flux(info: GdiaInfo, psi, lower, upper):
         - lower.reshape(lower.shape + r) * own
 
 
-def fold_diag(info: GdiaInfo, diag, psi=None):
+def fold_diag(info: GdiaInfo, diag):
     """Fold per-slot diagonal contributions into the primary row and
-    give ghost/dead rows a decoupled identity equation. Returns
-    (diag_eff, src_fix) where src_fix(src) rewrites ghost/dead rhs so
-    the trivial rows solve to psi's current value (zero residual)."""
-    d = fold(info, diag)
-    off = 1.0 - _bcast(info.primary, d)
-    d = d * _bcast(info.primary, d) + off
-    if psi is None:
-        return d, None
+    NULL the ghost/dead rows (diag 0 — their rhs is zeroed by the
+    caller, ops/fvmatrix._gdia_fold_system).
 
-    def src_fix(src):
-        o = 1.0 - _bcast(info.primary, src)
-        return src * _bcast(info.primary, src) + o * psi
-    return d, src_fix
+    Null rows (0*x = 0), not identity rows (1*x = psi): both are inert
+    in the Krylov iteration ((A x)_g = 0 after fold, r_g = 0), but an
+    identity row's |source - A(xRef*ones)| = |psi_g - xRef| ~ O(psi)
+    enters the residual NORM FACTOR (lduMatrix::solver::normFactor,
+    linalg/solvers._norm_factor) at full field scale while live FV rows
+    contribute ~V*coeff scale — on a masked pitzDaily the ~240 dead
+    slots inflated normFactor ~1e6x, the normalized initial residual
+    read 1e-7 "converged" at loose fp32 tolerances, and the pressure
+    field froze after one SIMPLE step. Zero rows contribute exactly
+    nothing to any residual sum. Solvers restore ghost values by
+    sync() after the solve (linalg/solvers._gdia_sync)."""
+    d = fold(info, diag)
+    return d * _bcast(info.primary, d)

@@ -715,3 +715,85 @@ def build_gdia_mesh_arrays(mesh: PolyMesh, lattice: dict, *, dtype=None
     face_perm[n_pl:] = np.arange(n_int_r, nf_r)
     return ma, mesh, MeshMaps(slot_cell.copy(), face_perm,
                               cell_primary=primary > 0)
+
+
+def ungdia_mesh_arrays(ma: MeshArrays):
+    """Rebuild a plain (ELL/gather) MeshArrays from a gdia-mode mesh.
+
+    Domain decomposition is topology-only (reference: processor patches
+    are cut from the REAL face list, processorPolyPatch.H), so the
+    lattice embedding must be stripped before partitioning: dummy plane
+    faces would otherwise enter the local ELLs and ghost/dead slots
+    would become spurious DOFs (the round-4 MULTICHIP regression).
+
+    Returns (raw, cell_of_slot, src_slot, src_face):
+      cell_of_slot (n_lat,)  raw cell id per lattice slot (-1 = dead;
+                             ghost slots map to their primary's id)
+      src_slot     (nc_raw,) primary lattice slot per raw cell
+      src_face     (nf_raw,) padded-layout face index per raw face
+    Orientation keeps the slot convention (owner = lower slot), so face
+    fields (phi) translate by pure indexing, no sign flips.
+    """
+    g = ma.gdia
+    assert g is not None, "ungdia_mesh_arrays needs a gdia-mode mesh"
+    steps = g.steps
+    n_lat = g.n_lat
+    n_pl = len(steps) * n_lat
+    assert ma.n_internal == n_pl, (ma.n_internal, n_pl)
+    primary = np.asarray(g.primary) > 0
+    lead = np.arange(n_lat)
+    for pi, st_ in enumerate(steps):
+        m = np.asarray(g.ghost_prev[pi]) > 0
+        lead[m] -= st_
+    nc = int(primary.sum())
+    cellid = np.full(n_lat, -1, np.int64)
+    cellid[primary] = np.arange(nc)
+    cell_of_slot = cellid[lead]
+    src_slot = np.nonzero(primary)[0]
+
+    pos = np.nonzero(np.asarray(g.plane_mask) > 0)[0]
+    n_int = pos.size
+    src_face = np.concatenate(
+        [pos, np.arange(n_pl, ma.n_faces, dtype=np.int64)])
+    own_pad = np.asarray(ma.owner, np.int64)
+    nei_pad = np.asarray(ma.neighbour, np.int64)
+    own = cell_of_slot[own_pad[src_face]]
+    nei = cell_of_slot[nei_pad[pos]]
+    assert own.min() >= 0, "gdia boundary face owned by a dead slot"
+    nf = src_face.size
+
+    patches = tuple(Patch(p.name, p.type, p.start - n_pl + n_int,
+                          p.size, p.bstart) for p in ma.patches)
+    active = np.ones(nf, dtype=bool)
+    for p in patches:
+        if p.is_empty:
+            active[p.start:p.start + p.size] = False
+    ell = build_ell(own, nei, nc, n_int, active)
+
+    def f(k):
+        return np.asarray(getattr(ma, k))
+
+    fdt = f("Sf").dtype
+    idt = jnp.int32
+    bnd_cells, bnd_sel = _bnd_batch(own, patches)
+    raw = MeshArrays(
+        owner=jnp.asarray(own, idt), neighbour=jnp.asarray(nei, idt),
+        Sf=jnp.asarray(f("Sf")[src_face]),
+        mag_sf=jnp.asarray(f("mag_sf")[src_face]),
+        Cf=jnp.asarray(f("Cf")[src_face]),
+        C=jnp.asarray(f("C")[src_slot]),
+        V=jnp.asarray(f("V")[src_slot]),
+        weights=jnp.asarray(f("weights")[pos]),
+        delta_coeffs=jnp.asarray(f("delta_coeffs")[pos]),
+        nonorth_delta_coeffs=jnp.asarray(f("nonorth_delta_coeffs")[pos]),
+        corr_vecs=jnp.asarray(f("corr_vecs")[pos]),
+        b_delta_coeffs=ma.b_delta_coeffs,
+        b_nonorth_delta_coeffs=ma.b_nonorth_delta_coeffs,
+        cell_faces=jnp.asarray(ell["cell_faces"], idt),
+        cell_sign=jnp.asarray(ell["cell_sign"], fdt),
+        cell_nbr=jnp.asarray(ell["cell_nbr"], idt),
+        ell_coeff_idx=jnp.asarray(ell["ell_idx"], idt),
+        internal_mask=jnp.asarray(ell["internal_mask"], fdt),
+        n_cells=nc, n_faces=nf, n_internal=n_int, K=ell["K"],
+        patches=patches, bnd_cells=bnd_cells, bnd_sel=bnd_sel)
+    return raw, cell_of_slot, src_slot, src_face

@@ -226,22 +226,20 @@ class FvMatrix:
 
     def _gdia_fold_system(self, mesh, diag, src, cmpt):
         """gdia lattice meshes: fold per-slot diag/source contributions
-        (ghost rows) into the primary rows and give ghost/dead slots the
-        trivial equation 1*x = psi (zero residual at the current state;
-        mesh/gdia.py fold_diag). No-op on ordinary meshes."""
+        (ghost rows) into the primary rows and NULL the ghost/dead rows
+        (0*x = 0 — inert in every residual sum AND the residual norm
+        factor; see mesh/gdia.py fold_diag for why identity rows broke
+        loose-tolerance convergence checks). No-op on ordinary
+        meshes."""
         g = mesh.gdia
         if g is None:
             return diag, src
         from ..mesh import gdia as gd
-        psi = self.psi.data
-        if cmpt is not None and psi.ndim > 1:
-            psi = psi[:, cmpt]
-        diag, _ = gd.fold_diag(g, diag)
+        diag = gd.fold_diag(g, diag)
         src = gd.fold(g, src)
         prim = g.primary.reshape(g.primary.shape
                                  + (1,) * (src.ndim - 1))
-        src = src * prim + (1.0 - prim) * psi
-        return diag, src
+        return diag, src * prim
 
     def _compat_project(self, src):
         """fp32 compatibility projection for setReference'd (pure-

@@ -83,6 +83,13 @@ class Decomposition:
     n_own: int                # padded owned-cell count (uniform)
     dev_of: np.ndarray        # (nc,) owning device per global cell
     pos_of: np.ndarray        # (nc,) local owned index per global cell
+    # gdia source-layout maps (mesh.mesharrays.ungdia_mesh_arrays):
+    # set when the decomposed mesh was a lattice-mode (gdia) MeshArrays,
+    # whose partitioning runs on the stripped raw topology. None for
+    # ordinary meshes.
+    cell_of_slot: np.ndarray | None = None  # (n_lat,) raw cell per slot
+    src_slot: np.ndarray | None = None      # (nc,) primary slot per cell
+    src_face: np.ndarray | None = None      # (nf,) padded face per face
 
     @property
     def n_owned_of(self):
@@ -90,8 +97,22 @@ class Decomposition:
         return np.bincount(self.dev_of, minlength=self.n_devices)
 
     def local_cell_of_global(self, g: int):
-        """(device, local_index) of a global cell id (owned copy)."""
+        """(device, local_index) of a global cell id (owned copy).
+        For gdia-sourced decompositions g is a lattice slot id."""
+        if self.cell_of_slot is not None:
+            g = int(self.cell_of_slot[g])
+            # a dead lattice slot carries no DOF; fall back to the first
+            # live cell (only reachable when the pin is inert — a
+            # boundary already fixes the level — or on user error)
+            g = max(g, 0)
         return int(self.dev_of[g]), int(self.pos_of[g])
+
+    def compact_global(self, a):
+        """Global source-layout cell array -> raw partitioned layout
+        (identity for ordinary meshes; drops ghost/dead lattice slots
+        for gdia-sourced decompositions)."""
+        a = np.asarray(a)
+        return a[self.src_slot] if self.src_slot is not None else a
 
 
 def slab_partition(ma: MeshArrays, P: int) -> np.ndarray:
@@ -142,6 +163,17 @@ def decompose(ma: MeshArrays, P: int, method: str = "slab",
     cell->device map (values in [0, P))."""
     if dtype is None:
         dtype = default_dtype()
+    cell_of_slot = src_slot = src_face = None
+    if ma.gdia is not None:
+        # processor decomposition is topology-only: strip the lattice
+        # embedding (dummy plane faces, ghost/dead slots) and partition
+        # the raw mesh (round-4 regression: gdia K is a plane count,
+        # not the per-partition ELL width).
+        from ..mesh.mesharrays import ungdia_mesh_arrays
+        n_lat = ma.n_cells
+        ma, cell_of_slot, src_slot, src_face = ungdia_mesh_arrays(ma)
+        if dev_of is not None and np.asarray(dev_of).shape == (n_lat,):
+            dev_of = np.asarray(dev_of)[src_slot]   # per-slot map given
     if dev_of is None:
         dev_of = (slab_partition(ma, P) if method == "slab"
                   else rcb_partition(ma, P))
@@ -377,7 +409,9 @@ def decompose(ma: MeshArrays, P: int, method: str = "slab",
         shifts=tuple(active_shifts))
     return Decomposition(mesh=mesh, halo=halo, n_devices=P,
                          cells_of=cells_of, face_map=face_maps,
-                         n_own=n_own, dev_of=dev_of, pos_of=pos_of)
+                         n_own=n_own, dev_of=dev_of, pos_of=pos_of,
+                         cell_of_slot=cell_of_slot, src_slot=src_slot,
+                         src_face=src_face)
 
 
 def decompose_vol_field(dec: Decomposition, vf: VolField,
@@ -385,8 +419,8 @@ def decompose_vol_field(dec: Decomposition, vf: VolField,
     """Scatter a global VolField into the stacked local layout."""
     P = dec.n_devices
     lm = dec.mesh
-    data_g = np.asarray(vf.data)
-    b_g = np.asarray(vf.bvalues)
+    data_g = dec.compact_global(vf.data)   # gdia: slots -> raw cells
+    b_g = np.asarray(vf.bvalues)           # boundary layout is shared
     rank = data_g.shape[1:]
     data = np.zeros((P, lm.n_cells) + rank, data_g.dtype)
     bvals = np.zeros((P, lm.n_boundary) + rank, data_g.dtype)
@@ -402,7 +436,10 @@ def decompose_vol_field(dec: Decomposition, vf: VolField,
     own_g = np.asarray(global_mesh.owner)
     for pi, (gp, lp) in enumerate(zip(global_mesh.patches, lm.patches)):
         gf = np.arange(gp.start, gp.start + gp.size)
-        dev_of_face = dec.dev_of[own_g[gf]]
+        oc = own_g[gf]
+        if dec.cell_of_slot is not None:    # gdia owners are slots
+            oc = dec.cell_of_slot[oc]
+        dev_of_face = dec.dev_of[oc]
         for d in range(P):
             sel = gf[dev_of_face == d] - gp.start
             bo = lp.bstart

@@ -197,11 +197,11 @@ def dryrun_piso_step(n_devices: int, n: int = 16, check: bool = True,
         U1, p1, phi1, stats1 = step(U, p, phi, dt)
         p_dist = collect_vol_field(dec, p2s.data)
         u_dist = collect_vol_field(dec, U2s.data)
-        perr = np.abs(p_dist - np.asarray(p1.data)).max()
-        uerr = np.abs(u_dist - np.asarray(U1.data)).max()
+        perr = np.abs(p_dist - dec.compact_global(p1.data)).max()
+        uerr = np.abs(u_dist - dec.compact_global(U1.data)).max()
         print(f"dryrun_multichip: max|p_dist-p_1chip|={perr:.3e}, "
               f"max|U_dist-U_1chip|={uerr:.3e}")
-        scale = max(1.0, float(np.abs(np.asarray(p1.data)).max()))
+        scale = max(1.0, float(np.abs(dec.compact_global(p1.data)).max()))
         # fp32 runs legitimately diverge at the Krylov-iteration level
         # (different reduction orders); fp64 must agree tightly
         tol = 1e-5 if np.asarray(p1.data).dtype == np.float64 else 5e-3
@@ -350,16 +350,16 @@ def dryrun_simple_step(n_devices: int, scale: int = 1, check: bool = True,
         step = simplefoam.make_step(case, transport, turb, simple)
         U1, p1, phi1, ts1, _ = step(U, p, phi, turb_state)
         perr = np.abs(collect_vol_field(dec, p2s.data)
-                      - np.asarray(p1.data)).max()
+                      - dec.compact_global(p1.data)).max()
         uerr = np.abs(collect_vol_field(dec, U2s.data)
-                      - np.asarray(U1.data)).max()
+                      - dec.compact_global(U1.data)).max()
         terr = max(np.abs(collect_vol_field(dec, ts2s[k].data)
-                          - np.asarray(ts1[k].data)).max()
+                          - dec.compact_global(ts1[k].data)).max()
                    for k in ts1)
         print(f"dryrun_simple: max|p-p_1chip|={perr:.3e}, "
               f"max|U-U_1chip|={uerr:.3e}, max|turb-turb_1chip|="
               f"{terr:.3e}")
-        scale_p = max(1.0, float(np.abs(np.asarray(p1.data)).max()))
+        scale_p = max(1.0, float(np.abs(dec.compact_global(p1.data)).max()))
         tol = 1e-5 if np.asarray(p1.data).dtype == np.float64 else 5e-3
         if not (perr < tol * scale_p and uerr < tol * 10 and terr < tol * 10):
             raise AssertionError(
@@ -375,6 +375,10 @@ def _decompose_phi(dec: Decomposition, gmesh: MeshArrays,
     from ..utils.dimensions import dim_flux
     P_ = dec.n_devices
     lm = dec.mesh
+    if dec.src_face is not None:
+        # gdia source: padded-plane face layout -> raw face layout
+        # (same orientation, so pure indexing)
+        phi_g = phi_g[dec.src_face]
     out = np.zeros((P_, lm.n_faces), phi_g.dtype)
     for d in range(P_):
         gf = dec.face_map[d]

@@ -5,6 +5,7 @@ the solution must match the padded-ELL gather path exactly (same
 discretization, different execution layout).
 """
 
+import jax
 import numpy as np
 import pytest
 
@@ -65,3 +66,86 @@ def test_sonicfoam_gdia_matches_gather(tmp_path, quiet):
     assert pf1.shape == pf2.shape
     np.testing.assert_allclose(pf1, pf2, rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(uf1, uf2, rtol=1e-6, atol=1e-8)
+
+
+def test_simplefoam_gamg_gdia_matches_gather(tmp_path, quiet):
+    """r4 masked-grid regression: `solver GAMG` on an auto-detected gdia
+    mesh must reach the same solution as the padded-ELL gather path.
+    The broken form plain-V-cycled a pure-lattice preconditioner whose
+    coarse diagonals were polluted by dead-slot identity rows (+1.0
+    against ~1e-4 FV coefficients), silently converging to a wrong
+    pressure (max|dp| 2.6 on one pitzDaily SIMPLE step). Fixed by
+    Krylov-wrapping GAMG on gdia meshes (linalg/gamg.py) and scale-
+    cleaning ghost/dead diags in the lattice V-cycle
+    (linalg/structured_mg.py)."""
+    from rapidcfd_tpu.solvers import simplefoam
+    from rapidcfd_tpu.utils.casegen import pitz_daily_case
+
+    d1 = str(tmp_path / "gdia")
+    d2 = str(tmp_path / "gather")
+    pitz_daily_case(d1, scale=1, model="kEpsilon", tight_tol=True)
+    pitz_daily_case(d2, scale=1, model="kEpsilon", tight_tol=True)
+
+    switches._CACHE["GDIA_AUTO"] = "1"
+    try:
+        case1, U1, p1, _, ts1 = simplefoam.run(d1, write=False,
+                                               max_steps=1)
+        assert case1.mesh.gdia is not None, "gdia mode not engaged"
+        switches._CACHE["GDIA_AUTO"] = "0"
+        case2, U2, p2, _, ts2 = simplefoam.run(d2, write=False,
+                                               max_steps=1)
+        assert case2.mesh.gdia is None
+    finally:
+        switches._CACHE.pop("GDIA_AUTO", None)
+
+    pf1 = case1.maps.cells_to_file(np.asarray(p1.data, np.float64))
+    pf2 = case2.maps.cells_to_file(np.asarray(p2.data, np.float64))
+    uf1 = case1.maps.cells_to_file(np.asarray(U1.data, np.float64))
+    uf2 = case2.maps.cells_to_file(np.asarray(U2.data, np.float64))
+    # one step at 1e-12 linear tolerances: both paths solve the same
+    # discrete system, so agreement is at Krylov-roundoff level (the
+    # broken form differed by max|dp| = 2.6 here). Further steps
+    # amplify tolerance-level noise through the impulsive start, so the
+    # pin stays at one step.
+    np.testing.assert_allclose(pf1, pf2, rtol=0, atol=1e-8)
+    np.testing.assert_allclose(uf1, uf2, rtol=0, atol=1e-8)
+    for k in ts1:
+        a = case1.maps.cells_to_file(np.asarray(ts1[k].data, np.float64))
+        b = case2.maps.cells_to_file(np.asarray(ts2[k].data, np.float64))
+        np.testing.assert_allclose(a, b, rtol=1e-8, atol=1e-8,
+                                   err_msg=k)
+
+
+def test_decompose_gdia_mesh_strips_lattice(tmp_path, quiet):
+    """decompose() on a gdia-mode mesh must partition the RAW topology
+    (processor decomposition is topology-only — reference
+    processorPolyPatch.H), not the padded lattice: the r4 regression
+    asserted K_force < K inside build_ell because the lattice plane
+    count leaked in as the per-partition ELL width."""
+    from rapidcfd_tpu.parallel.decompose import (collect_vol_field,
+                                                 decompose,
+                                                 decompose_vol_field)
+    from rapidcfd_tpu.solvers.case import Case
+    from rapidcfd_tpu.utils.casegen import pitz_daily_case
+
+    d = str(tmp_path / "pitz")
+    pitz_daily_case(d, scale=1, tight_tol=True)
+    switches._CACHE["GDIA_AUTO"] = "1"
+    try:
+        case = Case(d)
+    finally:
+        switches._CACHE.pop("GDIA_AUTO", None)
+    assert case.mesh.gdia is not None
+    dec = decompose(case.mesh, 4, method="rcb")
+    assert dec.cell_of_slot is not None
+    nc_raw = int(np.asarray(case.mesh.gdia.primary).sum())
+    assert dec.dev_of.shape == (nc_raw,)
+    # round-trip: a slot-layout field scatters and collects losslessly
+    p = case.read_field("p")
+    rng = np.random.default_rng(7)
+    vals = rng.normal(size=nc_raw)
+    slot_vals = vals[np.maximum(dec.cell_of_slot, 0)]
+    pv = p.replace(data=jax.numpy.asarray(slot_vals))
+    ps = decompose_vol_field(dec, pv, case.mesh)
+    back = collect_vol_field(dec, ps.data)
+    np.testing.assert_allclose(back, vals, rtol=0, atol=0)
