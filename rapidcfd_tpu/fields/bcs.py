@@ -231,6 +231,43 @@ class CyclicAMI(BC):
         return _bcast(t.dc, psi_c) * (ghost - psi_c)
 
 
+@register("fvPatchField", "cyclicACMI")
+@dataclass(frozen=True)
+class CyclicACMI(CyclicAMI):
+    """Arbitrarily coupled mesh interface (reference:
+    cyclicACMIFvPatchField.H:56): a partially-overlapping AMI whose
+    uncovered remainder is carried by a separate non-overlap patch
+    (usually a wall). Face areas are apportioned at mesh build
+    (mesh/mesharrays._ami_raw_tables: coupled faces mask*|Sf0|, non-overlap
+    (1-mask)*|Sf0|), so assembly splits automatically; the matrix
+    coupling uses the raw (coverage-sum) weights — the reference's
+    coupled-contribution-only updateInterfaceMatrix
+    (cyclicACMIFvPatchField.C:217-244) — while evaluated face values
+    blend the uncovered remainder from the non-overlap patch's current
+    boundary values (patchNeighbourField's interpolate(pnf,
+    nonOverlapFaceCells))."""
+
+    def _default(self, mesh, patch, field):
+        t = self._t(mesh, patch)
+        no = mesh.patches[t.non_overlap]
+        return field.bvalues[no.bstart:no.bstart + no.size]
+
+    def evaluate(self, mesh, patch, field, bd, env=None):
+        t = self._t(mesh, patch)
+        psi_c = field.patch_internal(mesh, patch)
+        ghost = mesh.ami_ghost(patch, field.data,
+                               default=self._default(mesh, patch, field))
+        w = _bcast(t.w_face, psi_c)
+        return w * psi_c + (1.0 - w) * ghost
+
+    def snGrad(self, mesh, patch, field, bd, env=None):
+        t = self._t(mesh, patch)
+        psi_c = field.patch_internal(mesh, patch)
+        ghost = mesh.ami_ghost(patch, field.data,
+                               default=self._default(mesh, patch, field))
+        return _bcast(t.dc, psi_c) * (ghost - psi_c)
+
+
 @register("fvPatchField", "fixedGradient")
 @dataclass(frozen=True)
 class FixedGradient(BC):

@@ -37,6 +37,15 @@ class AmiPair:
     # transform applied to TARGET-side vectors when seen from src side
     rot: np.ndarray | None    # (3,3) rotation or None
     sep: np.ndarray | None    # (3,) separation or None
+    # cyclicACMI (partially-overlapping) extras: per-face covered
+    # fraction, clamped to [tol, 1-tol] (reference:
+    # cyclicACMIPolyPatch::srcMask, tolerance_ = 1e-6), and the
+    # non-overlap patch index carrying the uncovered remainder. weights
+    # rows then sum to the RAW coverage (reference: non-conformal
+    # normaliseWeights divides by the full face area, AMIInterpolation.C:
+    # 199-246), not to 1.
+    mask: np.ndarray | None = None   # (srcSize,) or None for plain AMI
+    non_overlap: int = -1            # patch index, -1 for plain AMI
 
 
 def _poly_area(pts2):
@@ -96,10 +105,13 @@ def rotation_about_axis(axis, angle):
 
 def compute_ami_weights(mesh, src_patch, tgt_patch, face_ctrs, face_areas,
                         rot=None, sep=None, centre=None,
-                        kmax=None):
+                        kmax=None, normalize=True):
     """Padded (idx, weights) tables mapping target faces onto each
     source face. rot/sep transform TARGET geometry into the source
-    frame (x' = rot @ (x - centre) + centre, or x' = x + sep)."""
+    frame (x' = rot @ (x - centre) + centre, or x' = x + sep).
+    normalize=False keeps the raw overlap fractions (rows sum to the
+    covered fraction — the partial-overlap cyclicACMI mode, reference
+    imPartialFaceAreaWeight)."""
     sp, tp = src_patch, tgt_patch
     n_src = sp.n_faces
 
@@ -166,10 +178,11 @@ def compute_ami_weights(mesh, src_patch, tgt_patch, face_ctrs, face_areas,
         s = sum(rw)
         coverage += min(s, 1.0)
         if s > 1e-8:
-            w[i] /= s           # normalise (reference: AMI weights sum 1)
+            if normalize:
+                w[i] /= s       # normalise (reference: AMI weights sum 1)
         else:
             low += 1
-    if low:
+    if low and normalize:
         from ..utils.logging import info
         info(f"AMI: {low}/{n_src} source faces have low overlap "
              f"(uncovered); weights zero there")
@@ -183,11 +196,11 @@ def find_ami_pairs(mesh):
     pairs = []
     seen = set()
     for i, p in enumerate(mesh.patches):
-        if p.type != "cyclicAMI" or i in seen:
+        if p.type not in ("cyclicAMI", "cyclicACMI") or i in seen:
             continue
         nbr = p.extra.word("neighbourPatch", "")
         if nbr not in by_name:
-            raise ValueError(f"cyclicAMI '{p.name}': neighbourPatch "
+            raise ValueError(f"{p.type} '{p.name}': neighbourPatch "
                              f"'{nbr}' not found")
         j = by_name[nbr]
         tr = p.extra.word("transform", "none")
@@ -209,10 +222,27 @@ def find_ami_pairs(mesh):
             # geometry into this patch's frame subtracts it
             kw = dict(sep=-np.asarray(
                 [float(x) for x in p.extra.lookup("separationVector")]))
+        if p.type == "cyclicACMI":
+            # each side carries its own nonOverlapPatch (reference:
+            # cyclicACMIPolyPatch.C:247); record both for the builder
+            q = mesh.patches[j]
+            for side, sp in ((i, p), (j, q)):
+                no = sp.extra.word("nonOverlapPatch", "")
+                if no not in by_name:
+                    raise ValueError(
+                        f"cyclicACMI '{sp.name}': nonOverlapPatch "
+                        f"'{no}' not found")
+            kw = dict(kw, acmi=True,
+                      non_overlap={i: by_name[p.extra.word(
+                          "nonOverlapPatch")],
+                          j: by_name[q.extra.word("nonOverlapPatch")]})
         pairs.append((i, j, kw))
         seen.add(i)
         seen.add(j)
     return pairs
+
+
+ACMI_TOLERANCE = 1e-6   # reference: cyclicACMIPolyPatch::tolerance_
 
 
 def build_ami_tables(mesh, face_ctrs, face_areas):
@@ -224,6 +254,8 @@ def build_ami_tables(mesh, face_ctrs, face_areas):
         rot = kw.get("rot")
         sep = kw.get("sep")
         centre = kw.get("centre")
+        acmi = kw.get("acmi", False)
+        norm = not acmi
         # the separation/rotation SIGN convention differs between
         # OpenFOAM versions and user dicts — try both directions and
         # keep the one that actually overlaps the patches
@@ -233,11 +265,11 @@ def build_ami_tables(mesh, face_ctrs, face_areas):
                          -sep if sep is not None else None))):
             idx_, w_, cov = compute_ami_weights(
                 mesh, pi, pj, face_ctrs, face_areas, rot=r_, sep=s_,
-                centre=centre)
+                centre=centre, normalize=norm)
             if best is None or cov > best[3]:
                 best = (idx_, w_, (r_, s_), cov)
         idx_ij, w_ij, (rot, sep), cov = best
-        if cov < 0.5:
+        if cov < 0.5 and not acmi:
             from ..utils.logging import info
             info(f"AMI pair {pi.name}<->{pj.name}: low coverage "
                  f"{cov:.2f} — check the transform spec")
@@ -245,7 +277,17 @@ def build_ami_tables(mesh, face_ctrs, face_areas):
         inv_sep = -sep if sep is not None else None
         idx_ji, w_ji, _ = compute_ami_weights(
             mesh, pj, pi, face_ctrs, face_areas, rot=inv_rot,
-            sep=inv_sep, centre=centre)
-        out[i] = AmiPair(i, j, idx_ij, w_ij, rot, sep)
-        out[j] = AmiPair(j, i, idx_ji, w_ji, inv_rot, inv_sep)
+            sep=inv_sep, centre=centre, normalize=norm)
+        mask_ij = mask_ji = None
+        no_i = no_j = -1
+        if acmi:
+            tol = ACMI_TOLERANCE
+            mask_ij = np.clip(w_ij.sum(1), tol, 1.0 - tol)
+            mask_ji = np.clip(w_ji.sum(1), tol, 1.0 - tol)
+            no = kw["non_overlap"]
+            no_i, no_j = no[i], no[j]
+        out[i] = AmiPair(i, j, idx_ij, w_ij, rot, sep,
+                         mask=mask_ij, non_overlap=no_i)
+        out[j] = AmiPair(j, i, idx_ji, w_ji, inv_rot, inv_sep,
+                         mask=mask_ji, non_overlap=no_j)
     return out

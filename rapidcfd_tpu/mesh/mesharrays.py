@@ -51,7 +51,7 @@ class Patch:
 
     @property
     def is_ami(self) -> bool:
-        return self.type == "cyclicAMI"
+        return self.type in ("cyclicAMI", "cyclicACMI")
 
 
 @jax.tree_util.register_dataclass
@@ -73,6 +73,12 @@ class AmiDevTable:
     # partner patch index (for jump lookup across the pair)
     partner: int = dataclasses.field(default=-1,
                                      metadata=dict(static=True))
+    # cyclicACMI: per-face covered fraction in [tol, 1-tol] (w rows
+    # then sum to the RAW coverage, not 1 — reference srcMask), and the
+    # non-overlap patch carrying the (1-mask)-scaled remainder area
+    mask: jax.Array | None = None
+    non_overlap: int = dataclasses.field(default=-1,
+                                         metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -165,16 +171,26 @@ class MeshArrays:
             return None
         return self.ami[self.patches.index(p)]
 
-    def ami_ghost(self, p: Patch, x: jax.Array) -> jax.Array:
+    def ami_ghost(self, p: Patch, x: jax.Array,
+                  default: jax.Array | None = None) -> jax.Array:
         """Partner-side ghost values at an AMI patch's faces: the
         w-weighted sum of partner face-cell values of x ((nCells,) or
-        (nCells, m)); vectors are rotated by the coupled transform."""
+        (nCells, m)); vectors are rotated by the coupled transform.
+
+        cyclicACMI (t.mask set): w rows sum to the covered fraction,
+        so the bare sum is the reference's matrix-side interpolate(pnf)
+        (coupled contribution only). `default` supplies the uncovered
+        remainder — (1-mask)*default is added, the reference's
+        interpolate(pnf, defaultValues) used by patchNeighbourField."""
         t = self.ami_table(p)
         g = jnp.take(x, t.nbr_cells, axis=0)        # (S, K) + rank
         w = t.w[..., None] if x.ndim == 2 else t.w
         g = (w * g).sum(axis=1)
         if t.rot is not None and x.ndim == 2 and x.shape[1] == 3:
             g = g @ t.rot.T
+        if t.mask is not None and default is not None:
+            m = t.mask[:, None] if g.ndim == 2 else t.mask
+            g = g + (1.0 - m) * default
         return g
 
     def add_at_patch_cells(self, p: Patch, data: jax.Array,
@@ -407,6 +423,16 @@ def build_mesh_arrays(mesh: PolyMesh, *, renumber: bool = True,
         face_perm = face_perm[idx]
 
     Cf, Sf = face_centres_and_areas(mesh)
+    raw_ami, area_scale = _ami_raw_tables(mesh)
+    if area_scale is not None:
+        # cyclicACMI area apportioning BEFORE cell geometry: coupled
+        # faces carry mask*|Sf0|, their non-overlap partners
+        # (1-mask)*|Sf0| (reference cyclicACMIPolyPatch::resetAMI runs
+        # inside patch geometry init). The interface faces are
+        # DUPLICATES (couple + blockage baffles over the same polygon,
+        # same owner), so the scaled pair sums to one full face —
+        # divergence-theorem cell volumes then count the interface once.
+        Sf = Sf * area_scale[:, None]
     own_ctrs = None
     nei_ctrs = None
     if partner is not None:
@@ -450,6 +476,8 @@ def build_mesh_arrays(mesh: PolyMesh, *, renumber: bool = True,
 
     idt = jnp.int32
     bnd_cells, bnd_sel = _bnd_batch(own, patches)
+    ami_tables = _build_ami(mesh, patches, raw_ami,
+                            coeffs["b_delta_coeffs"], n_int, dtype)
     ma = MeshArrays(
         owner=jnp.asarray(own, idt),
         neighbour=jnp.asarray(nei, idt),
@@ -473,8 +501,7 @@ def build_mesh_arrays(mesh: PolyMesh, *, renumber: bool = True,
         internal_mask=jnp.asarray(internal_mask, dtype),
         n_cells=nc, n_faces=nf, n_internal=n_int, K=K,
         patches=tuple(patches), structured=sinfo,
-        ami=_build_ami(mesh, patches, Cf,
-                       coeffs["b_delta_coeffs"], n_int, dtype),
+        ami=ami_tables,
         bnd_cells=bnd_cells, bnd_sel=bnd_sel,
     )
     return ma, mesh, MeshMaps(cell_perm, face_perm)
@@ -496,13 +523,45 @@ def _bnd_batch(own: np.ndarray, patches) -> tuple:
             jnp.asarray(np.concatenate(sel), jnp.int32))
 
 
-def _build_ami(mesh: PolyMesh, patches, Cf, b_dc, n_int, dtype):
-    """Device AMI tables for every cyclicAMI patch (mesh/ami.py overlap
-    weights + effective across-interface delta coefficients), or ()."""
-    if not any(p.is_ami for p in patches):
-        return ()
+def _ami_raw_tables(mesh: PolyMesh):
+    """Host AMI/ACMI weight tables + the ACMI face-area scale.
+
+    Returns (raw, area_scale): raw is {patch_index: AmiPair} (or None
+    when the mesh has no AMI patches); area_scale an (nFaces,) area
+    multiplier — 1 everywhere except cyclicACMI faces (mask) and their
+    non-overlap partners (1-mask), the reference's resetAMI area
+    apportioning (cyclicACMIPolyPatch.C:95-98) — or None when no ACMI.
+    Weight geometry needs only points/faces, so this runs BEFORE cell
+    geometry (the scaled areas must feed cell volumes: couple +
+    blockage duplicates sum to one face)."""
+    if not any(p.type in ("cyclicAMI", "cyclicACMI")
+               for p in mesh.patches):
+        return None, None
     from .ami import build_ami_tables
-    raw = build_ami_tables(mesh, Cf, None)
+    raw = build_ami_tables(mesh, None, None)
+    scale = None
+    for i, t in raw.items():
+        if t.mask is None:
+            continue
+        p = mesh.patches[i]
+        no = mesh.patches[t.non_overlap]
+        if no.n_faces != p.n_faces:
+            raise ValueError(
+                f"cyclicACMI '{p.name}': nonOverlapPatch '{no.name}' "
+                f"size {no.n_faces} != patch size {p.n_faces}")
+        if scale is None:
+            scale = np.ones(mesh.n_faces)
+        scale[p.start_face:p.start_face + p.n_faces] = t.mask
+        scale[no.start_face:no.start_face + no.n_faces] = 1.0 - t.mask
+    return raw, scale
+
+
+def _build_ami(mesh: PolyMesh, patches, raw, b_dc, n_int, dtype):
+    """Device AMI tables for every cyclicAMI/cyclicACMI patch from the
+    precomputed raw weight tables (_ami_raw_tables) + effective
+    across-interface delta coefficients. () when no AMI patches."""
+    if raw is None:
+        return ()
     out = []
     for i, p in enumerate(patches):
         if i not in raw:
@@ -515,12 +574,16 @@ def _build_ami(mesh: PolyMesh, patches, Cf, b_dc, n_int, dtype):
         nbr_cells = tgt_cells[t.nbr_idx]
         # effective delta coefficient: own distance + w-avg ghost
         # distance on the partner side (reference:
-        # cyclicAMIFvPatch::deltaCoeffs via AMI-interpolated deltas)
+        # cyclicAMIFvPatch::deltaCoeffs via AMI-interpolated deltas).
+        # ACMI rows sum to the coverage, so the distance average
+        # renormalizes by it.
         d_own = 1.0 / np.maximum(
             b_dc[p.start - n_int:p.start - n_int + p.size], 1e-30)
         d_tgt = 1.0 / np.maximum(
             b_dc[tgt.start - n_int:tgt.start - n_int + tgt.size], 1e-30)
-        d_ghost = (t.weights * d_tgt[t.nbr_idx]).sum(1)
+        wsum = (np.maximum(t.weights.sum(1), 1e-12) if t.mask is not None
+                else 1.0)
+        d_ghost = (t.weights * d_tgt[t.nbr_idx]).sum(1) / wsum
         dc = 1.0 / np.maximum(d_own + d_ghost, 1e-30)
         w_face = d_ghost / np.maximum(d_own + d_ghost, 1e-30)
         out.append(AmiDevTable(
@@ -529,7 +592,10 @@ def _build_ami(mesh: PolyMesh, patches, Cf, b_dc, n_int, dtype):
             dc=jnp.asarray(dc, dtype),
             w_face=jnp.asarray(w_face, dtype),
             rot=(None if t.rot is None else jnp.asarray(t.rot, dtype)),
-            owner=(i < t.tgt), partner=t.tgt))
+            owner=(i < t.tgt), partner=t.tgt,
+            mask=(None if t.mask is None
+                  else jnp.asarray(t.mask, dtype)),
+            non_overlap=t.non_overlap))
     return tuple(out)
 
 

@@ -1630,6 +1630,122 @@ DT              DT [0 2 -1 0 0 0 0] 0.05;
                  '"(ami1|ami2)"': "        type            cyclicAMI;\n"})
 
 
+def duplicate_patch(mesh: PolyMesh, name: str, new_name: str,
+                    new_type: str) -> PolyMesh:
+    """Append a patch duplicating `name`'s faces (same polygons, same
+    owners) — the createBaffles couple/blockage construction the
+    reference's cyclicACMI cases use (each interface face exists twice:
+    once on the coupled patch, once on the non-overlap wall; mesh-build
+    area scaling makes the pair sum to one physical face)."""
+    src = next(p for p in mesh.patches if p.name == name)
+    fp = [mesh.face_points[mesh.face_offsets[f]:mesh.face_offsets[f + 1]]
+          for f in range(src.start_face, src.start_face + src.n_faces)]
+    add_pts = np.concatenate(fp) if fp else np.zeros(0, np.int64)
+    add_off = np.cumsum([len(f) for f in fp])
+    nf0 = mesh.n_faces
+    face_points = np.concatenate([mesh.face_points, add_pts])
+    offsets = np.concatenate([mesh.face_offsets,
+                              mesh.face_offsets[-1] + add_off])
+    owner = np.concatenate([
+        mesh.owner,
+        mesh.owner[src.start_face:src.start_face + src.n_faces]])
+    patches = list(mesh.patches) + [
+        BoundaryPatch(new_name, new_type, nf0, src.n_faces)]
+    return PolyMesh(mesh.points, face_points, offsets, owner,
+                    mesh.neighbour, patches)
+
+
+def acmi_channel_case(case_dir: str, ny: int = 8, nx: int = 6,
+                      shift_frac: float = 0.5, end_time: float = 0.5,
+                      delta_t: float = 0.01, t_left: float = 400.0,
+                      t_right: float = 300.0):
+    """laplacianFoam conduction across a PARTIALLY-overlapping
+    cyclicACMI interface (reference: cyclicACMIPolyPatch + tutorial
+    oscillatingInletACMI2D topology): two blocks joined at x=0.5, the
+    right block shifted +y by shift_frac*H so only (1-shift_frac) of
+    the interface couples; each side's interface faces are duplicated
+    into a couple patch (cyclicACMI) and a non-overlap blockage wall.
+    shift_frac=0 reduces to a conforming AMI (mask ~ 1); shift_frac>=1
+    isolates the blocks (mask ~ tol)."""
+    L, H = 1.0, 0.2
+    yshift = shift_frac * H
+    m1 = box_mesh(nx, ny, 1, size=(L / 2, H, 0.05), patch_spec={
+        "xmin": ("left", "patch"), "xmax": ("ACMI1_couple", "cyclicACMI"),
+        "ymin": ("walls", "wall"), "ymax": ("walls", "wall"),
+        "zmin": ("fb", "empty"), "zmax": ("fb", "empty")})
+    m2 = box_mesh(nx, ny, 1, size=(L / 2, H, 0.05),
+                  origin=(L / 2, yshift, 0), patch_spec={
+        "xmin": ("ACMI2_couple", "cyclicACMI"), "xmax": ("right", "patch"),
+        "ymin": ("walls", "wall"), "ymax": ("walls", "wall"),
+        "zmin": ("fb", "empty"), "zmax": ("fb", "empty")})
+    m1 = duplicate_patch(m1, "ACMI1_couple", "ACMI1_blockage", "wall")
+    m2 = duplicate_patch(m2, "ACMI2_couple", "ACMI2_blockage", "wall")
+    for m, me, nbr, no in ((m1, "ACMI1_couple", "ACMI2_couple",
+                            "ACMI1_blockage"),
+                           (m2, "ACMI2_couple", "ACMI1_couple",
+                            "ACMI2_blockage")):
+        for p in m.patches:
+            if p.name == me:
+                p.extra["neighbourPatch"] = nbr
+                p.extra["nonOverlapPatch"] = no
+                p.extra["transform"] = "none"
+    mesh = merge_disjoint_meshes(m1, m2)
+    write_polymesh(mesh, case_dir)
+
+    _write(os.path.join(case_dir, "system", "controlDict"),
+           foamfile_header("dictionary", "controlDict", "system"), f"""
+application     laplacianFoam;
+startFrom       startTime;
+startTime       0;
+stopAt          endTime;
+endTime         {end_time};
+deltaT          {delta_t};
+writeControl    runTime;
+writeInterval   {end_time};
+writeFormat     ascii;
+""")
+    _write(os.path.join(case_dir, "system", "fvSchemes"),
+           foamfile_header("dictionary", "fvSchemes", "system"), """
+ddtSchemes      { default Euler; }
+gradSchemes     { default Gauss linear; }
+divSchemes      { default none; }
+laplacianSchemes { default Gauss linear orthogonal; }
+interpolationSchemes { default linear; }
+snGradSchemes   { default orthogonal; }
+""")
+    _write(os.path.join(case_dir, "system", "fvSolution"),
+           foamfile_header("dictionary", "fvSolution", "system"), """
+solvers
+{
+    T
+    {
+        solver          PCG;
+        preconditioner  DIC;
+        tolerance       1e-09;
+        relTol          0;
+    }
+}
+SIMPLE { nNonOrthogonalCorrectors 0; }
+""")
+    _write(os.path.join(case_dir, "constant", "transportProperties"),
+           foamfile_header("dictionary", "transportProperties",
+                           "constant"), """
+DT              DT [0 2 -1 0 0 0 0] 0.05;
+""")
+    write_field(case_dir, "0", "T", "volScalarField", "[0 0 0 1 0 0 0]",
+                f"uniform {t_right}",
+                {"left": "        type            fixedValue;\n"
+                         f"        value           uniform {t_left};\n",
+                 "right": "        type            fixedValue;\n"
+                          f"        value           uniform {t_right};\n",
+                 "walls": "        type            zeroGradient;\n",
+                 "fb": "        type            empty;\n",
+                 '"ACMI.*_blockage"':
+                     "        type            zeroGradient;\n",
+                 '"ACMI.*_couple"':
+                     "        type            cyclicACMI;\n"})
+
+
 def fluidized_bed_case(case_dir: str, nx: int = 15, ny: int = 45,
                        end_time: float = 0.02, delta_t: float = 5e-4,
                        u_gas: float = 0.3, alpha_pack: float = 0.55,

@@ -533,6 +533,10 @@ def detect_lattice(mesh: PolyMesh) -> dict | None:
     n_cells = mesh.n_cells
     if n_cells == 0:
         return None
+    # AMI/ACMI interfaces need the weight tables + area apportioning of
+    # the general path; the lattice embedding carries neither
+    if any(p.type in ("cyclicAMI", "cyclicACMI") for p in mesh.patches):
+        return None
     Cf, Sf = face_centres_and_areas(mesh)
     C, _ = cell_centres_and_vols(mesh, Cf, Sf)
     spans = C.max(axis=0) - C.min(axis=0)

@@ -99,16 +99,16 @@ def main():
         UEqn = UEqn.relax(mesh, kw["u_relax"])
         UEqn = kw["fv_options"].constrain(mesh, "U", UEqn)
         rhs = -fvc.grad(mesh, p)
-        return UEqn, rhs, nu
+        return UEqn, rhs
 
     def stage_u_solve(mesh, U, p, phi, ts):
-        UEqn, rhs, nu = stage_u_asm(mesh, U, p, phi, ts)
+        UEqn, rhs = stage_u_asm(mesh, U, p, phi, ts)
         U2, u_perf = solve(mesh, UEqn == rhs, kw["u_controls"],
                            env={"phi": phi})
-        return UEqn, U2, u_perf, nu
+        return UEqn, U2, u_perf
 
     def stage_p_asm(mesh, U, p, phi, ts):
-        UEqn, U2, u_perf, nu = stage_u_solve(mesh, U, p, phi, ts)
+        UEqn, U2, u_perf = stage_u_solve(mesh, U, p, phi, ts)
         UEqn_c = UEqn.replace(psi=U2)
         rAU = 1.0 / UEqn_c.A(mesh)
         HbyA = fvc.constrain_hbya(mesh, rAU * UEqn_c.H(mesh), U2)
@@ -118,10 +118,10 @@ def main():
             == fvc.div(mesh, phi_hbya)
         pEqn = pEqn.set_reference(kw["p_ref_cell"], kw["p_ref_value"],
                                   kw.get("p_ref_weight", 1.0))
-        return UEqn, U2, rAU, HbyA, phi_hbya, pEqn, nu
+        return UEqn, U2, rAU, HbyA, phi_hbya, pEqn
 
     def stage_p_solve(mesh, U, p, phi, ts):
-        (UEqn, U2, rAU, HbyA, phi_hbya, pEqn, nu) = \
+        (UEqn, U2, rAU, HbyA, phi_hbya, pEqn) = \
             stage_p_asm(mesh, U, p, phi, ts)
         p_prev = p
         for north in range(kw["n_non_orth"] + 1):
@@ -132,15 +132,16 @@ def main():
                                        kw.get("p_ref_weight", 1.0))
             p, p_perf = solve(mesh, pEqn2, kw["p_controls"])
         phi2 = phi_hbya - pEqn2.replace(psi=p).flux(mesh)
-        return U2, p, p_prev, phi2, rAU, HbyA, p_perf, nu
+        return U2, p, p_prev, phi2, rAU, HbyA, p_perf
 
     def stage_full(mesh, U, p, phi, ts):
-        (U2, p2, p_prev, phi2, rAU, HbyA, p_perf, nu) = \
+        (U2, p2, p_prev, phi2, rAU, HbyA, p_perf) = \
             stage_p_solve(mesh, U, p, phi, ts)
         p2 = relax_field(p2, p_prev, kw["p_relax"])
         U_star = HbyA - rAU * fvc.grad(mesh, p2)
         U2 = U2.replace(data=U_star.data).correct_boundary_conditions(
             mesh, env={"phi": phi2})
+        nu = transport.nu(mesh, U)
         ts2, turb_perf = turb.correct(mesh, ts, U2, phi2, nu)
         return U2, p2, phi2, ts2, turb_perf
 
