@@ -133,6 +133,9 @@ class MeshArrays:
     # mirror their primary), internal faces are offset planes, and every
     # hot finite-volume kernel is shift/slice-based (zero gathers).
     gdia: object = None
+    # precomputed Gauss shift-MAC coefficient planes for the gdia fused
+    # fvc fast path (mesh/gdia.py GaussPlanes), or None
+    gauss: object = None
     # per-slot assembly volume (ghost slots 0 so folded cell integrals
     # are exact); None = use V (ordinary meshes)
     V_assemble: jax.Array | None = None
@@ -164,6 +167,17 @@ class MeshArrays:
             segs = self.structured.patch_segments[self.patches.index(p)]
             return st.patch_internal_values(self, self.structured, p,
                                             segs, data)
+        if data.ndim >= 2 and self.gdia is not None:
+            # per-component gathers over contiguous (n,) slices — an
+            # index op on an (n, 3) array forces the 42x lane-padded
+            # row-major layout (see add_at_boundary_cells)
+            idx = self.patch_face_cells(p)
+            rank = data.shape[1:]
+            flat = data.reshape(data.shape[0], -1)
+            cols = [jnp.take(flat[:, c], idx)
+                    for c in range(flat.shape[1])]
+            return jnp.stack(cols, axis=1).reshape(
+                (idx.shape[0],) + rank)
         return jnp.take(data, self.patch_face_cells(p), axis=0)
 
     def ami_table(self, p: Patch) -> "AmiDevTable | None":
@@ -216,8 +230,31 @@ class MeshArrays:
                 data = self.add_at_patch_cells(
                     p, data, bvals[p.bstart:p.bstart + p.size])
             return data
-        return data.at[self.bnd_cells].add(
-            jnp.take(bvals, self.bnd_sel, axis=0))
+        # bnd_cells is SORTED (with bnd_sel permuted to match, see
+        # _bnd_batch): a sorted-segment sum lowers to the cheap scan
+        # path, where the general duplicate-index scatter-add costs a
+        # sort pipeline per call (measured ~1 ms vs ~0 at 16k faces
+        # into 128k cells on v5e). On gdia meshes run it PER COMPONENT
+        # over contiguous (n,) slices: index ops on (n, 3) arrays force
+        # the row-major {1,0:T(8,128)} layout whose 3-wide minor dim
+        # pads to 128 lanes (42x memory inflation), and the relayout
+        # infects every neighbouring op in the graph.
+        import jax.ops
+        vals = jnp.take(bvals, self.bnd_sel, axis=0)
+        n = data.shape[0]
+        if data.ndim >= 2 and self.gdia is not None:
+            rank = data.shape[1:]
+            flat = data.reshape(n, -1)
+            vflat = vals.reshape(vals.shape[0], -1)
+            cols = [flat[:, c] + jax.ops.segment_sum(
+                        vflat[:, c], self.bnd_cells, num_segments=n,
+                        indices_are_sorted=True)
+                    for c in range(flat.shape[1])]
+            return jnp.stack(cols, axis=1).reshape((n,) + rank)
+        add = jax.ops.segment_sum(vals, self.bnd_cells,
+                                  num_segments=n,
+                                  indices_are_sorted=True)
+        return data + add
 
     def patch_mag_sf(self, p: Patch) -> jax.Array:
         return self.mag_sf[p.start:p.start + p.size]
@@ -510,7 +547,9 @@ def build_mesh_arrays(mesh: PolyMesh, *, renumber: bool = True,
 def _bnd_batch(own: np.ndarray, patches) -> tuple:
     """(bnd_cells, bnd_sel) device arrays for the single-scatter
     boundary fold (MeshArrays.add_at_boundary_cells), or (None, None)
-    when every patch is empty."""
+    when every patch is empty. bnd_cells is SORTED (stable) so the fold
+    can run as a sorted-segment sum; bnd_sel carries the matching
+    permutation into bstart-ordered boundary arrays."""
     cells, sel = [], []
     for p in patches:
         if p.is_empty or p.size == 0:
@@ -519,8 +558,11 @@ def _bnd_batch(own: np.ndarray, patches) -> tuple:
         sel.append(np.arange(p.bstart, p.bstart + p.size))
     if not cells:
         return None, None
-    return (jnp.asarray(np.concatenate(cells), jnp.int32),
-            jnp.asarray(np.concatenate(sel), jnp.int32))
+    cells = np.concatenate(cells)
+    sel = np.concatenate(sel)
+    order = np.argsort(cells, kind="stable")
+    return (jnp.asarray(cells[order], jnp.int32),
+            jnp.asarray(sel[order], jnp.int32))
 
 
 def _ami_raw_tables(mesh: PolyMesh):
@@ -619,6 +661,7 @@ def build_gdia_mesh_arrays(mesh: PolyMesh, lattice: dict, *, dtype=None
         dtype = default_dtype()
     from .geometry import (cell_centres_and_vols, face_centres_and_areas,
                            interpolation_coeffs)
+    from . import gdia as _gdia
     from .gdia import GdiaInfo
 
     nz, ny, nx = lattice["shape"]
@@ -770,6 +813,7 @@ def build_gdia_mesh_arrays(mesh: PolyMesh, lattice: dict, *, dtype=None
         n_cells=n_lat, n_faces=n_faces_pad, n_internal=n_pl,
         K=ell["K"], patches=tuple(patches), structured=None,
         ami=(), gdia=ginfo,
+        gauss=_gdia.build_gauss_planes(ginfo, Sf_pad[:n_pl], w_pad),
         V_assemble=jnp.asarray(V_slot, dtype),
         bnd_cells=bnd_cells, bnd_sel=bnd_sel,
     )

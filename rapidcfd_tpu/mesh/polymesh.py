@@ -231,9 +231,20 @@ def _parse_boundary(body: str) -> list[BoundaryPatch]:
     for name, sub in d.items():
         if not isinstance(sub, Dictionary):
             continue
+        typ = sub.word("type")
+        # cyclic wrapper types: cyclicSlip is a documented no-new-
+        # functionality wrapper (reference cyclicSlipFvPatchField.H:
+        # 31-33 — the slip part only affects point motion);
+        # nonuniformTransformCyclic couples coincident face pairs whose
+        # per-face transform the merge path resolves geometrically.
+        # Both route onto the cyclic merge machinery; the original type
+        # is kept for boundary write-back fidelity.
+        if typ in ("cyclicSlip", "nonuniformTransformCyclic"):
+            sub["_originalType"] = typ
+            typ = "cyclic"
         patches.append(BoundaryPatch(
             name=str(name),
-            type=sub.word("type"),
+            type=typ,
             start_face=int(sub.scalar("startFace")),
             n_faces=int(sub.scalar("nFaces")),
             extra=sub,
@@ -306,14 +317,20 @@ def write_polymesh(mesh: PolyMesh, case_dir: str, region: str = "",
     pb = [f"\n{len(mesh.patches)}\n("]
     for p in mesh.patches:
         extra = ""
+        # cyclic wrapper types normalized at read keep their original
+        # spelling on write-back
+        ptype = p.extra.word("_originalType", p.type) if p.extra \
+            else p.type
         if p.extra:
             for k, v in p.extra.items():
+                if k == "_originalType":
+                    continue
                 if isinstance(v, tuple):
                     vs = "(" + " ".join(f"{float(x):g}" for x in v) + ")"
                 else:
                     vs = str(v)
                 extra += f"        {k}  {vs};\n"
-        pb.append(f"    {p.name}\n    {{\n        type            {p.type};\n"
+        pb.append(f"    {p.name}\n    {{\n        type            {ptype};\n"
                   f"{extra}"
                   f"        nFaces          {p.n_faces};\n"
                   f"        startFace       {p.start_face};\n    }}")

@@ -112,6 +112,17 @@ def boundary_owner_values(mesh: MeshArrays, data: jnp.ndarray
     if s is not None:
         from ..mesh import structured as st
         return st.boundary_owner_values(mesh, s, data)
+    if mesh.gdia is not None and data.ndim >= 2 \
+            and not any(p.is_empty and p.size for p in mesh.patches):
+        # per-component gathers over contiguous (n,) slices: a gather
+        # on an (n, 3) array forces the 42x-padded row-major layout
+        # (see MeshArrays.add_at_boundary_cells)
+        idx = mesh.owner[mesh.n_internal:]
+        n = data.shape[0]
+        rank = data.shape[1:]
+        flat = data.reshape(n, -1)
+        cols = [jnp.take(flat[:, c], idx) for c in range(flat.shape[1])]
+        return jnp.stack(cols, axis=1).reshape((idx.shape[0],) + rank)
     if any(p.is_empty and p.size for p in mesh.patches):
         parts = []
         for p in mesh.patches:
@@ -144,6 +155,28 @@ def _extrapolated(mesh: MeshArrays, data, dims, name="") -> VolField:
 # operators
 # ---------------------------------------------------------------------------
 
+def _gdia_rows_tail(mesh: MeshArrays, g_, rows, brows):
+    """Shared tail of the cell-axis-last Gauss pipelines: add the
+    boundary-face contributions (sorted segment sums per row), fold
+    ghost partials into primaries, restore the ghost-sync invariant,
+    divide by cell volumes. rows (C, n); brows list of C (nb,) arrays
+    (bstart order) or None."""
+    import jax.ops
+
+    from ..mesh import gdia as gd
+    n = g_.n_lat
+    if brows is not None and mesh.bnd_cells is not None:
+        out_rows = []
+        for c in range(rows.shape[0]):
+            vals = jnp.take(brows[c], mesh.bnd_sel)
+            out_rows.append(rows[c] + jax.ops.segment_sum(
+                vals, mesh.bnd_cells, num_segments=n,
+                indices_are_sorted=True))
+        rows = jnp.stack(out_rows, axis=0)
+    y = gd.sync_last(g_, gd.fold_last(g_, rows))
+    return y / mesh.V[None, :]
+
+
 def div(mesh: MeshArrays, a, b=None, scheme: str = "linear") -> VolField:
     """fvc::div(ssf) or fvc::div(phi, vf) (Gauss)."""
     if b is None:
@@ -160,6 +193,26 @@ def div(mesh: MeshArrays, a, b=None, scheme: str = "linear") -> VolField:
 def div_tensor(mesh: MeshArrays, T: VolField) -> VolField:
     """fvc::div of a rank-2 tensor field -> vector field: per cell
     (1/V) sum_f Sf_i T_ij (used by divDevReff's explicit stress term)."""
+    from ..utils.switches import enabled as _sw
+    if mesh.gdia is not None and mesh.gauss is not None \
+            and _sw("GDIA_MAC"):
+        # fused shift-MAC fast path (see fvc.grad): contraction over i
+        # of the grad planes applied to T[:, i, j] — no (nF, 3, 3)
+        # face-value materialization, cell-axis-last throughout
+        from ..mesh import gdia as gd
+        from ..parallel.hooks import halo
+        g_ = mesh.gdia
+        Tt = jnp.transpose(halo(T.data), (1, 2, 0))     # (3, 3, n)
+        Tt = gd.sync_last(g_, Tt)
+        Sfb = mesh.Sf[mesh.n_internal:]
+        rows = jnp.stack(
+            [sum(gd.gauss_mac1(g_, mesh.gauss, i, Tt[i, c])
+                 for i in range(3)) for c in range(3)], axis=0)
+        brows = [sum(Sfb[:, i] * T.bvalues[:, i, c] for i in range(3))
+                 for c in range(3)]
+        y = _gdia_rows_tail(mesh, g_, rows, brows)
+        return _extrapolated(mesh, y.T, T.dims / dim_length,
+                             f"div({T.name})")
     fv = face_values(mesh, T)                       # (nF, 3, 3)
     face_term = (mesh.Sf[:, :, None] * fv).sum(1)   # (nF, 3)
     summed = surface_sum_faces(mesh, face_term)
@@ -180,6 +233,86 @@ def dev_transpose_grad(mesh: MeshArrays, U: VolField) -> VolField:
             - (tr / 3.0)[..., None, None] * eye
     return g.with_calculated_bcs(f(g.data), f(g.bvalues), g.dims,
                                  f"devT(grad({U.name}))")
+
+
+def div_dev_t_grad(mesh: MeshArrays, U: VolField, nu_eff) -> VolField:
+    """Fused fvc::div(nuEff * dev(T(grad U))) for gdia lattice meshes.
+
+    The generic chain (grad -> (n,3,3) tensor field -> face values ->
+    Sf contraction -> surface sum) materializes dozens of (n,3,3) and
+    (nF,3,3) intermediates (measured ~4.5 GB HBM at 115k cells); here
+    the nine gradient columns stay separate contiguous (n,) arrays
+    through the whole pipeline (shift-MAC Gauss sums per column, dev/
+    transpose as column permutations, divergence as plane-coefficient
+    contractions), with only boundary-sized tensors materialized.
+    Matches div_tensor(dev_transpose_grad(U) * nuEff) to roundoff."""
+    from ..mesh import gdia as gd
+    from ..parallel.hooks import halo
+    g_ = mesh.gdia
+    planes = mesh.gauss
+    n = g_.n_lat
+    x = gd.sync(g_, halo(U.data))
+    Sfb = mesh.Sf[mesh.n_internal:]
+
+    # gradient rows G[j*3 + i] = dU_j/dx_i (interior Gauss sums),
+    # cell-axis-last
+    parts = [gd.gauss_mac3(g_, planes, x[:, j]) for j in range(3)]
+    rows = jnp.concatenate(parts, axis=0)               # (9, n)
+    brows = [Sfb[:, i] * U.bvalues[:, j]
+             for j in range(3) for i in range(3)]
+    G = _gdia_rows_tail(mesh, g_, rows, brows)          # (9, n)
+
+    def gcol(i, j):
+        return G[j * 3 + i]
+
+    # boundary-owner gradient tensor + snGrad correction
+    # (gaussGrad::correctBoundaryConditions on the (nb, 3, 3) tile)
+    idx = mesh.owner[mesh.n_internal:]
+    gb = jnp.stack(
+        [jnp.stack([jnp.take(gcol(i, j), idx) for j in range(3)], 1)
+         for i in range(3)], 1)                         # (nb, 3, 3)
+    for bc, bd in zip(U.bcs, U.bcdata):
+        patch = mesh.patches[bc.patch]
+        if patch.is_empty or patch.size == 0:
+            continue
+        nv = mesh.patch_normals(patch)
+        sl = slice(patch.bstart, patch.bstart + patch.size)
+        gc = gb[sl]
+        sngrad = bc.snGrad(mesh, patch, U, bd)
+        ndotg = (nv[:, :, None] * gc).sum(1, keepdims=True)
+        corrected = gc - nv[:, :, None] * ndotg \
+            + nv[:, :, None] * sngrad[:, None, :]
+        gb = gb.at[sl].set(corrected)
+
+    # devT = nuEff * (g^T - tr(g)/3 * I), kept as rows. nuEff must be
+    # ghost-synced (the generic path syncs the whole tensor field
+    # before interpolation; G is synced by construction).
+    nu_d = nu_eff.data if hasattr(nu_eff, "data") else nu_eff
+    nu_d = gd.sync(g_, halo(nu_d))
+    nu_b = nu_eff.bvalues if hasattr(nu_eff, "bvalues") else nu_eff
+    tr = gcol(0, 0) + gcol(1, 1) + gcol(2, 2)
+
+    def T_ic(i, c):   # T_{ic} = nu * (gcols[c][i] - delta_ic tr/3)
+        t = gcol(c, i)
+        if i == c:
+            t = t - tr / 3.0
+        return nu_d * t
+    trb = gb[:, 0, 0] + gb[:, 1, 1] + gb[:, 2, 2]
+    eye = jnp.eye(3, dtype=gb.dtype)
+    Tb = (nu_b[:, None, None] if nu_b.ndim == 1 else nu_b) \
+        * (jnp.swapaxes(gb, 1, 2) - (trb / 3.0)[:, None, None] * eye)
+
+    # divergence: out_c = (1/V) [ sum_i planes_i(T_{ic}) + boundary ]
+    rows2 = jnp.stack(
+        [sum(gd.gauss_mac1(g_, planes, i, T_ic(i, c))
+             for i in range(3)) for c in range(3)], axis=0)
+    brows2 = [sum(Sfb[:, i] * Tb[:, i, c] for i in range(3))
+              for c in range(3)]
+    out = _gdia_rows_tail(mesh, g_, rows2, brows2)
+    data = out.T
+    nu_dims = nu_eff.dims if hasattr(nu_eff, "dims") else dimless
+    dims = nu_dims * U.dims / dim_length / dim_length
+    return _extrapolated(mesh, data, dims, f"div(devT(grad({U.name})))")
 
 
 _LSQ_CACHE: dict = {}
@@ -265,6 +398,38 @@ def grad(mesh: MeshArrays, vf: VolField, scheme: str = "linear") -> VolField:
         return _cell_limit_grad(mesh, vf, inner, float(scheme[2]))
     if scheme == "leastSquares":
         return grad_least_squares(mesh, vf)
+    from ..utils.switches import enabled as _sw
+    if scheme == "linear" and mesh.gdia is not None \
+            and mesh.gauss is not None and _sw("GDIA_MAC"):
+        # fused shift-MAC fast path (mesh/gdia.py build_gauss_planes +
+        # ops/pallas_gdia.py kernel): precomputed coefficient planes
+        # collapse the interpolate -> Sf-multiply -> surface-sum
+        # pipeline into one cell-axis-last MAC per component, with the
+        # boundary fold and ghost fold/sync batched over rows
+        from ..mesh import gdia as gd
+        from ..parallel.hooks import halo
+        g_ = mesh.gdia
+        x = gd.sync(g_, halo(vf.data))
+        Sfb = mesh.Sf[mesh.n_internal:]
+        if x.ndim == 1:
+            rows = gd.gauss_mac3(g_, mesh.gauss, x)      # (3, n)
+            brows = [Sfb[:, i] * vf.bvalues for i in range(3)]
+            y = _gdia_rows_tail(mesh, g_, rows, brows)
+            data = y.T
+        else:
+            m = x.shape[1]
+            parts = [gd.gauss_mac3(g_, mesh.gauss, x[:, j])
+                     for j in range(m)]                  # (3, n) each
+            rows = jnp.concatenate(parts, axis=0)        # (3m, n)
+            brows = [Sfb[:, i] * vf.bvalues[:, j]
+                     for j in range(m) for i in range(3)]
+            y = _gdia_rows_tail(mesh, g_, rows, brows)
+            # row r = j*3 + i -> out[s, i, j]
+            data = jnp.transpose(y.reshape(m, 3, y.shape[-1]),
+                                 (2, 1, 0))
+        g = _extrapolated(mesh, data, vf.dims / dim_length,
+                          f"grad({vf.name})")
+        return _grad_correct_boundary(mesh, g, vf)
     fv = face_values(mesh, vf, scheme)
     if fv.ndim == 1:
         face_term = mesh.Sf * fv[:, None]                  # (nF, 3)
@@ -277,16 +442,20 @@ def grad(mesh: MeshArrays, vf: VolField, scheme: str = "linear") -> VolField:
 
 
 def _grad_correct_boundary(mesh: MeshArrays, g: VolField,
-                           vf: VolField) -> VolField:
+                           vf: VolField, gc_all=None) -> VolField:
     """Replace the patch-normal gradient component with the BC's exact
-    snGrad (reference: gaussGrad::correctBoundaryConditions)."""
+    snGrad (reference: gaussGrad::correctBoundaryConditions). gc_all
+    optionally supplies the precomputed boundary-owner gradient values
+    (nb, 3[, r]) in bstart order, saving the per-patch cell gathers."""
     bvalues = g.bvalues
     for bc, bd in zip(vf.bcs, vf.bcdata):
         patch = mesh.patches[bc.patch]
         if patch.is_empty or patch.size == 0:
             continue
         n = mesh.patch_normals(patch)                      # (np, 3)
-        gc = mesh.patch_cell_values(patch, g.data)         # (np, 3[, r])
+        gc = (mesh.patch_cell_values(patch, g.data)
+              if gc_all is None else
+              gc_all[patch.bstart:patch.bstart + patch.size])
         sngrad = bc.snGrad(mesh, patch, vf, bd)            # (np[, r])
         if gc.ndim == 2:   # gradient of a scalar: (np, 3)
             corrected = gc - n * (n * gc).sum(-1, keepdims=True) \
@@ -350,6 +519,19 @@ def laplacian(mesh: MeshArrays, gamma, vf: VolField) -> VolField:
 
 def flux(mesh: MeshArrays, U: VolField) -> SurfaceField:
     """Volumetric face flux phi = interpolate(U) & Sf (createPhi.H)."""
+    from ..utils.switches import enabled as _sw
+    if mesh.gdia is not None and mesh.gauss is not None \
+            and _sw("GDIA_MAC"):
+        # fused per-plane MAC (see fvc.grad): no (nF, 3) face-value
+        # materialization
+        from ..mesh import gdia as gd
+        from ..parallel.hooks import halo
+        g_ = mesh.gdia
+        x = gd.sync(g_, halo(U.data))
+        internal = gd.flux_mac(g_, mesh.Sf, mesh.weights, x)
+        b = (U.bvalues * mesh.Sf[mesh.n_internal:]).sum(-1)
+        return SurfaceField(jnp.concatenate([internal, b]),
+                            U.dims * _AREA, "phi")
     fv = face_values(mesh, U)
     return SurfaceField((fv * mesh.Sf).sum(-1), U.dims * _AREA,
                         "phi")

@@ -102,6 +102,8 @@ def _face_r(mesh: MeshArrays, vf: VolField, phi: SurfaceField) -> jnp.ndarray:
     """
     from . import fvc
     from ..parallel.hooks import halo
+    if mesh.gdia is not None:
+        return _face_r_gdia(mesh, vf, phi)
     C_o, C_n = fvc.face_own_nei(mesh, mesh.C)
     d = C_n - C_o
     g = fvc.grad(mesh, vf)           # scalar->vector, vector->tensor
@@ -124,6 +126,66 @@ def _face_r(mesh: MeshArrays, vf: VolField, phi: SurfaceField) -> jnp.ndarray:
     den = jnp.where(jnp.abs(den) < tiny, jnp.where(den >= 0, tiny, -tiny),
                     den)
     return num / den - 1.0
+
+
+def _face_r_gdia(mesh: MeshArrays, vf: VolField,
+                 phi: SurfaceField) -> jnp.ndarray:
+    """_face_r on gdia lattice meshes, computed per plane over
+    contiguous (n,) component slices — the generic face_own_nei path
+    materializes (3n, 3) / (3n, 3, 3) face arrays whose index/concat
+    ops force the 42x lane-padded layout (see
+    mesharrays.add_at_boundary_cells). Numerically identical stencil:
+    r = 2*(d . gradcU)/(psiN - psiO) - 1 per internal plane face."""
+    from ..mesh import gdia as gd
+    from ..parallel.hooks import halo
+    from . import fvc
+    g_ = mesh.gdia
+    n = g_.n_lat
+    steps = g_.steps
+    D = max(steps)
+    x = gd.sync(g_, halo(vf.data))
+    g = gd.sync(g_, fvc.grad(mesh, vf).data)   # grad is ghost-synced
+    C = mesh.C                                  # ghost-synced by build
+
+    def sl(xp, st):
+        from jax import lax
+        return lax.dynamic_slice_in_dim(xp, D + st, n)
+
+    scalar = x.ndim == 1
+    Cp = [gd.pad_cell(C[:, i], D) for i in range(3)]
+    rs = []
+    for pi, st in enumerate(steps):
+        up = phi.data[pi * n:(pi + 1) * n] >= 0.0
+        d_i = [sl(Cp[i], st) - C[:, i] for i in range(3)]
+        if scalar:
+            xp = gd.pad_cell(x, D)
+            den = sl(xp, st) - x
+            num = 0.0
+            for i in range(3):
+                gp = gd.pad_cell(g[:, i], D)
+                gup = jnp.where(up, g[:, i], sl(gp, st))
+                num = num + d_i[i] * gup
+            num = 2.0 * num
+        else:
+            dpsi = []
+            for j in range(x.shape[1]):
+                xp = gd.pad_cell(x[:, j], D)
+                dpsi.append(sl(xp, st) - x[:, j])
+            den = sum(dp * dp for dp in dpsi)
+            num = 0.0
+            for j in range(x.shape[1]):
+                dg_j = 0.0
+                for i in range(3):
+                    gp = gd.pad_cell(g[:, i, j], D)
+                    gup = jnp.where(up, g[:, i, j], sl(gp, st))
+                    dg_j = dg_j + d_i[i] * gup
+                num = num + dg_j * dpsi[j]
+            num = 2.0 * num
+        tiny = jnp.asarray(1e-30, den.dtype)
+        den = jnp.where(jnp.abs(den) < tiny,
+                        jnp.where(den >= 0, tiny, -tiny), den)
+        rs.append(num / den - 1.0)
+    return jnp.concatenate(rs)
 
 
 def _limited_weights(mesh, phi, limiter_psi):
@@ -555,11 +617,53 @@ def multivariate_weights(mesh, fields, phi, limiter_name="vanLeer",
     return _limited_weights(mesh, phi, lim)
 
 
-@register("surfaceInterpolation", "fixedWeights")
+@register("surfaceInterpolation", "fixedWeights", "weighted")
 def _fixed_weights(mesh, vf, phi, w=None):
-    """Internal pseudo-scheme: owner weights supplied directly (the
-    multivariate coupled limiter computes ONE shared weight set and
-    every specie's fvm.div consumes it)."""
-    if w is None:
-        raise ValueError("fixedWeights requires a weights array")
+    """Owner weights supplied directly. Covers two reference schemes:
+    the internal fixedWeights pseudo-scheme (the multivariate coupled
+    limiter computes ONE shared weight set and every specie's fvm.div
+    consumes it) and `weighted` (reference schemes/weighted/weighted.H:
+    interpolate with a stored surfaceScalarField of weights — there the
+    field is resolved by objectRegistry name; in this registry-less
+    design the caller passes the weights array in the scheme tuple:
+    ('weighted', w))."""
+    if w is None or isinstance(w, str):
+        raise ValueError(
+            "weighted/fixedWeights requires a weights array in the "
+            "scheme tuple — objectRegistry name lookup is not supported "
+            "(SURVEY de-scope: no global registry); pass "
+            "('weighted', w_array)")
     return w
+
+
+@register("surfaceInterpolation", "limiterBlended")
+def _limiter_blended(mesh, vf, phi, *args):
+    """Blend scheme1/scheme2 by a TVD limiter value (reference:
+    schemes/limiterBlended/limiterBlended.H — `limiterBlended vanLeer
+    linear linearUpwind`): w = limiter*w1 + (1-limiter)*w2, limiter
+    computed from the named limited scheme's limiter function on the
+    standard r stencil, clipped to [0,1] for the blend."""
+    if phi is None:
+        raise ValueError("limiterBlended requires a flux field")
+    if not args:
+        raise ValueError("limiterBlended: expected "
+                         "'limiterBlended <limitedScheme> [coeff] "
+                         "<scheme1> <scheme2>'")
+    lim_name, rest = str(args[0]), list(args[1:])
+    if lim_name not in _LIMITERS:
+        raise KeyError(f"limiterBlended: unknown limited scheme "
+                       f"'{lim_name}'")
+    lim_args = []
+    while rest and isinstance(rest[0], (int, float)):
+        lim_args.append(float(rest.pop(0)))
+    if len(rest) < 2:
+        raise ValueError("limiterBlended: needs two schemes to blend")
+    s1, s2 = rest[0], rest[1]
+    r = _face_r(mesh, vf, phi)
+    lim = jnp.clip(_LIMITERS[lim_name](r, *lim_args), 0.0, 1.0)
+    w1 = lookup("surfaceInterpolation", str(s1))(mesh, vf, phi)
+    # trailing tokens (e.g. linearUpwind's gradient spec) belong to
+    # scheme2, the last entry in the spec
+    w2 = lookup("surfaceInterpolation", str(s2))(mesh, vf, phi,
+                                                 *rest[2:])
+    return lim * w1 + (1.0 - lim) * w2

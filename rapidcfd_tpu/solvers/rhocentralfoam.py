@@ -134,7 +134,14 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None,
         am = jnp.minimum(jnp.minimum(phiv_pos - csf_pos,
                                      phiv_neg - csf_neg), 0.0)
         if fluxes == "Kurganov":
-            a_pos = ap / (ap - am)
+            # zero-measure faces (gdia dummy plane slots, degenerate
+            # decomposition padding) have ap = am = 0: 0/0 here would
+            # poison every masked surface sum downstream (0 * nan =
+            # nan). The reference never sees them (no padded faces);
+            # central weighting (0.5) on a zero-area face is inert.
+            den = ap - am
+            safe = den > 0.0
+            a_pos = jnp.where(safe, ap / jnp.where(safe, den, 1.0), 0.5)
             a_sf = am * a_pos
         else:                      # Tadmor central scheme
             amax = jnp.maximum(jnp.abs(am), jnp.abs(ap))

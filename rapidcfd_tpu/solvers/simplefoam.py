@@ -42,8 +42,15 @@ def div_dev_reff(mesh, nu_eff, U: VolField, lap_corr: str,
     (LienCubicKE / scaleSimilarity-family); its +fvc::div on the LHS
     becomes -div on the RHS source."""
     m = -fvm.laplacian(mesh, nu_eff, U, lap_corr)
-    dev_t = fvc.dev_transpose_grad(mesh, U)
-    expl = fvc.div_tensor(mesh, dev_t * nu_eff)
+    from ..utils.switches import enabled as _sw
+    if mesh.gdia is not None and mesh.gauss is not None \
+            and _sw("GDIA_MAC"):
+        # fused per-column pipeline — no (n,3,3) materialization
+        # (fvc.div_dev_t_grad)
+        expl = fvc.div_dev_t_grad(mesh, U, nu_eff)
+    else:
+        dev_t = fvc.dev_transpose_grad(mesh, U)
+        expl = fvc.div_tensor(mesh, dev_t * nu_eff)
     if nl_stress is not None:
         expl = expl - fvc.div_tensor(mesh, nl_stress)
     return m.equals(expl)

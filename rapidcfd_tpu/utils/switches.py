@@ -84,3 +84,8 @@ register("STRUCTURED_MG", "1",
 register("GDIA_AUTO", "1",
          "auto-detect masked-lattice meshes and route them onto the "
          "gather-free generalized-DIA mode (mesh/gdia.py)")
+register("GDIA_MAC", "1",
+         "use the precomputed Gauss shift-MAC fast paths for "
+         "grad/flux/divTensor on gdia meshes (mesh/gdia.py "
+         "build_gauss_planes); 0 falls back to the generic "
+         "face-values pipeline")

@@ -98,3 +98,33 @@ SIMPLE { nNonOrthogonalCorrectors 0; }
     assert abs(x_peak - 0.25) < 0.1
     # TVD boundedness through the cyclic face
     assert t.min() > -1e-10 and t.max() < 1.0 + 1e-10
+
+
+@pytest.mark.parametrize("typ", ["cyclicSlip", "nonuniformTransformCyclic"])
+def test_cyclic_wrapper_types_merge(typ, tmp_path):
+    """cyclicSlip / nonuniformTransformCyclic are light wrappers around
+    cyclic (reference cyclicSlipFvPatchField.H:31-33): reading a
+    boundary file with these types must route onto the cyclic merge and
+    give the identical mesh; write-back preserves the original
+    spelling."""
+    from rapidcfd_tpu.mesh.polymesh import read_polymesh
+
+    mesh = box_mesh(40, 1, 1, size=(1.0, 0.05, 0.05), patch_spec={
+        "xmin": ("left", typ, "right"),
+        "xmax": ("right", typ, "left"),
+        "ymin": ("sides", "empty"), "ymax": ("sides", "empty"),
+        "zmin": ("fb", "empty"), "zmax": ("fb", "empty")})
+    d = str(tmp_path)
+    write_polymesh(mesh, d)
+    m = read_polymesh(d)
+    assert all(p.type == "cyclic" for p in m.patches
+               if p.name in ("left", "right"))
+    ma, _, _ = build_mesh_arrays(m)
+    assert ma.n_internal == 40          # periodic ring merged
+    assert [p.name for p in ma.patches] == ["sides", "fb"]
+    # write-back round-trips the original type spelling
+    d2 = str(tmp_path / "out")
+    write_polymesh(m, d2)
+    btext = open(os.path.join(d2, "constant", "polyMesh",
+                              "boundary")).read()
+    assert typ in btext and "_originalType" not in btext

@@ -21,7 +21,14 @@ def pitz_run(tmp_path_factory):
 
 def test_pitz_mesh_shape(pitz_run):
     d, case = pitz_run[0], pitz_run[1]
-    assert case.mesh.n_cells == 12 * 20 + 100 * 40  # step blanked
+    n_live = 12 * 20 + 100 * 40   # step blanked
+    if case.mesh.gdia is not None:
+        # auto-detected lattice mode: cells are padded SLOTS; the live
+        # (primary) count is the real mesh size
+        import numpy as np_
+        assert int(np_.asarray(case.mesh.gdia.primary).sum()) == n_live
+    else:
+        assert case.mesh.n_cells == n_live
     names = [p.name for p in case.mesh.patches]
     assert names == ["inlet", "outlet", "upperWall", "lowerWall",
                      "frontAndBack"]
