@@ -32,6 +32,13 @@ def main():
     ap.add_argument("--no-gdia", action="store_true",
                     help="force the generic gather path (the gdia "
                          "lattice mode is the default)")
+    ap.add_argument("--curve", type=float, default=0.0,
+                    help="bend the duct by this many radians: with "
+                         "perturbation+grading the mesh is genuinely "
+                         "non-lattice (detect_lattice rejects it) and "
+                         "the general ELL/gather path runs")
+    ap.add_argument("--grade", type=float, default=1.0,
+                    help="wall-normal geometric grading ratio")
     args = ap.parse_args()
 
     import jax
@@ -50,11 +57,17 @@ def main():
 
     d = tempfile.mkdtemp(prefix="bench_unstr_")
     t0 = time.perf_counter()
-    lat = None if args.no_gdia else {}
+    nonlat = args.curve != 0.0 or args.grade != 1.0
+    lat = None if (args.no_gdia or nonlat) else {}
     pmesh = unstructured_channel_case(
         d, nx=args.nx, ny=args.ny, nz=args.nz, end_time=10**9,
         perturb=0.12, merge_fraction=0.04, seed=3, write_mesh=False,
-        lattice_out=lat)
+        lattice_out=lat, curve=args.curve, grade=args.grade)
+    if nonlat:
+        # prove the detector rejects it (the honest non-lattice claim)
+        from rapidcfd_tpu.utils.unstructured import detect_lattice
+        assert detect_lattice(pmesh) is None, \
+            "curved/graded mesh unexpectedly detected as a lattice"
     case = Case(d, pmesh=pmesh, lattice=lat)
     mesh_s = time.perf_counter() - t0
     n_cells = pmesh.n_cells   # real cells (gdia pads to the lattice)
@@ -113,8 +126,10 @@ def main():
 
     ups = n_cells * args.steps / wall
     out = {
-        "metric": (f"simpleFoam kOmegaSST unstructured polyhedral "
-                   f"{args.nx}x{args.ny}x{args.nz} cell-updates/sec/chip"),
+        "metric": (f"simpleFoam kOmegaSST unstructured "
+                   f"{'NON-LATTICE curved-duct ' if nonlat else ''}"
+                   f"polyhedral {args.nx}x{args.ny}x{args.nz} "
+                   f"cell-updates/sec/chip"),
         "value": round(ups, 1),
         "unit": "cell-updates/s/chip",
         "vs_baseline": round(ups / 50e6, 4),

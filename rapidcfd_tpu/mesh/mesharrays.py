@@ -136,6 +136,12 @@ class MeshArrays:
     # precomputed Gauss shift-MAC coefficient planes for the gdia fused
     # fvc fast path (mesh/gdia.py GaussPlanes), or None
     gauss: object = None
+    # nearest-wall distance per cell (models/turbulence.wall_distance),
+    # attached when a wall-distance-consuming model runs DECOMPOSED so
+    # the per-shard meshes carry their local slice (a closure-captured
+    # global array cannot cross shard_map); None = models use their own
+    # globally-computed field
+    wall_dist: jax.Array | None = None
     # per-slot assembly volume (ghost slots 0 so folded cell integrals
     # are exact); None = use V (ordinary meshes)
     V_assemble: jax.Array | None = None

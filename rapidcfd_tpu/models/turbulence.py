@@ -556,6 +556,13 @@ class KOmegaSST:
     def _blend(self, F1, c1v, c2v):
         return F1 * c1v + (1.0 - F1) * c2v
 
+    def _y(self, mesh):
+        """Wall distance: the mesh-attached slice under decomposition
+        (parallel/dryrun attaches per-shard wall_dist), else the
+        globally-precomputed field."""
+        wd = getattr(mesh, "wall_dist", None)
+        return wd if wd is not None else self.y
+
     def _omega_extra(self, mesh, U, k_pos, om_pos, gk, gom, s2):
         """Additional explicit omega source (SAS hook)."""
         return 0.0
@@ -596,7 +603,7 @@ class KOmegaSST:
         if dt is not None:
             k = k.store_old()
             omega = omega.store_old()
-        y = self.y
+        y = self._y(mesh)
         nu_c = nu.value if isinstance(nu, Dimensioned) else nu.data
         ddt_scheme = "steadyState" if dt is None else self.ddt_scheme
 
@@ -861,7 +868,8 @@ class SpalartAllmaras:
 
     def _d_tilde(self, mesh, state):
         """Wall scale; DES variants override (d_tilde = min(y, CDES*delta))."""
-        return self.y
+        wd = getattr(mesh, "wall_dist", None)
+        return wd if wd is not None else self.y
 
     def correct(self, mesh, state, U, phi, nu, dt=None):
         nu_tilda, nut = state["nuTilda"], state["nut"]

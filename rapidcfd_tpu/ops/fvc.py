@@ -574,6 +574,14 @@ def adjust_phi(mesh: MeshArrays, phi: SurfaceField, U: VolField
             adj_out = adj_out + jnp_.maximum(pphi, 0.0).sum()
     if not adjustable:
         return phi
+    # GLOBAL balance (reference: adjustPhi's gSum) — under shard_map a
+    # shard holding only outlet faces would otherwise compute
+    # scale = -0/adj_out = 0 and wall off the outlet (found by the 3-D
+    # channel decomposition dryrun; identity on a single chip)
+    from ..parallel.hooks import psum_all
+    fixed_in = psum_all(fixed_in)
+    adj_in = psum_all(adj_in)
+    adj_out = psum_all(adj_out)
     # scale outflow so total = 0: out_scale = -(fixed + adj_in)/adj_out
     scale = -(fixed_in + adj_in) / jnp_.where(adj_out == 0.0, 1e-30,
                                               adj_out)

@@ -285,10 +285,13 @@ def make_distributed_simple_step(dec: Decomposition, device_mesh: Mesh,
 
 def dryrun_simple_step(n_devices: int, scale: int = 1, check: bool = True,
                        x64: bool = True, model: str = "kEpsilon",
-                       method: str = "slab"):
+                       method: str = "slab", case_kind: str = "pitz"):
     """Decompose the pitzDaily-style case over n_devices, run ONE SIMPLE
     iteration (kEpsilon + wall functions + GAMG pressure) under
-    shard_map, and check against the single-chip step (fp64, 1e-5)."""
+    shard_map, and check against the single-chip step (fp64, 1e-5).
+    case_kind='nonlattice' substitutes the curved graded polyhedral
+    duct (utils.unstructured curve/grade — detect_lattice rejects it),
+    exercising the general ELL/gather path under decomposition."""
     import tempfile
 
     from ..models.transport import SinglePhaseTransportModel
@@ -311,9 +314,22 @@ def dryrun_simple_step(n_devices: int, scale: int = 1, check: bool = True,
     devices = jax.devices()
     device_mesh = Mesh(np.array(devices[:n_devices]), (AXIS,))
 
-    d = tempfile.mkdtemp(prefix="dryrun_pitz_")
-    pitz_daily_case(d, scale=scale, model=model, tight_tol=x64)
-    case = Case(d)
+    if case_kind == "nonlattice":
+        from ..utils.unstructured import (detect_lattice,
+                                          unstructured_channel_case)
+        d = tempfile.mkdtemp(prefix="dryrun_nonlat_")
+        pmesh = unstructured_channel_case(
+            d, nx=16 * scale, ny=8 * scale, nz=8 * scale,
+            end_time=10**9, perturb=0.12, merge_fraction=0.04, seed=3,
+            write_mesh=False, curve=1.2, grade=3.0, model=model,
+            p_rel_tol=0.0)
+        assert detect_lattice(pmesh) is None
+        case = Case(d, pmesh=pmesh)
+        assert case.mesh.gdia is None
+    else:
+        d = tempfile.mkdtemp(prefix="dryrun_pitz_")
+        pitz_daily_case(d, scale=scale, model=model, tight_tol=x64)
+        case = Case(d)
     U = case.read_field("U")
     p = case.read_field("p")
     phi = fvc.flux(case.mesh, U)
@@ -324,6 +340,19 @@ def dryrun_simple_step(n_devices: int, scale: int = 1, check: bool = True,
     kw = simplefoam.step_kwargs_from_case(case, simple, transport, turb)
 
     dec = decompose(case.mesh, n_devices, method=method)
+    y_glob = getattr(turb, "y", None)
+    if y_glob is not None:
+        # wall-distance-consuming models (kOmegaSST, SA family) hold a
+        # globally-computed y; attach the per-shard slice to the local
+        # mesh pytree (incl. halo cells — cells_of covers both)
+        import dataclasses as _dc
+        y_g = dec.compact_global(np.asarray(y_glob))
+        ystk = np.ones((n_devices, dec.mesh.n_cells), y_g.dtype)
+        for dd in range(n_devices):
+            cells = np.asarray(dec.cells_of[dd])
+            ystk[dd, :len(cells)] = y_g[cells]
+        dec = _dc.replace(dec, mesh=_dc.replace(
+            dec.mesh, wall_dist=jnp.asarray(ystk)))
     U_s = decompose_vol_field(dec, U, case.mesh)
     p_s = decompose_vol_field(dec, p, case.mesh)
     phi_s = _decompose_phi(dec, case.mesh, np.asarray(phi.data))

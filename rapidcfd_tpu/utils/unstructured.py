@@ -329,11 +329,14 @@ def unstructured_channel_case(case_dir: str, nx: int = 40, ny: int = 24,
                               merge_fraction: float = 0.04,
                               seed: int = 0, write_mesh: bool = True,
                               p_rel_tol: float = 0.05,
-                              lattice_out: dict | None = None) -> PolyMesh:
+                              lattice_out: dict | None = None,
+                              curve: float = 0.0,
+                              grade: float = 1.0) -> PolyMesh:
     """simpleFoam channel on a polyhedral perturbed box (VERDICT #2):
     inlet/outlet in x, walls elsewhere, kOmegaSST + wall functions,
     GAMG pressure. Returns the PolyMesh (pass to Case(pmesh=...) when
-    write_mesh=False for million-cell benches)."""
+    write_mesh=False for million-cell benches). curve/grade produce the
+    genuinely non-lattice variant (see unstructured_box)."""
     import os
 
     from ..mesh.polymesh import write_polymesh
@@ -344,7 +347,7 @@ def unstructured_channel_case(case_dir: str, nx: int = 40, ny: int = 24,
     mesh = unstructured_box(
         nx, ny, nz, size=L, perturb=perturb,
         merge_fraction=merge_fraction, seed=seed,
-        lattice_out=lattice_out,
+        lattice_out=lattice_out, curve=curve, grade=grade,
         patch_spec={"xmin": ("inlet", "patch"),
                     "xmax": ("outlet", "patch"),
                     "ymin": ("walls", "wall"), "ymax": ("walls", "wall"),
@@ -472,13 +475,40 @@ def unstructured_box(nx: int, ny: int, nz: int, *,
                      size=(1.0, 1.0, 1.0), origin=(0.0, 0.0, 0.0),
                      patch_spec: dict | None = None,
                      perturb: float = 0.2, merge_fraction: float = 0.04,
-                     seed: int = 0, lattice_out: dict | None = None
+                     seed: int = 0, lattice_out: dict | None = None,
+                     curve: float = 0.0, grade: float = 1.0
                      ) -> PolyMesh:
     """Polyhedral perturbed box: the unstructured test-mesh entry point.
     Pass lattice_out={} to receive the lattice embedding consumed by the
-    gdia gather-free mesh mode (mesh/gdia.py)."""
+    gdia gather-free mesh mode (mesh/gdia.py).
+
+    curve > 0 bends the duct into an annular arc of `curve` radians
+    (x becomes the azimuthal coordinate) and grade != 1 applies a
+    geometric wall-normal grading in y (boundary-layer-style cell-size
+    ratio across the height): together with the perturbation and the
+    cell merges this produces a mesh that is genuinely NOT a masked
+    lattice — detect_lattice rejects it and the general ELL/gather
+    path applies (the honest snappyHexMesh-class topology proxy,
+    BASELINE config 5)."""
     m = box_mesh_fast(nx, ny, nz, size=size, origin=origin,
                       patch_spec=patch_spec)
+    if grade != 1.0 or curve:
+        pts = m.points.copy()
+        ox, oy, _ = origin
+        Lx, Ly, _ = size
+        if grade != 1.0:
+            # geometric grading: unit coordinate t -> (g^t - 1)/(g - 1)
+            t = (pts[:, 1] - oy) / Ly
+            g = float(grade)
+            pts[:, 1] = oy + Ly * (np.power(g, t) - 1.0) / (g - 1.0)
+        if curve:
+            theta = (pts[:, 0] - ox) / Lx * float(curve)
+            r0 = Lx / float(curve)           # keep arc length ~ Lx
+            r = r0 + (pts[:, 1] - oy)
+            pts = np.stack([r * np.sin(theta),
+                            r * np.cos(theta) - r0, pts[:, 2]], axis=1)
+        m = PolyMesh(pts, m.face_points, m.face_offsets, m.owner,
+                     m.neighbour, m.patches)
     if perturb:
         m = perturb_points(m, amplitude=perturb, seed=seed)
     if merge_fraction:
