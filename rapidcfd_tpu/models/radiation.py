@@ -373,5 +373,164 @@ def make_radiation_model(case):
         return P1Radiation(case, props)
     if name == "fvDOM":
         return FvDOMRadiation(case, props)
+    if name == "opaqueSolid":
+        return OpaqueSolidRadiation(case, props)
+    if name == "viewFactor":
+        return ViewFactorRadiation(case, props)
     raise KeyError(f"radiationProperties: unsupported radiationModel "
-                   f"'{name}' (none|P1|fvDOM; viewFactor deferred)")
+                   f"'{name}' (none|P1|fvDOM|opaqueSolid|viewFactor)")
+
+
+class OpaqueSolidRadiation:
+    """radiationModel opaqueSolid (reference: radiationModels/
+    radiationModel/opaqueSolid/opaqueSolid.C:78-130): the placeholder
+    model for solid CHT regions — radiation is absorbed at the surface,
+    nothing propagates in the medium, so the volumetric coupling is
+    identically zero (Rp = 0, Ru = 0). Exists so solid regions can
+    carry a radiationProperties dict (absorption/emission read by
+    surface models) without a transport solve."""
+
+    needs_g = False
+
+    def __init__(self, case, props: Dictionary):
+        self.case = case
+        info("Selecting radiationModel opaqueSolid")
+
+    def read_g(self):
+        return None
+
+    def correct(self, mesh, G, T):
+        return G, (jnp.asarray(0.0), jnp.asarray(0.0),
+                   jnp.asarray(0, jnp.int32))
+
+    def sh(self, mesh, G, T: VolField, cpv, he_cur):
+        z = jnp.zeros_like(T.data)
+        return z, z
+
+    def qr(self, mesh, G):
+        return None
+
+
+class ViewFactorRadiation:
+    """radiationModel viewFactor (reference: radiationModels/
+    radiationModel/viewFactor/viewFactor.C — surface-to-surface grey
+    radiosity over the enclosure patches).
+
+    TPU re-founding: the reference reads view factors precomputed by
+    the viewFactorsGen utility (constant/F + agglomeration maps) and
+    solves the radiosity system with a distributed LU. Here the view
+    factor matrix is built at model construction on the HOST from the
+    patch-face geometry (centroid-kernel F_ij = cos(ti) cos(tj) A_j /
+    (pi r^2), rows normalized to close the enclosure — exact in the
+    convex-enclosure/no-occlusion limit that viewFactorsGen's ray
+    tracing generalizes), and the per-step radiosity solve
+    (I - (1-eps) F) J = eps sigma T^4 is ONE dense MXU solve over the
+    enclosure faces. qr_wall = J - sum_j F_ij J_j (net outgoing -
+    incoming); the energy equation receives it as an explicit
+    wall-adjacent source through sh().
+
+    Participating patches: every wall-type patch, or the names listed
+    in viewFactorCoeffs { patches (...); }. Emissivity from
+    viewFactorCoeffs emissivity (default 1)."""
+
+    needs_g = False
+
+    def __init__(self, case, props: Dictionary):
+        import numpy as np
+
+        self.case = case
+        mesh = case.mesh
+        vf = props.subdict("viewFactorCoeffs", required=False) \
+            or Dictionary()
+        names = vf.lookup("patches")
+        self.eps = float(vf.scalar("emissivity", 1.0))
+        sel = []
+        for i, p in enumerate(mesh.patches):
+            if p.is_empty or p.size == 0:
+                continue
+            if names is not None:
+                if p.name in [str(n) for n in (
+                        names if isinstance(names, (list, tuple))
+                        else [names])]:
+                    sel.append(i)
+            elif p.type == "wall":
+                sel.append(i)
+        self.patch_ids = tuple(sel)
+        Cf = np.asarray(mesh.Cf)
+        Sf = np.asarray(mesh.Sf)
+        ctrs, nrm, areas, bsl = [], [], [], []
+        for i in sel:
+            p = mesh.patches[i]
+            sl = slice(p.start, p.start + p.size)
+            a = np.linalg.norm(Sf[sl], axis=1)
+            ctrs.append(Cf[sl])
+            nrm.append(Sf[sl] / np.maximum(a, 1e-300)[:, None])
+            areas.append(a)
+            bsl.append((p.bstart, p.size))
+        self.bsl = tuple(bsl)
+        C = np.concatenate(ctrs)
+        N = np.concatenate(nrm)      # outward from the fluid? Sf points
+        A = np.concatenate(areas)    # out of the domain at boundaries —
+        nfr = C.shape[0]             # INTO the enclosure is -N
+        d = C[None, :, :] - C[:, None, :]
+        r2 = (d * d).sum(-1)
+        r = np.sqrt(np.maximum(r2, 1e-300))
+        # cos(theta_i): angle between the INWARD normal (-N_i) and d_ij
+        ci = -(N[:, None, :] * d).sum(-1) / r
+        cj = (N[None, :, :] * d).sum(-1) / r
+        F = np.maximum(ci, 0.0) * np.maximum(cj, 0.0) \
+            * A[None, :] / (np.pi * np.maximum(r2, 1e-300))
+        np.fill_diagonal(F, 0.0)
+        # close the enclosure: rows must sum to 1 (centroid-kernel
+        # quadrature error otherwise leaks energy)
+        s = F.sum(1)
+        F = F / np.maximum(s, 1e-30)[:, None]
+        self.F = jnp.asarray(F)
+        self.A = jnp.asarray(A)
+        # owner cells of the radiating faces (for the sh() source)
+        own = np.asarray(mesh.owner)
+        self.own = jnp.asarray(np.concatenate(
+            [own[mesh.patches[i].start:
+                 mesh.patches[i].start + mesh.patches[i].size]
+             for i in sel]).astype(np.int32))
+        eye = jnp.eye(nfr, dtype=self.F.dtype)
+        self.M = eye - (1.0 - self.eps) * self.F
+        info(f"Selecting radiationModel viewFactor "
+             f"({nfr} enclosure faces, emissivity {self.eps})")
+
+    def _tw(self, T: VolField):
+        return jnp.concatenate(
+            [T.bvalues[b:b + s] for b, s in self.bsl])
+
+    def read_g(self):
+        return None
+
+    def correct(self, mesh, G, T):
+        return G, (jnp.asarray(0.0), jnp.asarray(0.0),
+                   jnp.asarray(0, jnp.int32))
+
+    def qr_faces(self, T: VolField):
+        """Net radiative flux per enclosure face [W/m2], positive
+        leaving the wall into the fluid? Sign convention: positive =
+        net flux ABSORBED by the wall face (incoming - outgoing), the
+        sign the energy source wants."""
+        tw4 = SIGMA_SB * self._tw(T) ** 4
+        J = jnp.linalg.solve(self.M, self.eps * tw4)
+        incoming = self.F @ J
+        # net absorbed per unit area = eps*(incident - sigma T^4)
+        return self.eps * (incoming - tw4)
+
+    def sh(self, mesh, G, T: VolField, cpv, he_cur):
+        """Explicit wall-adjacent energy source: qr*A/V at the owner
+        cells of the enclosure faces (the reference couples through the
+        greyDiffusiveViewFactor qr boundary field consumed by the
+        turbulent thermal wall flux; the explicit volumetric deposit is
+        the segregated equivalent)."""
+        q = self.qr_faces(T)                      # (nfr,) W/m2
+        src = jnp.zeros_like(T.data).at[self.own].add(
+            q * self.A)                           # W
+        expl = src / mesh.V                       # W/m3
+        return jnp.zeros_like(expl), expl
+
+    def qr(self, mesh, G):
+        return None
