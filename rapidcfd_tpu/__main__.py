@@ -118,8 +118,11 @@ SOLVERS = {
 #: default: deviation-form pressure (fields.field.shift_level) +
 #: delta-form Krylov (linalg/solvers.py) hold them to fp64-trajectory
 #: agreement (tests/test_compressible_fp32.py).
+#: rhoPimpleFoam/rhoPimplecFoam left X64_DEFAULT in r5: deviation-form
+#: p + the p_offset*ddt(psi) compressibility source hold them to
+#: fp64-trajectory agreement (tests/test_compressible_fp32.py::
+#: test_rhopimplefoam_fp32_tracks_fp64).
 X64_DEFAULT = {
-    "rhoPimpleFoam", "rhoPimplecFoam",
     "rhoPimpleDyMFoam", "sonicDyMFoam", "sonicLiquidFoam",
     "rhoCentralFoam", "rhoCentralDyMFoam",
     "buoyantSimpleFoam", "buoyantPimpleFoam", "thermoFoam",

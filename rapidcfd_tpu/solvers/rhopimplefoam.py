@@ -27,7 +27,7 @@ from .icofoam import courant_number
 
 def make_step(case: Case, thermo: PsiThermo, ctrl: PimpleControl,
               lts: bool = False, turb=None, consistent: bool = False,
-              dym: bool = False):
+              dym: bool = False, p_offset: float = 0.0):
     """lts=True (rhoLTSPimpleFoam): the step takes a per-cell rDeltaT
     instead of a scalar dt; every ddt/division below is elementwise in
     the resulting dt (reference: rhoLTSPimpleFoam.C + localEuler).
@@ -170,8 +170,9 @@ def make_step(case: Case, thermo: PsiThermo, ctrl: PimpleControl,
 
             # ---- pEqn.H (subsonic)
             for corr in range(n_corr):
-                rho = rho.replace(data=m.rho(p.data, T.data),
-                                  bvalues=m.rho(p.bvalues, T.bvalues))
+                rho = rho.replace(
+                    data=m.rho(p.data + p_offset, T.data),
+                    bvalues=m.rho(p.bvalues + p_offset, T.bvalues))
                 UEqn_c = UEqn.replace(psi=U)
                 rAU = 1.0 / UEqn_c.A(mesh)
                 rAtU = (1.0 / (1.0 / rAU - UEqn_c.H1(mesh))
@@ -201,12 +202,23 @@ def make_step(case: Case, thermo: PsiThermo, ctrl: PimpleControl,
                     pEqn = (fvm.ddt(mesh, p, dt, ddt_scheme, coeff=psi)
                             - fvm.laplacian(mesh, rho_rau, p, lap_corr))
                     pEqn = pEqn.equals(-fvc.div(mesh, phi_hbya))
+                    if p_offset:
+                        # DEVIATION form (fields.field.shift_level):
+                        # ddt(psi*p_abs) = ddt(psi*p_dev)
+                        # + p_offset*ddt(psi) — the second term is
+                        # explicit (psi from the energy solve)
+                        dpsi_dt = (psi.data - psi.old.data) / dt
+                        pEqn = pEqn.replace(
+                            source=pEqn.source
+                            - mesh.V * p_offset * dpsi_dt)
                     p, p_perf = solve(mesh, pEqn,
                                       p_final if final else p_controls)
                     p_perf_all.append(p_perf[0])
                 if p_min > 0:
-                    p = p.replace(data=jnp.maximum(p.data, p_min),
-                                  bvalues=jnp.maximum(p.bvalues, p_min))
+                    p = p.replace(
+                        data=jnp.maximum(p.data, p_min - p_offset),
+                        bvalues=jnp.maximum(p.bvalues,
+                                            p_min - p_offset))
                 # -laplacian inside the matrix: ADD the matrix flux
                 # (reference: rhoPimpleFoam pEqn.H:83)
                 phi = phi_hbya + pEqn.replace(psi=p).flux(mesh)
@@ -216,8 +228,9 @@ def make_step(case: Case, thermo: PsiThermo, ctrl: PimpleControl,
                           "phi": phi} if dym else None)
                 U = U.replace(data=U_star.data) \
                     .correct_boundary_conditions(mesh, env=env_u)
-                rho = rho.replace(data=m.rho(p.data, T.data),
-                                  bvalues=m.rho(p.bvalues, T.bvalues))
+                rho = rho.replace(
+                    data=m.rho(p.data + p_offset, T.data),
+                    bvalues=m.rho(p.bvalues + p_offset, T.bvalues))
 
         if has_turb:
             nu_lam = T.with_calculated_bcs(
@@ -294,12 +307,26 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None,
     phi = SurfaceField(rho_f * fvc.flux(mesh, U).data,
                        DimensionSet.of(1, 0, -1), "phi")
 
+    # fp32: run p in DEVIATION form when the static SI level dominates
+    # the dynamic range (same criterion as rhoSimpleFoam)
+    import numpy as np
+    p_offset = 0.0
+    if p.data.dtype == jnp.float32:
+        pa = np.asarray(p.data)
+        lvl, dyn = float(np.mean(pa)), float(pa.max() - pa.min())
+        if abs(lvl) > 100.0 * max(dyn, 1e-30):
+            p_offset = lvl
+            from ..fields.field import shift_level
+            p = shift_level(p, -p_offset)
+            info(f"rhoPimpleFoam: solving p in deviation form "
+                 f"(p_offset = {p_offset:g})\n")
+
     ctrl = PimpleControl(case)
     from ..models.turbulence import CompressibleTurbulence
     turb = CompressibleTurbulence(case, U)
     turb_state = turb.init_state(U)
     step = make_step(case, thermo, ctrl, lts=lts, turb=turb,
-                     consistent=consistent)
+                     consistent=consistent, p_offset=p_offset)
     timer = ExecutionTimer()
     cumulative_err = 0.0
 
@@ -339,10 +366,15 @@ def run(case_dir: str, write: bool = True, max_steps: int | None = None,
         log_continuity(cumulative_err, local_err, glob_err)
         timer.log()
         if write and case.time.write_time():
-            case.write_fields([U, p, T, rho.replace(name="rho")]
+            from ..fields.field import shift_level
+            p_abs = shift_level(p, p_offset) if p_offset else p
+            case.write_fields([U, p_abs, T, rho.replace(name="rho")]
                               + list(turb_state.values()))
         n += 1
         if max_steps and n >= max_steps:
             break
     info("End\n")
+    if p_offset:
+        from ..fields.field import shift_level
+        p = shift_level(p, p_offset)
     return case, U, p, T, rho, phi

@@ -87,3 +87,77 @@ def test_rhosimplefoam_fp32_tracks_fp64(tmp_path_factory):
         assert err < 0.02, f"p dynamic part rel err {err:.3e}"
     finally:
         L.Info.enabled = True
+
+
+def _rhopimple_case(d):
+    import os
+
+    from rapidcfd_tpu.utils.casegen import _write
+    from rapidcfd_tpu.utils.dictionary import foamfile_header
+    hot_channel_case(d)
+    _write(os.path.join(d, "system", "controlDict"),
+           foamfile_header("dictionary", "controlDict", "system"), """
+application rhoPimpleFoam; startFrom startTime; startTime 0;
+stopAt endTime; endTime 0.01; deltaT 0.0002;
+writeControl timeStep; writeInterval 1000; writeFormat ascii;
+""")
+    _write(os.path.join(d, "system", "fvSchemes"),
+           foamfile_header("dictionary", "fvSchemes", "system"), """
+ddtSchemes { default Euler; }
+gradSchemes { default Gauss linear; }
+divSchemes { default none; div(phi,U) Gauss upwind;
+             div(phi,h) Gauss upwind; div(phi,K) Gauss upwind; }
+laplacianSchemes { default Gauss linear orthogonal; }
+interpolationSchemes { default linear; }
+snGradSchemes { default orthogonal; }
+""")
+    _write(os.path.join(d, "system", "fvSolution"),
+           foamfile_header("dictionary", "fvSolution", "system"), """
+solvers
+{
+    p      { solver PCG; preconditioner DIC; tolerance 1e-08; relTol 0.01; }
+    pFinal { solver PCG; preconditioner DIC; tolerance 1e-08; relTol 0; }
+    "(U|h)" { solver smoothSolver; smoother symGaussSeidel;
+              tolerance 1e-08; relTol 0; }
+    "(U|h)Final" { solver smoothSolver; smoother symGaussSeidel;
+                   tolerance 1e-08; relTol 0; }
+}
+PIMPLE { nOuterCorrectors 1; nCorrectors 2;
+         nNonOrthogonalCorrectors 0; }
+""")
+
+
+def _run_rhopimple(d):
+    from rapidcfd_tpu.solvers import rhopimplefoam
+    case, U, p, T, rho, phi = rhopimplefoam.run(d, write=False,
+                                                max_steps=50)
+    return (np.asarray(p.data, np.float64),
+            np.asarray(T.data, np.float64),
+            np.asarray(U.data, np.float64))
+
+
+def test_rhopimplefoam_fp32_tracks_fp64(tmp_path_factory):
+    """rhoPimpleFoam fp32 (deviation-form p + the p_offset*ddt(psi)
+    compressibility source) tracks the fp64 trajectory on the heated
+    channel — the gate for taking rhoPimpleFoam out of X64_DEFAULT."""
+    L.Info.enabled = False
+    try:
+        d32 = str(tmp_path_factory.mktemp("rp32"))
+        d64 = str(tmp_path_factory.mktemp("rp64"))
+        _rhopimple_case(d32)
+        _rhopimple_case(d64)
+        with jax.enable_x64(False):
+            p32, t32, u32 = _run_rhopimple(d32)
+        p64, t64, u64 = _run_rhopimple(d64)
+        # p varies ~Pa around 1e5: compare the DEVIATION field
+        dp32 = p32 - np.mean(p32)
+        dp64 = p64 - np.mean(p64)
+        scale = max(np.abs(dp64).max(), 1e-30)
+        assert np.abs(dp32 - dp64).max() / scale < 2e-2
+        _agree(t32, t64, 2e-3, "T")
+        assert np.abs(u32 - u64).max() < 2e-2 * max(
+            np.abs(u64).max(), 1e-30)
+        # absolute level preserved
+        assert abs(np.mean(p32) - np.mean(p64)) < 2.0
+    finally:
+        L.Info.enabled = True
