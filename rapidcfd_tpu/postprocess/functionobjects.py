@@ -374,6 +374,10 @@ class SampledSurfaces(FunctionObject):
         self.field_names = [str(w) for w in d.lookup("fields",
                                                      required=True)]
         self.interval = int(d.scalar("outputInterval", 1))
+        # surfaceFormat: vtk (legacy polydata, default) | ensight
+        # (EnSight Gold ascii case/geo/variable files — reference:
+        # sampling/sampledSurface/writers/ensight)
+        self.fmt = str(d.word("surfaceFormat", "vtk"))
         self._count = 0
         self.surfaces = []
         surf_d = d.subdict("surfaces", required=False) or Dictionary()
@@ -485,6 +489,44 @@ class SampledSurfaces(FunctionObject):
                     for v in vals:
                         f.write(f"{v:.8g}\n")
 
+    def _write_ensight(self, out, sname, points, polys,
+                       cell_data: dict):
+        """EnSight Gold ascii (reference: sampledSurface/writers/
+        ensight): <name>.case + .geo + one variable file per field,
+        self-contained per write time (ParaView-readable)."""
+        base = os.path.join(out, sname)
+        with open(base + ".geo", "w") as f:
+            f.write("EnSight Geometry File\n"
+                    "rapidcfd_tpu sampled surface\n"
+                    "node id assign\nelement id assign\n"
+                    "part\n{:10d}\n{}\ncoordinates\n{:10d}\n".format(
+                        1, sname, len(points)))
+            for c in range(3):
+                for p in points:
+                    f.write(f"{p[c]:12.5e}\n")
+            f.write(f"nsided\n{len(polys):10d}\n")
+            for pl in polys:
+                f.write(f"{len(pl):10d}\n")
+            for pl in polys:
+                f.write(" ".join(str(int(x) + 1) for x in pl) + "\n")
+        lines = ["FORMAT", "type: ensight gold", "GEOMETRY",
+                 f"model: {sname}.geo", "VARIABLE"]
+        for fname, vals in cell_data.items():
+            kind = "vector" if vals.ndim > 1 else "scalar"
+            vfile = f"{sname}.{fname}"
+            lines.append(f"{kind} per element: {fname} {vfile}")
+            with open(os.path.join(out, vfile), "w") as f:
+                f.write(f"{fname}\npart\n{1:10d}\nnsided\n")
+                if vals.ndim > 1:
+                    for c in range(3):
+                        for v in vals:
+                            f.write(f"{v[c]:12.5e}\n")
+                else:
+                    for v in vals:
+                        f.write(f"{v:12.5e}\n")
+        with open(base + ".case", "w") as f:
+            f.write("\n".join(lines) + "\n")
+
     def execute(self, time, fields, mesh):
         self._count += 1
         if self._count % self.interval:
@@ -531,8 +573,12 @@ class SampledSurfaces(FunctionObject):
                 continue
             out = os.path.join(self.out_dir, f"{time:g}")
             os.makedirs(out, exist_ok=True)
-            self._write_vtk(os.path.join(out, f"{sname}.vtk"),
-                            np.asarray(pts), polys, cell_data)
+            if self.fmt == "ensight":
+                self._write_ensight(out, sname, np.asarray(pts),
+                                    polys, cell_data)
+            else:
+                self._write_vtk(os.path.join(out, f"{sname}.vtk"),
+                                np.asarray(pts), polys, cell_data)
 
 
 @register("functionObject", "vorticity")

@@ -273,3 +273,48 @@ functions
                                        "nearWallFields.dat"))
     assert os.path.isfile(os.path.join(
         base, "sif", "0", "surfaceInterpolateFields.dat"))
+
+
+def test_sampled_surfaces_ensight(tmp_path_factory):
+    """surfaces FO with surfaceFormat ensight: EnSight Gold ascii
+    case/geo/variable files (reference: sampledSurface/writers/
+    ensight) — structure + counts verified."""
+    d = str(tmp_path_factory.mktemp("surfens"))
+    pitz_daily_case(d, end_time=2)
+    with open(os.path.join(d, "system", "controlDict"), "a") as f:
+        f.write("""
+functions
+{
+    surf
+    {
+        type surfaces;
+        surfaceFormat ensight;
+        fields (U p);
+        surfaces { lower { type patch; patchName lowerWall; } }
+    }
+}
+""")
+    L.Info.enabled = False
+    from rapidcfd_tpu.solvers import simplefoam
+    simplefoam.run(d, write=False)
+    L.Info.enabled = True
+    base = os.path.join(d, "postProcessing", "surf", "0")
+    tdirs = sorted(os.listdir(base), key=float)
+    out = os.path.join(base, tdirs[-1])
+    case_txt = open(os.path.join(out, "lower.case")).read()
+    assert "type: ensight gold" in case_txt
+    assert "scalar per element: p lower.p" in case_txt
+    assert "vector per element: U lower.U" in case_txt
+    geo = open(os.path.join(out, "lower.geo")).read().splitlines()
+    assert geo[0] == "EnSight Geometry File"
+    i = geo.index("coordinates")
+    npts = int(geo[i + 1])
+    assert npts > 50
+    j = geo.index("nsided")
+    nfaces = int(geo[j + 1])
+    assert nfaces > 50
+    pvals = open(os.path.join(out, "lower.p")).read().split()
+    # header (1 word) + 'part' + id + 'nsided' + nfaces values
+    assert len(pvals) == 4 + nfaces
+    uvals = open(os.path.join(out, "lower.U")).read().split()
+    assert len(uvals) == 4 + 3 * nfaces
